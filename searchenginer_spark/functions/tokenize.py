@@ -1,0 +1,83 @@
+"""Tokenizers.
+
+The reference's core scalar function is its tokenizer pair
+(/root/reference/Make_dir/MakeDictAndIndex.cpp:40-64 — EN alpha-run
+lowercasing tokenizer; /root/reference/include/cppjieba — CN dict
+segmentation). For the source-code corpus the primary tokenizer is the
+identifier tokenizer ``[A-Za-z_][A-Za-z0-9_]*``.
+
+Design rule: stay JVM-side. ``F.regexp_extract_all`` + ``explode`` keeps
+tokenization inside whole-stage codegen — faster than any Python UDF and
+exactly mirrorable in the DuckDB oracle (same regex). A vectorized Arrow
+pandas UDF variant is provided for parity testing and for tokenizers that
+genuinely need Python (CJK segmentation would plug in there).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+#: identifier tokenizer for source code — also used verbatim in DuckDB oracles
+IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
+#: EN alpha-run tokenizer (reference Make_dir/MakeDictAndIndex.cpp:40-64:
+#: alpha runs, lowercased, everything else is a delimiter)
+ALPHA_RE = "[A-Za-z]+"
+
+
+def tokens(col: Column | str, pattern: str = IDENT_RE, lowercase: bool = True) -> Column:
+    """array<string> of tokens, JVM-side (codegen), no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+        pattern = pattern.lower() if pattern is ALPHA_RE else pattern
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
+
+
+def explode_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = IDENT_RE,
+    with_positions: bool = False,
+) -> DataFrame:
+    """(id_col, term[, pos]) — one row per token occurrence.
+
+    ``pos`` is the 0-based token ordinal (the reference records occurrence
+    order implicitly by accumulation order, Make_Page/MakePage.cpp:111-137).
+    """
+    toks = tokens(text_col, pattern)
+    if with_positions:
+        return df.select(id_col, F.posexplode(toks).alias("pos", "term"))
+    return df.select(id_col, F.explode(toks).alias("term"))
+
+
+def tokens_pandas_udf():
+    """Arrow-vectorized tokenizer — parity/fallback path only.
+
+    Semantics identical to ``tokens()`` with IDENT_RE + lowercase. Built
+    lazily (pandas_udf needs an active SparkSession to parse its DDL type).
+    """
+
+    @pandas_udf("array<string>")
+    def _tok(text: pd.Series) -> pd.Series:
+        rx = re.compile(IDENT_RE)
+        return text.fillna("").map(lambda s: rx.findall(s.lower()))
+
+    return _tok
+
+
+def codepoints_pandas_udf():
+    """Split into unicode codepoints (reference UTF-8 query char split,
+    srpc/WordSearch/server.pb_skeleton.cc:23-46). Python str iteration is
+    already codepoint-correct."""
+
+    @pandas_udf("array<string>")
+    def _cp(text: pd.Series) -> pd.Series:
+        return text.fillna("").map(list)
+
+    return _cp

@@ -1,0 +1,43 @@
+"""Thin table-catalog shim: parquet in this sandbox, Iceberg on a real cluster.
+
+The engine's contract (BASELINE.json input_hint) is an Iceberg table; the
+sandbox has no Iceberg catalog, so every table write/read funnels through
+these two functions. On a cluster, `write_table` becomes
+``df.writeTo(name).partitionedBy(...).createOrReplace()`` and partition
+overwrite becomes ``overwritePartitions()`` — the call sites do not change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TESTDATA_TABLES:
+        load_testdata(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,166 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1).
+
+Generates the Iceberg-shaped input table
+``corpus(repo, path, commit, lang, content)`` entirely Spark-side:
+``spark.range(n)`` + column expressions for metadata, one Arrow pandas UDF
+(numpy-vectorized across the whole batch, no per-row Python loops) for
+content. Content is a pure function of (seed, doc index) — partitioning,
+parallelism, and retries cannot change a single byte, which is what makes
+the sha256 per-row invariant and resumability tests meaningful.
+
+Vocabulary deliberately contains the hot terms the north rule calls out
+(``int``, ``return``, ``def``, ``for``, ``if``) at Zipf-like frequency plus
+a long tail of rare identifiers — this is what exercises the skew handling
+(salting) in the postings builder.
+
+Duplicate injection (FIXTURES F1): every id with ``id % DUP_EVERY == 1``
+is an exact copy of ``id-1``; every ``id % NEARDUP_EVERY == 2`` is ``id-1``
+with one identifier renamed (hamming<=3 on simhash by construction of the
+top-20-keyword fingerprint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+EXTS = ["py", "c", "cc", "java", "go"]
+LANGS = {"py": "python", "c": "c", "cc": "cpp", "java": "java", "go": "go"}
+
+HOT = ["int", "return", "def", "for", "if", "while", "void", "self", "value", "result"]
+N_RARE = 20000  # id0000..id19999 long-tail identifiers
+DUP_EVERY = 97
+NEARDUP_EVERY = 101
+
+_M = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant — public-domain mixer
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uniform u64 from a counter."""
+    x = (x + _M).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _content_for(ids: np.ndarray, seed: int) -> list[str]:
+    """Vectorized content synthesis for a batch of doc indices."""
+    ids = ids.astype(np.uint64)
+    base = np.where(ids % DUP_EVERY == 1, ids - 1, ids)
+    base = np.where(base % NEARDUP_EVERY == 2, base - 1, base)
+    seed64 = np.uint64(seed)
+
+    # token count per doc: 5..200 "lines" of ~6 tokens
+    n_lines = 5 + (_mix(base * np.uint64(3) + seed64) % np.uint64(196)).astype(np.int64)
+    n_toks = n_lines * 6
+    total = int(n_toks.sum())
+
+    doc_idx = np.repeat(np.arange(len(ids)), n_toks)
+    pos = np.arange(total, dtype=np.uint64)
+    starts = np.repeat(np.cumsum(n_toks) - n_toks, n_toks).astype(np.uint64)
+    local_pos = pos - starts
+
+    ctr = base[doc_idx] * np.uint64(1_000_003) + local_pos + seed64 * np.uint64(7919)
+    u = _mix(ctr)
+    # ~45% hot tokens, else log-uniform (Zipf-ish) rank into the rare tail
+    is_hot = (u % np.uint64(100)) < np.uint64(45)
+    hot_idx = (_mix(u) % np.uint64(len(HOT))).astype(np.int64)
+    frac = (_mix(u + np.uint64(13))).astype(np.float64) / float(2**64)
+    rare_rank = np.minimum(
+        N_RARE - 1, (np.exp(frac * np.log(N_RARE)) - 1.0).astype(np.int64)
+    )
+
+    hot_arr = np.array(HOT)
+    tok = np.where(
+        is_hot,
+        hot_arr[hot_idx],
+        np.char.add("id", rare_rank.astype("U8")),
+    )
+    out: list[str] = []
+    off = 0
+    for i, n in enumerate(n_toks):
+        words = tok[off : off + int(n)].tolist()
+        off += int(n)
+        # near-dup: rename one identifier occurrence (list, not ndarray —
+        # fixed-width numpy U-dtype would truncate the replacement)
+        if ids[i] % NEARDUP_EVERY == 2:
+            words[-1] = "renamed_ident"
+        lines = [" ".join(words[j : j + 6]) for j in range(0, len(words), 6)]
+        out.append("\n".join(lines))
+    return out
+
+
+def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    """corpus(repo, path, commit, lang, content) — deterministic, Spark-side."""
+
+    @pandas_udf("string")
+    def content_udf(ids: pd.Series) -> pd.Series:
+        return pd.Series(_content_for(ids.to_numpy(), seed))
+
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+    ext = F.element_at(F.array(*[F.lit(e) for e in EXTS]), (F.col("i") % 5 + 1).cast("int"))
+    lang = F.element_at(
+        F.array(*[F.lit(LANGS[e]) for e in EXTS]), (F.col("i") % 5 + 1).cast("int")
+    )
+    repo = F.concat(F.lit("org"), F.col("i") % 7, F.lit("/repo"), F.col("i") % 23)
+    path = F.concat(
+        F.lit("src/d"), (F.col("i") / 50).cast("long"), F.lit("/f"), F.col("i"),
+        F.lit("."), ext,
+    )
+    return (
+        df.select(
+            repo.alias("repo"),
+            path.alias("path"),
+            lang.alias("lang"),
+            content_udf(F.col("i")).alias("content"),
+        )
+        .withColumn("commit", F.substring(F.sha2(F.concat_ws(":", "repo", "path"), 256), 1, 40))
+        .select("repo", "path", "commit", "lang", "content")
+    )
+
+
+def mint_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """docs = corpus + (doc_id, content_sha256, doc_len-ready content).
+
+    doc_id = dense 0-based rank over sorted (repo, path) — the deterministic
+    replacement for the reference's file-order 1-based docid
+    (/root/reference/Make_Page/rcc.cpp:186-202). Implemented scalably:
+    range-repartition by (repo, path), sort within partitions, then add
+    per-partition offsets — no single-partition global window, so it holds
+    at 10^12 rows (the offsets table is one row per partition).
+    """
+    spark = corpus.sparkSession
+    n_parts = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+    ranged = corpus.repartitionByRange(n_parts, "repo", "path").sortWithinPartitions(
+        "repo", "path"
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def assign(iterator):
+        import pandas as pd  # noqa: F401
+
+        local = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            pdf = pdf.copy()
+            pdf["doc_id"] = boff.value[pid] + local + np.arange(len(pdf), dtype=np.int64)
+            local += len(pdf)
+            yield pdf
+
+    # fresh StructType — .add() would mutate the DataFrame's cached schema
+    schema = T.StructType(list(with_pid.schema.fields) + [T.StructField("doc_id", T.LongType())])
+    out = with_pid.mapInPandas(assign, schema=schema).drop("_pid")
+    return out.withColumn("content_sha256", F.sha2("content", 256))

@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from searchenginer_spark.sources.corpus import (
+    DUP_EVERY,
+    NEARDUP_EVERY,
+    generate_corpus,
+    mint_doc_ids,
+)
+
+
+def test_corpus_schema_and_determinism(spark):
+    a = generate_corpus(spark, 300, seed=42)
+    assert a.columns == ["repo", "path", "commit", "lang", "content"]
+    # same seed twice, different partitioning -> identical bytes
+    h1 = a.select(F.sha2(F.concat_ws("|", "repo", "path", "commit", "lang", "content"), 256).alias("h"))
+    b = generate_corpus(spark, 300, seed=42).repartition(13)
+    h2 = b.select(F.sha2(F.concat_ws("|", "repo", "path", "commit", "lang", "content"), 256).alias("h"))
+    assert h1.exceptAll(h2).count() == 0 and h2.exceptAll(h1).count() == 0
+    # different seed -> different content
+    c = generate_corpus(spark, 300, seed=7)
+    assert a.select("content").exceptAll(c.select("content")).count() > 0
+
+
+def test_corpus_has_dups_and_hot_terms(spark):
+    df = generate_corpus(spark, 300, seed=42)
+    n = df.count()
+    n_distinct = df.select("content").distinct().count()
+    assert n_distinct < n  # exact dups present (id % DUP_EVERY == 1)
+    assert DUP_EVERY < 300 and NEARDUP_EVERY < 300
+    hot = df.filter(F.col("content").contains("return")).count()
+    assert hot > n // 2
+    near = df.filter(F.col("content").contains("renamed_ident")).count()
+    assert near >= 1
+
+
+def test_mint_doc_ids_dense_rank(spark):
+    docs = mint_doc_ids(generate_corpus(spark, 250, seed=42), num_partitions=7)
+    rows = docs.select("repo", "path", "doc_id").collect()
+    by_key = sorted(rows, key=lambda r: (r["repo"], r["path"]))
+    assert [r["doc_id"] for r in by_key] == list(range(250))
+    # sha invariant column present and correct
+    bad = docs.filter(F.sha2("content", 256) != F.col("content_sha256")).count()
+    assert bad == 0
