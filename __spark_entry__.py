@@ -17,6 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from searchenginer_spark.operators.dict import build_term_dict
+from searchenginer_spark.operators.postings import build_postings
+from searchenginer_spark.plans.bm25 import Bm25CompressedIndex
 from searchenginer_spark.plans.bm25_dataframe import Bm25DataFrameIndex, tokenize_query
 
 IDENT_SQL_RE = "[A-Za-z_][A-Za-z0-9_]*"
@@ -33,6 +36,20 @@ def _index(spark: SparkSession, sf_dir: str) -> Bm25DataFrameIndex:
     if key not in _IDX_CACHE:
         _IDX_CACHE[key] = Bm25DataFrameIndex.build(_docs(spark, sf_dir), text_col="text")
     return _IDX_CACHE[key]
+
+
+_CIDX_CACHE: dict[tuple[int, str], Bm25CompressedIndex] = {}
+
+
+def _cindex(spark: SparkSession, sf_dir: str) -> Bm25CompressedIndex:
+    """Compressed block-max index over the same documents table."""
+    key = (id(spark), sf_dir)
+    if key not in _CIDX_CACHE:
+        m1 = _index(spark, sf_dir)
+        term_dict = build_term_dict(m1.dft).persist()
+        postings = build_postings(m1.tf, m1.dl, term_dict, m1.stats, docs_per_part=128)
+        _CIDX_CACHE[key] = Bm25CompressedIndex(spark, postings.persist(), term_dict)
+    return _CIDX_CACHE[key]
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -97,6 +114,16 @@ def _q_bm25_repeated_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _index(spark, sf_dir).search("the the fast", k=10, mode="and", round_to=4)
 
 
+def _q_bm25_compressed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship query through the compressed block-max index — checked
+    against the identical SQL oracle as the DataFrame path."""
+    return _cindex(spark, sf_dir).search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
+
+
+def _q_bm25_compressed_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cindex(spark, sf_dir).search("spark merge window", k=10, mode="or", round_to=4)
+
+
 def _q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     return (
@@ -121,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_bm25_and,
         "bm25_or_topk": _q_bm25_or,
         "bm25_repeated_term": _q_bm25_repeated_term,
+        "bm25_compressed_and_topk": _q_bm25_compressed_and,
+        "bm25_compressed_or_topk": _q_bm25_compressed_or,
         "term_df_stats": _q_term_df_stats,
         "doc_stats": _q_doc_stats,
         "doc_lengths_topk": _q_doc_lengths,
@@ -132,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_or_topk": _bm25_sql("spark merge window", "or"),
         "bm25_repeated_term": _bm25_sql("the the fast", "and"),
+        "bm25_compressed_and_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
+        "bm25_compressed_or_topk": _bm25_sql("spark merge window", "or"),
         "term_df_stats": f"""
 WITH {_TOKS_CTE}
 SELECT term, df, cf FROM dft ORDER BY df DESC, term LIMIT 50

@@ -1,0 +1,67 @@
+"""Scalable dense sequential id assignment (0-based rank over a sort key).
+
+Replaces ``row_number() OVER (ORDER BY ...)`` — which funnels every row
+through ONE partition — with: range-repartition on the key, sort within
+partitions, then add per-partition offsets (one tiny driver-side pass over
+partition counts). Holds at 10^12 rows: the only driver state is one count
+per partition.
+
+Used for doc_id minting (reference docid = file order,
+/root/reference/Make_Page/rcc.cpp:186-202 — ours is deterministic rank) and
+term_id minting (reference term ids = std::map iteration order,
+/root/reference/Make_dir/MakeDictAndIndex.cpp:118-125).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    sort_cols: list[str],
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col`` = dense 0-based rank over sorted ``sort_cols``.
+
+    Keys must be unique for the rank to be well-defined. Deterministic for
+    a given input regardless of upstream partitioning.
+    """
+    from ..deploy import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)  # workers must import this package for the UDF below
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
+    # Pin the partitioning: RangePartitioner SAMPLES its boundaries with a
+    # job-dependent seed, so the counts pass and the assignment pass below
+    # would otherwise re-partition differently and corrupt the ids. A
+    # checkpoint makes both jobs read the SAME materialized partitions.
+    # (On a real cluster prefer sc.setCheckpointDir + .checkpoint() so the
+    # pinned copy survives executor loss.)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    counts = with_pid.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def assign(iterator):
+        local = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            pdf = pdf.copy()
+            pdf[id_col] = boff.value[pid] + local + np.arange(len(pdf), dtype=np.int64)
+            local += len(pdf)
+            yield pdf
+
+    schema = T.StructType(list(with_pid.schema.fields) + [T.StructField(id_col, T.LongType())])
+    return with_pid.mapInPandas(assign, schema=schema).drop("_pid")

@@ -1,0 +1,202 @@
+"""Compressed posting-list construction and decode.
+
+Layout (one row per (term_id, part)):
+
+    term_id    long      dense term id (term_dict)
+    part       int       doc-range partition: part = doc_id // docs_per_part
+    n          long      number of postings in this row
+    docs       binary    varbyte(delta(doc_id)) — delta restarts at every
+                         block boundary so blocks decode independently
+    tfs        binary    varbyte(tf)
+    scores     binary    float64 LE array — precomputed BM25 per-posting
+                         impact: idf(df) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).
+                         k1/b/df/avgdl are build-time constants of a static
+                         index, so the full per-(term,doc) score is known at
+                         build time (impact-ordered index technique).
+    block_last array<long>   last doc_id of each 128-posting block (skip ptr)
+    block_max  array<double> max score per block (block-max WAND pruning)
+    block_doc_off/block_tf_off array<long> byte offset of each block inside
+                         docs/tfs — enables decoding ONLY the blocks a query
+                         needs
+
+Reference counterpart: text postings `word \\t (docid weight)*` sorted by
+docid (/root/reference/Make_Page/MakePage.cpp:196-215, ReadPage.h:55 —
+std::set ordering). The *weight-precomputed-at-build* idea is the
+reference's own (it stores tf-idf weights, not tfs); we store exact-float64
+BM25 impacts plus tfs.
+
+Skew: the doc-range `part` key IS the salt — a hot term ('int', 'return')
+with postings in every doc is split into one bounded group per part
+(<= docs_per_part postings each), so no groupBy task ever sees more than
+one part of one term. No separate salting pass is needed, and parts are
+doc-disjoint so query-side per-part top-k merges exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.codec import varbyte_decode, varbyte_encode_raw
+from ..plans.bm25_dataframe import bm25_idf, bm25_tf_norm
+
+BLOCK = 128
+
+POSTINGS_SCHEMA = (
+    "term_id long, part int, n long, docs binary, tfs binary, scores binary, "
+    "block_last array<long>, block_max array<double>, "
+    "block_doc_off array<long>, block_tf_off array<long>"
+)
+
+POSTING_COLS = [
+    "term_id", "part", "n", "docs", "tfs", "scores",
+    "block_last", "block_max", "block_doc_off", "block_tf_off",
+]
+
+
+def scored_postings(
+    tf: DataFrame, dl: DataFrame, term_dict: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """(term_id, doc_id, tf, score) — per-posting BM25 impact, JVM column math."""
+    return (
+        tf.join(term_dict.select("term", "term_id", "df"), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term_id",
+            "doc_id",
+            "tf",
+            (
+                bm25_idf(F.col("n_docs"), F.col("df"))
+                * bm25_tf_norm(F.col("tf"), F.col("dl"), F.col("avgdl"))
+            ).alias("score"),
+        )
+    )
+
+
+def _encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encode every term's postings for ONE doc-range part.
+
+    One Python invocation per part; everything inside is numpy-vectorized
+    across the entire part (varbyte of all terms' postings in one call,
+    sliced per term by byte offsets)."""
+    part = int(pdf["part"].iloc[0])
+    tid_raw = pdf["term_id"].to_numpy()
+    order = np.lexsort((pdf["doc_id"].to_numpy(), tid_raw))
+    tid = tid_raw[order]
+    did = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+    tfv = pdf["tf"].to_numpy()[order].astype(np.uint64)
+    sc = pdf["score"].to_numpy()[order].astype(np.float64)
+    n_all = len(tid)
+
+    gstart = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+    gend = np.concatenate((gstart[1:], [n_all]))
+    glen = gend - gstart
+
+    # position of each posting within its term group
+    local = np.arange(n_all) - np.repeat(gstart, glen)
+    is_block_start = (local % BLOCK) == 0
+
+    deltas = did.astype(np.uint64).copy()
+    if n_all > 1:
+        deltas[1:] = (did[1:] - did[:-1]).astype(np.uint64)
+    deltas[is_block_start] = did[is_block_start].astype(np.uint64)
+
+    doc_bytes, doc_lens = varbyte_encode_raw(deltas)
+    tf_bytes, tf_lens = varbyte_encode_raw(tfv)
+    doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
+
+    rows = []
+    for s, e in zip(gstart.tolist(), gend.tolist()):
+        n = e - s
+        bstarts = np.arange(s, e, BLOCK)
+        bends = np.minimum(bstarts + BLOCK, e)
+        rows.append(
+            (
+                int(tid[s]),
+                part,
+                n,
+                doc_bytes[doc_off[s] : doc_off[e]].tobytes(),
+                tf_bytes[tf_off[s] : tf_off[e]].tobytes(),
+                sc[s:e].tobytes(),
+                did[bends - 1].tolist(),
+                np.maximum.reduceat(sc[s:e], bstarts - s).tolist(),
+                (doc_off[bstarts] - doc_off[s]).tolist(),
+                (tf_off[bstarts] - tf_off[s]).tolist(),
+            )
+        )
+    return pd.DataFrame(rows, columns=POSTING_COLS)
+
+
+def build_postings(
+    tf: DataFrame,
+    dl: DataFrame,
+    term_dict: DataFrame,
+    stats: DataFrame,
+    docs_per_part: int = 1 << 16,
+) -> DataFrame:
+    """postings(term_id, part, ...) from the stats tables.
+
+    One shuffle (groupBy part), one Arrow pass per part. Output rows are
+    naturally sorted by term_id within each part (lexsort in the encoder),
+    which — after write with sortWithinPartitions('term_id') — gives
+    parquet min/max row-group pruning on term_id probes.
+    """
+    from ..deploy import ship_package
+
+    ship_package(tf.sparkSession)
+    sp = scored_postings(tf, dl, term_dict, stats).withColumn(
+        "part", (F.col("doc_id") / F.lit(docs_per_part)).cast("int")
+    )
+    return sp.groupBy("part").applyInPandas(_encode_part, schema=POSTINGS_SCHEMA)
+
+
+# ------------------------------------------------------------------- decode
+
+
+def decode_doc_ids(docs: bytes, n: int) -> np.ndarray:
+    """Full decode of one row's doc ids (block-local deltas -> absolute)."""
+    v = varbyte_decode(docs)
+    cs = np.cumsum(v, dtype=np.uint64)
+    nblocks = math.ceil(n / BLOCK) if n else 0
+    starts = np.arange(0, n, BLOCK)
+    # base[b] = prefix sum before block start (so cs - base == within-block cumsum)
+    base = cs[starts] - v[starts]
+    out = cs - np.repeat(base, np.minimum(BLOCK, n - starts))
+    return out.astype(np.int64)
+
+
+def decode_blocks(
+    docs: bytes, block_doc_off: np.ndarray, n: int, needed: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only ``needed`` block indices -> (doc_ids, global positions).
+
+    This is the skip-pointer read path: byte-slices per block, nothing else
+    touched. Positions index into the row's full posting order (for score
+    lookup into the fixed-width scores array)."""
+    buf = np.frombuffer(docs, dtype=np.uint8)
+    offs = np.asarray(block_doc_off, dtype=np.int64)
+    ids_parts = []
+    pos_parts = []
+    for b in needed.tolist():
+        lo = offs[b]
+        hi = offs[b + 1] if b + 1 < len(offs) else len(buf)
+        v = varbyte_decode(buf[lo:hi])
+        ids_parts.append(np.cumsum(v, dtype=np.uint64).astype(np.int64))
+        pos_parts.append(np.arange(b * BLOCK, b * BLOCK + len(v)))
+    if not ids_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(ids_parts), np.concatenate(pos_parts)
+
+
+def decode_scores(scores: bytes) -> np.ndarray:
+    return np.frombuffer(scores, dtype="<f8")
+
+
+def decode_tfs(tfs: bytes) -> np.ndarray:
+    return varbyte_decode(tfs).astype(np.int64)

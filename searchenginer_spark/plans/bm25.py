@@ -1,0 +1,194 @@
+"""BM25 top-k retrieval over the compressed block-max inverted index.
+
+Query lifecycle (Spark shape of the reference's
+srpc/PageSearch/server.pb_skeleton.cc:154-250 pipeline):
+
+  1. tokenize query driver-side (tiny; cut_weight.cpp analog)
+  2. term lookup against term_dict (broadcast-size probe)
+  3. postings probe: ``postings.filter(term_id IN qids)`` — parquet
+     min/max row-group pruning does the index seek (rows are written
+     sorted by term_id within part files)
+  4. per-part scoring in ONE Arrow call per part (groupBy('part')
+     .applyInPandas): conjunctive galloping intersection with block
+     skip-decode, or disjunctive MaxScore with block-max pruning
+  5. per-part top-k -> global TakeOrderedAndProject(k)
+
+Parts are doc-disjoint ranges, so per-part top-k then global merge is
+exact — this is what lets the scoring stage scale out with zero shared
+state (the Spark analog of the reference's single-address-space docids).
+
+Pruning:
+  - AND: rarest term drives; other terms decode ONLY blocks whose
+    block_last range can contain surviving candidates (skip pointers).
+  - OR: MaxScore (Turtle & Flood 1995, public algorithm) at block
+    granularity: threshold tau seeded from the highest-upper-bound term's
+    own top-k; terms whose summed upper bounds stay below tau become
+    non-essential and are only probed at existing candidates via selective
+    block decode — documents matching only non-essential terms are provably
+    below tau and never decoded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import IDENT_RE
+from ..operators.postings import (
+    decode_blocks,
+    decode_doc_ids,
+    decode_scores,
+)
+from .bm25_dataframe import tokenize_query
+
+
+def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int):
+    """Conjunctive scoring for one part. groups: list of posting rows."""
+    if len(groups) < n_terms:
+        return [], []
+    groups = sorted(groups, key=lambda g: g["n"])  # rarest first
+    drv = groups[0]
+    cand = decode_doc_ids(drv["docs"], drv["n"])
+    cand_score = decode_scores(drv["scores"]) * qtf[drv["term_id"]]
+    for g in groups[1:]:
+        if cand.size == 0:
+            return [], []
+        block_last = np.asarray(g["block_last"], dtype=np.int64)
+        # blocks that could contain any surviving candidate
+        bidx = np.unique(np.searchsorted(block_last, cand))
+        bidx = bidx[bidx < len(block_last)]
+        ids, pos = decode_blocks(
+            g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
+        )
+        loc = np.searchsorted(ids, cand)
+        loc_c = np.minimum(loc, max(len(ids) - 1, 0))
+        hit = ids.size > 0
+        member = (ids[loc_c] == cand) if hit else np.zeros(len(cand), dtype=bool)
+        cand = cand[member]
+        if cand.size == 0:
+            return [], []
+        sc = decode_scores(g["scores"])
+        cand_score = cand_score[member] + sc[pos[loc_c[member]]] * qtf[g["term_id"]]
+    if cand.size > k:
+        top = np.argpartition(-cand_score, k - 1)[:k]
+        order = top[np.lexsort((cand[top], -cand_score[top]))]
+    else:
+        order = np.lexsort((cand, -cand_score))
+    return cand[order].tolist(), cand_score[order].tolist()
+
+
+def _score_part_or(groups: list, qtf: dict, k: int):
+    """Disjunctive MaxScore scoring for one part."""
+    uppers = np.array(
+        [qtf[g["term_id"]] * max(g["block_max"]) for g in groups], dtype=np.float64
+    )
+    order = np.argsort(-uppers)
+    groups = [groups[i] for i in order]
+    uppers = uppers[order]
+
+    # tau seed: top-k of the single highest-impact term
+    g0 = groups[0]
+    s0 = decode_scores(g0["scores"]) * qtf[g0["term_id"]]
+    if s0.size >= k:
+        tau = np.partition(s0, s0.size - k)[s0.size - k]
+    else:
+        tau = -np.inf
+    # non-essential = maximal suffix with summed uppers strictly below tau
+    suffix = np.cumsum(uppers[::-1])[::-1]
+    ess_end = len(groups)
+    for i in range(len(groups) - 1, 0, -1):
+        if suffix[i] < tau:
+            ess_end = i
+        else:
+            break
+
+    # union of essential terms (full decode; these dominate the scores)
+    ids_all, sc_all = [], []
+    for g in groups[:ess_end]:
+        ids_all.append(decode_doc_ids(g["docs"], g["n"]))
+        sc_all.append(decode_scores(g["scores"]) * qtf[g["term_id"]])
+    cand, inv = np.unique(np.concatenate(ids_all), return_inverse=True)
+    score = np.zeros(cand.size, dtype=np.float64)
+    np.add.at(score, inv, np.concatenate(sc_all))
+
+    # non-essential terms: probe only at existing candidates, block-sliced
+    for g in groups[ess_end:]:
+        block_last = np.asarray(g["block_last"], dtype=np.int64)
+        bidx = np.unique(np.searchsorted(block_last, cand))
+        bidx = bidx[bidx < len(block_last)]
+        ids, pos = decode_blocks(
+            g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
+        )
+        if ids.size == 0:
+            continue
+        loc = np.searchsorted(ids, cand)
+        loc_c = np.minimum(loc, len(ids) - 1)
+        member = ids[loc_c] == cand
+        sc = decode_scores(g["scores"])
+        score[member] += sc[pos[loc_c[member]]] * qtf[g["term_id"]]
+
+    if cand.size > k:
+        top = np.argpartition(-score, k - 1)[:k]
+        order = top[np.lexsort((cand[top], -score[top]))]
+    else:
+        order = np.lexsort((cand, -score))
+    return cand[order].tolist(), score[order].tolist()
+
+
+class Bm25CompressedIndex:
+    """Query engine over (postings, term_dict) tables."""
+
+    def __init__(self, spark: SparkSession, postings: DataFrame, term_dict: DataFrame):
+        from ..deploy import ship_package
+
+        ship_package(spark)  # scoring closures import this package on workers
+        self.spark = spark
+        self.postings = postings
+        self.term_dict = term_dict
+
+    def lookup_terms(self, terms: list[str]) -> dict[str, int]:
+        rows = (
+            self.term_dict.filter(F.col("term").isin(terms))
+            .select("term", "term_id")
+            .collect()
+        )
+        return {r["term"]: r["term_id"] for r in rows}
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        pattern: str = IDENT_RE,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        q = tokenize_query(query, pattern)
+        tid = self.lookup_terms([t for t, _ in q])
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not q or (mode == "and" and len(tid) < len(q)) or not tid:
+            return empty
+        qtf = {tid[t]: float(c) for t, c in q if t in tid}
+        n_terms = len(qtf)
+        ids = list(qtf.keys())
+
+        cand = self.postings.filter(F.col("term_id").isin(ids))
+
+        def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            groups = pdf.to_dict("records")
+            if mode == "and":
+                docs, scores = _score_part_and(groups, qtf, n_terms, k)
+            else:
+                docs, scores = _score_part_or(groups, qtf, k)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        scored = cand.groupBy("part").applyInPandas(
+            score_part, schema="doc_id long, score double"
+        )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )

@@ -1,0 +1,180 @@
+"""Resumable inverted-index build with per-partition checkpoints + metrics.
+
+Artifacts under an index root (parquet here, Iceberg tables on a cluster —
+see sources/catalog.py):
+
+    docs/        docs(doc_id, repo, path, commit, lang, content,
+                      content_sha256)  — replaces the reference's
+                      pagelib/offset/text stores (Make_Page/rcc.cpp:190-201)
+    term_dict/   term_dict(term, term_id, df, cf, prefix)
+    stats/       single row (n_docs, avgdl)
+    postings/    partitioned by part (block-max compressed rows)
+    metrics/     one row per built part (FIXTURES.md F5): build lineage +
+                 throughput — the "Iceberg metrics table" of the north rule
+
+Resumability contract: the unit of work is a doc-range ``part``. A part is
+complete iff a metrics row with status='done' exists. Parts are written
+with dynamic partition overwrite, so re-building a part (e.g. after a crash
+between data write and checkpoint append) is idempotent — the
+crash-between-write-and-checkpoint case converges to the same bytes.
+
+The reference has no resumability (full rebuild, Make_Page/main.cpp:5-14);
+this is north-rule scope.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import stats as S
+from ..operators.dict import build_term_dict
+from ..operators.postings import build_postings
+from .bm25 import Bm25CompressedIndex
+
+METRICS_SCHEMA = (
+    "build_id string, partition_id int, status string, input_sha string, "
+    "n_docs long, n_postings long, bytes_written long, "
+    "postings_per_sec double, wall_ms long"
+)
+
+
+class IndexPaths:
+    def __init__(self, root: str):
+        self.root = root
+        self.docs = f"{root}/docs"
+        self.term_dict = f"{root}/term_dict"
+        self.stats = f"{root}/stats"
+        self.postings = f"{root}/postings"
+        self.metrics = f"{root}/metrics"
+
+
+def _done_parts(spark: SparkSession, paths: IndexPaths) -> set[int]:
+    try:
+        rows = (
+            spark.read.parquet(paths.metrics)
+            .filter(F.col("status") == "done")
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+    except Exception:
+        return set()
+
+
+def build_index(
+    docs: DataFrame,
+    root: str,
+    docs_per_part: int = 1 << 16,
+    text_col: str = "content",
+    max_parts: int | None = None,
+) -> dict:
+    """Build (or resume) the full index for ``docs(doc_id, <text_col>, ...)``.
+
+    ``max_parts`` limits how many pending parts are built this run — used by
+    the kill/resume tests to simulate an interrupted build.
+
+    Returns a summary dict (n_docs, parts_built, parts_total, wall_s).
+    """
+    spark = docs.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    paths = IndexPaths(root)
+    t0 = time.monotonic()
+
+    docs = docs.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
+
+    # -- stage 1: docs + dictionary (cheap, deterministic, idempotent) -----
+    docs.write.mode("overwrite").partitionBy("part").parquet(paths.docs)
+    docs = spark.read.parquet(paths.docs)
+
+    tf = S.term_frequencies(docs, text_col=text_col).persist()
+    dl = S.doc_lengths(tf)
+    dft = S.document_frequencies(tf)
+    term_dict = build_term_dict(dft)
+    term_dict.write.mode("overwrite").parquet(paths.term_dict)
+    term_dict = spark.read.parquet(paths.term_dict)
+    stats = S.corpus_stats(dl)
+    stats.write.mode("overwrite").parquet(paths.stats)
+    stats = spark.read.parquet(paths.stats)
+
+    # -- stage 2: postings for pending parts only ---------------------------
+    all_parts = sorted(
+        r["part"] for r in docs.select("part").distinct().collect()
+    )
+    done = _done_parts(spark, paths)
+    pending = [p for p in all_parts if p not in done]
+    if max_parts is not None:
+        pending = pending[:max_parts]
+
+    built = 0
+    if pending:
+        build_id = uuid.uuid4().hex[:12]
+        pend_docs = docs.filter(F.col("part").isin(pending))
+        # part is a pure function of doc_id — filter beats a semi-join
+        pend_tf = tf.filter(
+            (F.col("doc_id") / docs_per_part).cast("int").isin(pending)
+        )
+        t1 = time.monotonic()
+        postings = build_postings(pend_tf, dl, term_dict, stats, docs_per_part)
+        postings.write.mode("overwrite").partitionBy("part").parquet(paths.postings)
+        wall_ms = int((time.monotonic() - t1) * 1000)
+
+        # lineage + throughput metrics per part (from the written data)
+        written = spark.read.parquet(paths.postings).filter(F.col("part").isin(pending))
+        per_part = (
+            written.groupBy("part")
+            .agg(
+                F.sum("n").alias("n_postings"),
+                (
+                    F.sum(F.octet_length("docs"))
+                    + F.sum(F.octet_length("tfs"))
+                    + F.sum(F.octet_length("scores"))
+                ).alias("bytes_written"),
+            )
+            .join(
+                pend_docs.groupBy("part").agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    # order-independent, overflow-free content fingerprint
+                    F.bit_xor(F.xxhash64("content_sha256")).cast("string").alias("input_sha"),
+                ),
+                "part",
+            )
+        )
+        metrics = per_part.select(
+            F.lit(build_id).alias("build_id"),
+            F.col("part").cast("int").alias("partition_id"),
+            F.lit("done").alias("status"),
+            "input_sha",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_postings").cast("long").alias("n_postings"),
+            F.col("bytes_written").cast("long").alias("bytes_written"),
+            (F.col("n_postings") / F.lit(max(wall_ms, 1) / 1000.0))
+            .cast("double")
+            .alias("postings_per_sec"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+        )
+        metrics.write.mode("append").parquet(paths.metrics)
+        built = len(pending)
+
+    tf.unpersist()
+    return {
+        "n_docs": docs.count(),
+        "parts_total": len(all_parts),
+        "parts_built": built,
+        "parts_done_before": len(done),
+        "wall_s": time.monotonic() - t0,
+        "root": root,
+    }
+
+
+def open_index(spark: SparkSession, root: str) -> Bm25CompressedIndex:
+    paths = IndexPaths(root)
+    return Bm25CompressedIndex(
+        spark,
+        spark.read.parquet(paths.postings),
+        spark.read.parquet(paths.term_dict),
+    )

@@ -25,7 +25,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 EXTS = ["py", "c", "cc", "java", "go"]
@@ -96,6 +95,9 @@ def _content_for(ids: np.ndarray, seed: int) -> list[str]:
 
 def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     """corpus(repo, path, commit, lang, content) — deterministic, Spark-side."""
+    from ..deploy import ship_package
+
+    ship_package(spark)
 
     @pandas_udf("string")
     def content_udf(ids: pd.Series) -> pd.Series:
@@ -128,39 +130,10 @@ def mint_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFr
 
     doc_id = dense 0-based rank over sorted (repo, path) — the deterministic
     replacement for the reference's file-order 1-based docid
-    (/root/reference/Make_Page/rcc.cpp:186-202). Implemented scalably:
-    range-repartition by (repo, path), sort within partitions, then add
-    per-partition offsets — no single-partition global window, so it holds
-    at 10^12 rows (the offsets table is one row per partition).
+    (/root/reference/Make_Page/rcc.cpp:186-202). Uses the scalable
+    sequential-id operator (range partition + offsets, no global window).
     """
-    spark = corpus.sparkSession
-    n_parts = num_partitions or corpus.sparkSession.sparkContext.defaultParallelism
-    ranged = corpus.repartitionByRange(n_parts, "repo", "path").sortWithinPartitions(
-        "repo", "path"
-    )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = with_pid.groupBy("_pid").count().orderBy("_pid").collect()
-    offsets = {}
-    acc = 0
-    for r in counts:
-        offsets[r["_pid"]] = acc
-        acc += r["count"]
-    boff = spark.sparkContext.broadcast(offsets)
+    from ..operators.ids import assign_sequential_ids
 
-    def assign(iterator):
-        import pandas as pd  # noqa: F401
-
-        local = 0
-        for pdf in iterator:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            pdf = pdf.copy()
-            pdf["doc_id"] = boff.value[pid] + local + np.arange(len(pdf), dtype=np.int64)
-            local += len(pdf)
-            yield pdf
-
-    # fresh StructType — .add() would mutate the DataFrame's cached schema
-    schema = T.StructType(list(with_pid.schema.fields) + [T.StructField("doc_id", T.LongType())])
-    out = with_pid.mapInPandas(assign, schema=schema).drop("_pid")
+    out = assign_sequential_ids(corpus, ["repo", "path"], "doc_id", num_partitions)
     return out.withColumn("content_sha256", F.sha2("content", 256))
