@@ -17,8 +17,23 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from searchenginer_spark.functions import textstats as TS
+from searchenginer_spark.functions.hashing import (
+    rolling_fingerprints,
+    simhash,
+    tfidf_top_keywords,
+)
+from searchenginer_spark.functions.tokenize import tokens
+from searchenginer_spark.operators.ann import ann_lsh_topk, cosine_topk, srp_buckets
+from searchenginer_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
 from searchenginer_spark.operators.dict import build_term_dict
 from searchenginer_spark.operators.postings import build_postings
+from searchenginer_spark.operators.suggest import suggest
 from searchenginer_spark.plans.bm25 import Bm25CompressedIndex
 from searchenginer_spark.plans.bm25_dataframe import Bm25DataFrameIndex, tokenize_query
 
@@ -143,6 +158,158 @@ def _q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.dl.orderBy(F.desc("dl"), F.asc("doc_id")).limit(25).select("doc_id", "dl")
 
 
+def _union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ (documents shifted by +1000) — injects exact duplicates so
+    dedup operators have non-trivial oracle output."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+
+
+_UNION_SQL = (
+    "u AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000, text FROM documents)"
+)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_union_docs(spark, sf_dir), "text").select(
+        "content_hash", "keep_id", "n_copies"
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(_union_docs(spark, sf_dir), threshold=0.5)
+    return pairs.select("doc_id", "doc_id_2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: MinHash-LSH near-dup pairs (xxhash64 not in DuckDB)."""
+    return minhash_lsh_pairs(_union_docs(spark, sf_dir), threshold=0.7).select(
+        "doc_id", "doc_id_2", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: SimHash banded near-dup pairs."""
+    docs = _union_docs(spark, sf_dir)
+    idx = Bm25DataFrameIndex.build(docs, text_col="text", persist=False)
+    kw = tfidf_top_keywords(idx.tf, idx.dft, idx.stats, top_n=20)
+    return simhash_near_pairs(simhash(kw), max_hamming=3)
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: winnowing-style rolling-hash fingerprint counts per doc."""
+    toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    fp = rolling_fingerprints(toks, window=8, keep_mod=16)
+    return fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp")).orderBy("doc_id")
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    idx = _index(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        idx.tf.join(idx.dft.select("term", "df"), "term")
+        .crossJoin(F.broadcast(idx.stats.select("n_docs")))
+        .withColumn("weight", F.col("tf") * F.log2(F.col("n_docs") / (F.col("df") + 1)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 20))
+        .select("doc_id", "term", F.round("weight", 4).alias("weight"), "rn")
+    )
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    vocab = idx.dft.select("term").withColumn("prefix", F.substring("term", 1, 1))
+    return suggest(vocab, "qury", k=10, round_to=4)
+
+
+def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(TS.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        TS.ws_token_count(t).alias("n_ws"),
+        TS.bpe_ish_token_count(t).alias("n_bpe"),
+        F.round(TS.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(TS.stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(TS.mean_word_len(t), 4).alias("mean_word_len"),
+        F.round(TS.quality_score(t), 4).alias("quality"),
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .first()
+    )
+    return list(row["embedding"])
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, round_to=4)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only: SRP-LSH bucketed ANN (approximate; no SQL oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = srp_buckets(emb, n_planes=8, seed=42)
+    return ann_lsh_topk(b, _query_vec(spark, sf_dir), k=10, n_planes=8, seed=42)
+
+
+def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .select(F.col("c_custkey"), F.col("c_name"), F.col("total_spent"))
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+        .limit(200)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_and_topk": _q_bm25_and,
@@ -153,6 +320,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_stats": _q_term_df_stats,
         "doc_stats": _q_doc_stats,
         "doc_lengths_topk": _q_doc_lengths,
+        "dedup_exact_groups": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,      # rows-only
+        "dedup_simhash_pairs": _q_dedup_simhash,    # rows-only
+        "doc_fingerprints": _q_doc_fingerprints,    # rows-only
+        "tfidf_keywords_topn": _q_tfidf_keywords,
+        "suggest_terms": _q_suggest,
+        "lang_id_counts": _q_lang_id_counts,
+        "quality_scores": _q_quality_scores,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,                 # rows-only
+        "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "top_customers_by_revenue": _q_top_customers,
+        "events_hourly_agg": _q_events_hourly,
     }
 
 
@@ -174,5 +355,139 @@ SELECT n_docs, round(avgdl, 4) AS avgdl FROM st
         "doc_lengths_topk": f"""
 WITH {_TOKS_CTE}
 SELECT doc_id, dl FROM dl ORDER BY dl DESC, doc_id LIMIT 25
+""",
+        "dedup_exact_groups": f"""
+WITH {_UNION_SQL}
+SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM u GROUP BY 1 HAVING count(*) > 1
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_UNION_SQL},
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks FROM u),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM tk,
+  unnest(CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [array_to_string(toks, ' ')] END) AS s(shingle)
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id, b.doc_id AS doc_id_2, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.doc_id_2,
+       round(n_inter / (s1.n_sh + s2.n_sh - n_inter), 4) AS jaccard
+FROM inter i JOIN sz s1 ON i.doc_id = s1.doc_id JOIN sz s2 ON i.doc_id_2 = s2.doc_id
+WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+""",
+        "tfidf_keywords_topn": f"""
+WITH {_TOKS_CTE},
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * log2((SELECT n_docs FROM st) / (dft.df + 1.0)) AS weight
+  FROM tf JOIN dft USING (term)
+),
+r AS (
+  SELECT doc_id, term, weight,
+         row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rn
+  FROM w
+)
+SELECT doc_id, term, round(weight, 4) AS weight, rn
+FROM r WHERE rn <= 3 AND doc_id < 20
+""",
+        "suggest_terms": f"""
+WITH {_TOKS_CTE},
+vocab AS (SELECT DISTINCT term FROM tf),
+cand AS (SELECT term FROM vocab WHERE substr(term, 1, 1) IN ('q', 'u', 'r', 'y'))
+SELECT term,
+       round(1.0 - levenshtein(term, 'qury') / greatest(length(term), 4), 4) AS sim
+FROM cand ORDER BY sim DESC, term LIMIT 10
+""",
+        "lang_id_counts": """
+WITH s AS (
+  SELECT
+    len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS s_de,
+    len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|in|that|it)\\b')) AS s_en,
+    len(regexp_extract_all(text, '(?i)\\b(el|la|los|es|una|que|por|con)\\b')) AS s_es,
+    len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une|que|pas)\\b')) AS s_fr,
+    len(regexp_extract_all(text, '(?i)\\b(de|shi|le|zai|you|wo|ta|men)\\b')) AS s_zh
+  FROM documents
+),
+p AS (
+  SELECT CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr >= s_zh THEN 'fr'
+    ELSE 'zh' END AS pred_lang
+  FROM s
+)
+SELECT pred_lang, count(*) AS n FROM p GROUP BY 1
+""",
+        "quality_scores": """
+WITH b AS (
+  SELECT doc_id, text,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+    len(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}]', '', 'g')) AS n_punct,
+    len(regexp_extract_all(text,
+        '(?i)\\b(the|and|of|to|is|in|that|it|a|an|was|for|on|with|as)\\b')) AS n_stop,
+    len(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+  FROM documents WHERE doc_id < 100
+),
+m AS (
+  SELECT doc_id, n_ws, n_bpe,
+    CASE WHEN length(text) > 0 THEN n_punct / length(text) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN n_ws > 0 THEN n_nonspace / n_ws ELSE 0.0 END AS mean_word_len
+  FROM b
+)
+SELECT doc_id, n_ws, n_bpe,
+  round(punct_ratio, 4) AS punct_ratio,
+  round(stopword_ratio, 4) AS stopword_ratio,
+  round(mean_word_len, 4) AS mean_word_len,
+  round(((CASE WHEN n_ws BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0,
+       4) AS quality
+FROM m
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) AS cos
+FROM embeddings e
+ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) DESC,
+         vec_id
+LIMIT 10
+""",
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "top_customers_by_revenue": """
+SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total_spent
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spent DESC, c.c_custkey
+LIMIT 20
+""",
+        "events_hourly_agg": """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+LIMIT 200
 """,
     }

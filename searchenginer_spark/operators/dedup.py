@@ -1,0 +1,190 @@
+"""Deduplication operators: exact, SimHash-banded, MinHash-LSH, n-gram
+Jaccard, embedding-cosine.
+
+Reference semantics (/root/reference/Make_Page/rcc.cpp:146-202): a document
+is dropped if its simhash is an exact repeat or within hamming<=3 of a
+previously kept doc (file order). That greedy sequential scan is O(n^2) and
+order-dependent; our rule is the deterministic parallel analog: a doc is
+dropped iff a *smaller doc_id* exists within the similarity threshold
+("lowest doc_id wins", SURVEY.md §2.9.6). On duplicate chains the greedy
+and parallel rules can differ (greedy re-admits a doc whose only near
+neighbor was itself dropped); we accept the parallel rule as the defined
+semantics — it is deterministic, one shuffle, and scale-stable.
+
+Every candidate generator here is a banded equi-join (LSH family), never an
+all-pairs join: simhash bands (pigeonhole over hamming), minhash band
+hashes (Jaccard), winnowing fingerprints, SRP bands for cosine. At 100 TB
+the only all-pairs work ever done is within tiny equal-band buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_signatures, simhash_bands, token_shingles
+from ..functions.tokenize import IDENT_RE, tokens
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(content_hash, keep_id, n_copies) — groups with n_copies > 1.
+
+    Exact dedup = hash-groupBy on sha256(text); lowest doc_id survives.
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """docs with exact duplicates removed (lowest doc_id kept)."""
+    w_keep = (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(w_keep, id_col, "left_semi")
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """(doc_id, doc_id_2, hamming) pairs within the hamming threshold.
+
+    Banded self-join: each fingerprint explodes into n_bands (band_idx,
+    band_val) keys; pairs sharing a band are verified with bit_count(xor).
+    Complete for hamming <= n_bands-1 by pigeonhole. doc_id < doc_id_2.
+    """
+    a = simhash_bands(fingerprints.select("doc_id", "simhash"), n_bands=n_bands)
+    b = (
+        a.select(
+            F.col("doc_id").alias("doc_id_2"),
+            F.col("simhash").alias("simhash_2"),
+            "band_idx",
+            "band_val",
+        )
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_id") < F.col("doc_id_2"))
+        .select(
+            "doc_id",
+            "doc_id_2",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash_2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def dedup_by_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop every doc that has a similar neighbor with a smaller id."""
+    losers = pairs.select(F.col("doc_id_2").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, doc_id_2, est_jaccard) near-dup pairs via MinHash-LSH.
+
+    shingle -> 64 minhashes -> 16 bands x 4 rows -> band-hash equi-join ->
+    signature-estimated Jaccard filter. The estimate (fraction of equal
+    minhashes) is the standard unbiased estimator.
+    """
+    rows_per_band = num_hashes // bands
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    sigs = minhash_signatures(token_shingles(toks, n=shingle_n), num_hashes)
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", "sig", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    other = banded.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("sig").alias("sig_2"),
+        "band_idx",
+        "band_hash",
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig", "sig_2", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        banded.join(other, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") < F.col("doc_id_2"))
+        .select("doc_id", "doc_id_2", "sig", "sig_2")
+        .distinct()
+        .select("doc_id", "doc_id_2", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, doc_id_2, jaccard) — EXACT n-gram Jaccard similar pairs.
+
+    Shuffle shape: explode shingles -> equi-join on shingle -> count
+    intersections per pair -> |A|+|B|-|∩| union. Exact but quadratic in a
+    shingle's doc list — at scale use minhash_lsh_pairs; this operator is
+    the oracle-checkable exact variant (and the verifier for LSH recall).
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    sh = token_shingles(toks, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    other = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    inter = (
+        sh.join(other, "shingle")
+        .filter(F.col("doc_id") < F.col("doc_id_2"))
+        .groupBy("doc_id", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("n_sh").alias("n_sh_2")),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id",
+            "doc_id_2",
+            (
+                F.col("n_inter")
+                / (F.col("n_sh") + F.col("n_sh_2") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
