@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, "extras": {...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32)  -> master local[N] + shuffle partitions,
+     BENCH_CORPUS_DOCS  (default 20000) -> synthetic corpus size for the
+                                           index-build phase.
+
+Phases: synthetic corpus gen + doc_id minting, full inverted-index build
+(resumable pipeline), compressed BM25 queries (AND/OR, warm index), dedup
+(MinHash-LSH + SimHash banded), ANN cosine, generic SQL ops at the sf dir.
+The scaling harness (scripts/run_scaling.py) runs this file at two
+parallelism levels and derives throughput scaling efficiency from
+extras.index_docs_per_sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_corpus = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.operators.ann import cosine_topk
+    from searchenginer_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+    from searchenginer_spark.functions.hashing import simhash, tfidf_top_keywords
+    from searchenginer_spark.plans.bm25_dataframe import Bm25DataFrameIndex
+    from searchenginer_spark.plans.build_index import build_index, open_index
+    from searchenginer_spark.session import get_spark
+    from searchenginer_spark.sources.corpus import build_docs
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {"cpus": cpus, "corpus_docs": n_corpus}
+
+    def timed(name: str, fn):
+        t = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t, 3)
+        return out
+
+    # ---- corpus generation + doc_id minting --------------------------------
+    root = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        def _corpus():
+            d = build_docs(spark, n_corpus, seed=42, num_partitions=cpus).persist()
+            d.count()
+            return d
+
+        docs = timed("corpus_build", _corpus)
+
+        # ---- inverted index build (the north-rule job) ---------------------
+        # docs_per_part is a property of the DATA, not the cluster size —
+        # keep it identical across scaling runs so the job is the same job
+        summary = timed(
+            "index_build",
+            lambda: build_index(docs, root, docs_per_part=max(256, n_corpus // 64)),
+        )
+        extras["index_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
+        extras["index_parts"] = summary["parts_total"]
+
+        # ---- BM25 queries over the compressed index (warm) -----------------
+        idx = open_index(spark, root)
+        idx.postings = idx.postings.persist()
+        idx.term_dict = idx.term_dict.persist()
+        idx.search("int return", k=10).collect()  # warmup / cache fill
+
+        bm25_queries = {
+            "bm25_and_hot": ("int return value", "and"),
+            "bm25_and_mixed": ("def id42 result", "and"),
+            "bm25_or_hot": ("for while void", "or"),
+            "bm25_or_rare": ("id1729 id999 self", "or"),
+        }
+        lat = []
+        for name, (q, mode) in bm25_queries.items():
+            t = time.monotonic()
+            idx.search(q, k=10, mode=mode).collect()
+            dt = time.monotonic() - t
+            timings[name] = round(dt, 3)
+            lat.append(dt)
+        lat.sort()
+        extras["bm25_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+
+        # ---- dedup over the synthetic corpus -------------------------------
+        ddocs = docs.select("doc_id", F.col("content").alias("text"))
+        timed(
+            "dedup_minhash_lsh",
+            lambda: minhash_lsh_pairs(ddocs, threshold=0.7).count(),
+        )
+
+        def _simhash_pairs():
+            i = Bm25DataFrameIndex.build(ddocs, text_col="text", persist=False)
+            kw = tfidf_top_keywords(i.tf, i.dft, i.stats, top_n=20)
+            return simhash_near_pairs(simhash(kw), max_hamming=3).count()
+
+        timed("dedup_simhash", _simhash_pairs)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # ---- generic operators at the sf dir -----------------------------------
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    timed("ann_cosine_topk", lambda: cosine_topk(emb, qvec, k=10).collect())
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed(
+        "tpch_pricing_summary",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .collect(),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    timed(
+        "top_customers",
+        lambda: o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total_spent"))
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .orderBy(F.desc("total_spent"))
+        .limit(20)
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_and_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

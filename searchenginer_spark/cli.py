@@ -1,0 +1,98 @@
+"""spark-submit entry points.
+
+On a cluster:  spark-submit --py-files searchenginer_spark.zip -m ... or
+               spark-submit cli.py <command> [args]
+Commands:
+  gen-corpus  --n 100000 --out /path            synthetic corpus table
+  build-index --corpus /path --root /idx        (resumable; re-run to resume)
+  query       --root /idx --q "int return" --k 10 --mode and
+  suggest     --root /idx --q "retrun"
+  bench       (same as bench.py)
+
+The reference's equivalents are the makepage/MakeDictTool binaries and the
+SRPC services (/root/reference/Make_Page/main.cpp, srpc/*); query/suggest
+here are batch jobs rather than RPC servers — the engine's output is a
+DataFrame, and serving is out of scope per SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="searchenginer_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus")
+    g.add_argument("--n", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+
+    b = sub.add_parser("build-index")
+    b.add_argument("--corpus", help="existing corpus parquet (repo,path,commit,lang,content)")
+    b.add_argument("--n", type=int, help="...or generate n synthetic docs")
+    b.add_argument("--root", required=True)
+    b.add_argument("--docs-per-part", type=int, default=1 << 16)
+
+    q = sub.add_parser("query")
+    q.add_argument("--root", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["and", "or"], default="and")
+
+    s = sub.add_parser("suggest")
+    s.add_argument("--root", required=True)
+    s.add_argument("--q", required=True)
+    s.add_argument("--k", type=int, default=10)
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark(f"cli-{args.cmd}")
+
+    if args.cmd == "gen-corpus":
+        from .sources.corpus import generate_corpus
+
+        generate_corpus(spark, args.n, args.seed).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "n": args.n}))
+
+    elif args.cmd == "build-index":
+        from .plans.build_index import build_index
+        from .sources.corpus import build_docs, mint_doc_ids
+
+        if args.corpus:
+            docs = mint_doc_ids(spark.read.parquet(args.corpus))
+        elif args.n:
+            docs = build_docs(spark, args.n)
+        else:
+            ap.error("need --corpus or --n")
+        summary = build_index(docs, args.root, docs_per_part=args.docs_per_part)
+        print(json.dumps(summary))
+
+    elif args.cmd == "query":
+        from .plans.build_index import open_index
+
+        idx = open_index(spark, args.root)
+        rows = idx.search(args.q, k=args.k, mode=args.mode).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+
+    elif args.cmd == "suggest":
+        from .operators.suggest import suggest
+
+        term_dict = spark.read.parquet(f"{args.root}/term_dict")
+        rows = suggest(term_dict, args.q, k=args.k).collect()
+        print(json.dumps([{"term": r["term"], "sim": r["sim"]} for r in rows]))
+
+    if owned:  # don't stop a session we merely joined
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -92,22 +92,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures from (doc_id, shingle).
 
-    h_j(s) = xxhash64(s, j); sig[j] = min over shingles. Implemented as one
-    explode x seeds cross join + min aggregate — all JVM.
+    h_j(s) = xxhash64(s, j); sig[j] = min over shingles. Implemented as
+    num_hashes parallel MIN aggregates in ONE hash-aggregate pass (partial
+    aggregation + codegen) — no seed cross-join, so the shingle rows are
+    never multiplied by num_hashes (a 64x shuffle-volume saving at scale).
     """
-    spark = doc_shingles.sparkSession
-    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    # hash the (possibly long) shingle string ONCE, then derive the
+    # num_hashes family by mixing the 64-bit value with each seed — string
+    # hashing is the expensive part, long+seed mixing is a few instructions
+    pre = doc_shingles.select("doc_id", F.xxhash64("shingle").alias("_sh"))
+    mins = [
+        F.min(F.xxhash64("_sh", F.lit(j))).alias(f"_h{j}")
+        for j in range(num_hashes)
+    ]
     return (
-        doc_shingles.crossJoin(F.broadcast(seeds))
-        .select("doc_id", "seed", F.xxhash64("shingle", "seed").alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                lambda s: s["minh"],
-            ).alias("sig")
+        pre.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("sig"),
         )
     )
 

@@ -71,6 +71,31 @@ def tokens_pandas_udf():
     return _tok
 
 
+def cjk_tokens(col: Column | str) -> Column:
+    """CJK-aware tokenizer: identifier runs for Latin text + overlapping
+    CJK character bigrams (the standard dictionary-free CJK indexing
+    fallback when a segmenter like the reference's cppjieba is unavailable;
+    jieba would plug in as a pandas UDF where available).
+
+    JVM-side: extracts identifier runs and CJK runs in one pass, then
+    expands each CJK run into bigrams with `transform` over a `sequence`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = "[A-Za-z_][A-Za-z0-9_]*|[\\u4e00-\\u9fff]+"
+    runs = F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0))
+
+    def expand(run):
+        is_cjk = run.rlike("^[\\u4e00-\\u9fff]+$")
+        n = F.length(run)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: run.substr(i, F.least(F.lit(2), n - i + 1)),
+        )
+        return F.when(is_cjk & (n >= 2), bigrams).otherwise(F.array(run))
+
+    return F.flatten(F.transform(runs, expand))
+
+
 def codepoints_pandas_udf():
     """Split into unicode codepoints (reference UTF-8 query char split,
     srpc/WordSearch/server.pb_skeleton.cc:23-46). Python str iteration is

@@ -66,6 +66,15 @@ def _done_parts(spark: SparkSession, paths: IndexPaths) -> set[int]:
         return set()
 
 
+def _table_ready(spark: SparkSession, path: str) -> bool:
+    """True iff a committed write exists at ``path`` (_SUCCESS marker) —
+    works on any Hadoop filesystem, not just local."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def build_index(
     docs: DataFrame,
     root: str,
@@ -87,39 +96,70 @@ def build_index(
 
     docs = docs.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
 
-    # -- stage 1: docs + dictionary (cheap, deterministic, idempotent) -----
-    docs.write.mode("overwrite").partitionBy("part").parquet(paths.docs)
-    docs = spark.read.parquet(paths.docs)
+    # -- stage 1: docs + dictionary — written once, reused on resume --------
+    # (pure functions of the immutable input; _SUCCESS marker gates reuse)
+    fresh_docs = not _table_ready(spark, paths.docs)
+    writer = None
+    if fresh_docs:
+        # submit the docs write as a CONCURRENT job: it shares the scan of
+        # `docs` with the stats jobs below but is otherwise independent, so
+        # overlapping them removes it from the serial critical path
+        import threading
 
-    tf = S.term_frequencies(docs, text_col=text_col).persist()
-    dl = S.doc_lengths(tf)
-    dft = S.document_frequencies(tf)
-    term_dict = build_term_dict(dft)
-    term_dict.write.mode("overwrite").parquet(paths.term_dict)
+        _werr: list[BaseException] = []
+
+        def _write_docs():
+            try:
+                docs.write.mode("overwrite").partitionBy("part").parquet(paths.docs)
+            except BaseException as e:  # surfaced after join()
+                _werr.append(e)
+
+        writer = threading.Thread(target=_write_docs)
+        writer.start()
+
+    tf = None
+    if not (_table_ready(spark, paths.term_dict) and _table_ready(spark, paths.stats)):
+        # stats read the in-memory input directly — identical rows to what
+        # the writer thread is persisting (both derive from `docs`)
+        tf = S.term_frequencies(docs, text_col=text_col).persist()
+        dl = S.doc_lengths(tf)
+        build_term_dict(S.document_frequencies(tf)).write.mode("overwrite").parquet(
+            paths.term_dict
+        )
+        S.corpus_stats(dl).write.mode("overwrite").parquet(paths.stats)
+    if writer is not None:
+        writer.join()
+        if _werr:
+            raise _werr[0]
+    docs = spark.read.parquet(paths.docs)
     term_dict = spark.read.parquet(paths.term_dict)
-    stats = S.corpus_stats(dl)
-    stats.write.mode("overwrite").parquet(paths.stats)
     stats = spark.read.parquet(paths.stats)
 
     # -- stage 2: postings for pending parts only ---------------------------
-    all_parts = sorted(
-        r["part"] for r in docs.select("part").distinct().collect()
-    )
+    # partition-column listing only; no data scan
+    all_parts = sorted(r["part"] for r in docs.select("part").distinct().collect())
     done = _done_parts(spark, paths)
     pending = [p for p in all_parts if p not in done]
     if max_parts is not None:
         pending = pending[:max_parts]
 
     built = 0
+    n_docs_total = -1
     if pending:
         build_id = uuid.uuid4().hex[:12]
         pend_docs = docs.filter(F.col("part").isin(pending))
-        # part is a pure function of doc_id — filter beats a semi-join
-        pend_tf = tf.filter(
-            (F.col("doc_id") / docs_per_part).cast("int").isin(pending)
-        )
+        if tf is None:
+            # resume: recompute tf for pending parts only (df/avgdl are
+            # already frozen in term_dict/stats from the first run)
+            pend_tf = S.term_frequencies(pend_docs, text_col=text_col)
+        else:
+            # part is a pure function of doc_id — filter beats a semi-join
+            pend_tf = tf.filter(
+                (F.col("doc_id") / docs_per_part).cast("int").isin(pending)
+            )
+        pend_dl = S.doc_lengths(pend_tf)
         t1 = time.monotonic()
-        postings = build_postings(pend_tf, dl, term_dict, stats, docs_per_part)
+        postings = build_postings(pend_tf, pend_dl, term_dict, stats, docs_per_part)
         postings.write.mode("overwrite").partitionBy("part").parquet(paths.postings)
         wall_ms = int((time.monotonic() - t1) * 1000)
 
@@ -160,7 +200,8 @@ def build_index(
         metrics.write.mode("append").parquet(paths.metrics)
         built = len(pending)
 
-    tf.unpersist()
+    if tf is not None:
+        tf.unpersist()
     return {
         "n_docs": docs.count(),
         "parts_total": len(all_parts),

@@ -93,35 +93,66 @@ def _content_for(ids: np.ndarray, seed: int) -> list[str]:
     return out
 
 
+def _content_udf(seed: int):
+    @pandas_udf("string")
+    def content_udf(ids: pd.Series) -> pd.Series:
+        return pd.Series(_content_for(ids.to_numpy(), seed))
+
+    return content_udf
+
+
+def corpus_meta(spark: SparkSession, n_docs: int) -> DataFrame:
+    """(_i, repo, path, commit, lang) — metadata only, pure column math."""
+    df = spark.range(n_docs).withColumnRenamed("id", "_i")
+    ext = F.element_at(F.array(*[F.lit(e) for e in EXTS]), (F.col("_i") % 5 + 1).cast("int"))
+    lang = F.element_at(
+        F.array(*[F.lit(LANGS[e]) for e in EXTS]), (F.col("_i") % 5 + 1).cast("int")
+    )
+    repo = F.concat(F.lit("org"), F.col("_i") % 7, F.lit("/repo"), F.col("_i") % 23)
+    path = F.concat(
+        F.lit("src/d"), (F.col("_i") / 50).cast("long"), F.lit("/f"), F.col("_i"),
+        F.lit("."), ext,
+    )
+    return df.select(
+        "_i", repo.alias("repo"), path.alias("path"), lang.alias("lang")
+    ).withColumn("commit", F.substring(F.sha2(F.concat_ws(":", "repo", "path"), 256), 1, 40))
+
+
 def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     """corpus(repo, path, commit, lang, content) — deterministic, Spark-side."""
     from ..deploy import ship_package
 
     ship_package(spark)
-
-    @pandas_udf("string")
-    def content_udf(ids: pd.Series) -> pd.Series:
-        return pd.Series(_content_for(ids.to_numpy(), seed))
-
-    df = spark.range(n_docs).withColumnRenamed("id", "i")
-    ext = F.element_at(F.array(*[F.lit(e) for e in EXTS]), (F.col("i") % 5 + 1).cast("int"))
-    lang = F.element_at(
-        F.array(*[F.lit(LANGS[e]) for e in EXTS]), (F.col("i") % 5 + 1).cast("int")
+    return corpus_meta(spark, n_docs).select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        _content_udf(seed)(F.col("_i")).alias("content"),
     )
-    repo = F.concat(F.lit("org"), F.col("i") % 7, F.lit("/repo"), F.col("i") % 23)
-    path = F.concat(
-        F.lit("src/d"), (F.col("i") / 50).cast("long"), F.lit("/f"), F.col("i"),
-        F.lit("."), ext,
-    )
+
+
+def build_docs(
+    spark: SparkSession, n_docs: int, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
+    """docs(doc_id, repo, path, commit, lang, content, content_sha256).
+
+    Mints doc_ids over the *metadata-only* corpus (small rows shuffle through
+    the rank assignment), then synthesizes content afterwards — at scale you
+    never want the heavy content column riding through a range-repartition
+    it doesn't influence.
+    """
+    from ..deploy import ship_package
+    from ..operators.ids import assign_sequential_ids
+
+    ship_package(spark)
+    meta = corpus_meta(spark, n_docs)
+    minted = assign_sequential_ids(meta, ["repo", "path"], "doc_id", num_partitions)
     return (
-        df.select(
-            repo.alias("repo"),
-            path.alias("path"),
-            lang.alias("lang"),
-            content_udf(F.col("i")).alias("content"),
-        )
-        .withColumn("commit", F.substring(F.sha2(F.concat_ws(":", "repo", "path"), 256), 1, 40))
-        .select("repo", "path", "commit", "lang", "content")
+        minted.withColumn("content", _content_udf(seed)(F.col("_i")))
+        .withColumn("content_sha256", F.sha2("content", 256))
+        .drop("_i")
+        .select("doc_id", "repo", "path", "commit", "lang", "content", "content_sha256")
     )
 
 

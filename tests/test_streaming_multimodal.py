@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginer_spark.functions.multimodal import (
+    extract_image_features,
+    make_fake_media,
+    sample_video_frames,
+)
+from searchenginer_spark.plans.build_index import IndexPaths, build_index, open_index
+from searchenginer_spark.sources.corpus import build_docs
+from searchenginer_spark.streaming.incremental import incremental_index
+from searchenginer_spark.streaming.windows import sessionize, windowed_event_counts
+
+
+def test_incremental_index_equivalent_results(spark, tmp_path_factory):
+    """Stream-fold two doc chunks -> AND/OR queries return the same doc sets
+    as a batch build over the union (scores may differ: stats staleness)."""
+    base = str(tmp_path_factory.mktemp("inc"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+
+    docs = build_docs(spark, 300, seed=42, num_partitions=4).persist()
+    d1 = docs.filter(F.col("doc_id") < 200)
+    d2 = docs.filter(F.col("doc_id") >= 200)
+
+    d1.write.mode("append").parquet(input_dir)
+    incremental_index(spark, input_dir, root, ckpt, docs_per_part=64)
+    idx = open_index(spark, root)
+    n1 = idx.search("int return", k=50, mode="and").count()
+    assert n1 > 0
+
+    d2.write.mode("append").parquet(input_dir)
+    incremental_index(spark, input_dir, root, ckpt, docs_per_part=64)
+    idx = open_index(spark, root)
+    got = {r["doc_id"] for r in idx.search("int return", k=500, mode="and").collect()}
+
+    ref_root = str(tmp_path_factory.mktemp("inc_ref"))
+    build_index(docs, ref_root, docs_per_part=64)
+    want = {
+        r["doc_id"]
+        for r in open_index(spark, ref_root).search("int return", k=500, mode="and").collect()
+    }
+    assert got == want
+
+    # exactly-once: re-running with no new files changes nothing
+    before = spark.read.parquet(IndexPaths(root).postings).count()
+    incremental_index(spark, input_dir, root, ckpt, docs_per_part=64)
+    assert spark.read.parquet(IndexPaths(root).postings).count() == before
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path_factory):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermark needs TIMESTAMP, not NTZ
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+    batch = windowed_event_counts(events, window="1 hour")
+    # append mode only emits windows the watermark has passed; with a 0s
+    # delay that is every window ending at or before max event time
+    want = sorted(
+        tuple(r) for r in batch.filter(F.col("window_end") <= F.lit(max_ts)).collect()
+    )
+
+    # same aggregation through the streaming engine (availableNow drain)
+    base = str(tmp_path_factory.mktemp("evstream"))
+    events.write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(events.schema).parquet(f"{base}/in").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="0 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(f"{base}/out").collect())
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sessionize_batch(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 1.0),
+        (1, "2024-01-01 01:30:00", 1.0),  # new session (gap > 30m)
+        (2, "2024-01-01 00:05:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(df, gap="30 minutes").orderBy("user_id", "session_start").collect()
+    assert [(r["user_id"], r["n_events"]) for r in out] == [(1, 2), (1, 1), (2, 1)]
+
+
+def test_image_features_plumbing(spark):
+    media = make_fake_media(spark, n=60)
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 20  # every 3rd row is an image
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-5  # normalized histogram
+    # deterministic across runs
+    again = extract_image_features(make_fake_media(spark, n=60)).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))
+
+
+def test_video_frame_sampling(spark):
+    media = make_fake_media(spark, n=60)
+    frames = sample_video_frames(media, every_n=5).collect()
+    assert len(frames) > 0
+    by_doc: dict[int, list[int]] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for doc, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, 5))
+        assert all(i % 5 == 0 for i in idxs)
+
+
+def test_real_decoder_raises(spark):
+    media = make_fake_media(spark, n=6)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        extract_image_features(media, decoder="real").collect()
