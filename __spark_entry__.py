@@ -310,6 +310,49 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_supplier_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window-function operator demo: top-3 suppliers per nation by balance."""
+    from pyspark.sql import Window
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("s_nationkey", "s_suppkey", F.round("s_acctbal", 2).alias("bal"), "rk")
+    )
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup aggregation demo over events (grouping sets)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n", "sum_value"
+        )
+    )
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k over a positions-enabled compressed index; oracle
+    reproduces the adjacency check in SQL over posexploded tokens."""
+    from searchenginer_spark.operators import stats as S
+
+    d = _docs(spark, sf_dir)
+    tf = S.term_frequencies(d, text_col="text", with_positions=True)
+    dl = S.doc_lengths(tf)
+    dft = S.document_frequencies(tf)
+    st = S.corpus_stats(dl)
+    td = build_term_dict(dft)
+    postings = build_postings(tf, dl, td, st, docs_per_part=128)
+    idx = Bm25CompressedIndex(spark, postings, td)
+    return idx.search_phrase("merge part", k=100, round_to=4).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_and_topk": _q_bm25_and,
@@ -334,6 +377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "top_customers_by_revenue": _q_top_customers,
         "events_hourly_agg": _q_events_hourly,
+        "supplier_rank_window": _q_supplier_rank_window,
+        "events_rollup": _q_events_rollup,
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -489,5 +535,28 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour, event_type
 LIMIT 200
+""",
+        "supplier_rank_window": """
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS bal, rk FROM (
+  SELECT s_nationkey, s_suppkey, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rk
+  FROM supplier
+) WHERE rk <= 3
+""",
+        "events_rollup": """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY ROLLUP(event_type)
+""",
+        "phrase_search": """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks
+  FROM documents
+)
+SELECT doc_id FROM tk
+WHERE list_contains(
+  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+  'merge part')
 """,
     }

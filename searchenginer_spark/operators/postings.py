@@ -57,11 +57,19 @@ POSTING_COLS = [
     "block_last", "block_max", "block_doc_off", "block_tf_off",
 ]
 
+#: positions variant: one extra binary column — concat over postings of
+#: varbyte(delta(token positions)); per-posting slicing derives from the tf
+#: counts (posting i holds tf_i values). Kept as the LAST column so plans
+#: that don't need positions prune it at the parquet scan (SURVEY §7.4.4).
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", positions binary"
+
 
 def scored_postings(
     tf: DataFrame, dl: DataFrame, term_dict: DataFrame, stats: DataFrame
 ) -> DataFrame:
-    """(term_id, doc_id, tf, score) — per-posting BM25 impact, JVM column math."""
+    """(term_id, doc_id, tf[, positions], score) — per-posting BM25 impact,
+    JVM column math."""
+    extra = ["positions"] if "positions" in tf.columns else []
     return (
         tf.join(term_dict.select("term", "term_id", "df"), "term")
         .join(dl, "doc_id")
@@ -70,6 +78,7 @@ def scored_postings(
             "term_id",
             "doc_id",
             "tf",
+            *extra,
             (
                 bm25_idf(F.col("n_docs"), F.col("df"))
                 * bm25_tf_norm(F.col("tf"), F.col("dl"), F.col("avgdl"))
@@ -92,6 +101,27 @@ def _encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
     tfv = pdf["tf"].to_numpy()[order].astype(np.uint64)
     sc = pdf["score"].to_numpy()[order].astype(np.float64)
     n_all = len(tid)
+
+    with_pos = "positions" in pdf.columns
+    if with_pos:
+        pos_lists = pdf["positions"].to_numpy()[order]
+        flat_pos = (
+            np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_lists])
+            if n_all
+            else np.empty(0, dtype=np.uint64)
+        )
+        # delta within each posting's position list (first value absolute)
+        counts = tfv.astype(np.int64)
+        pstarts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pdeltas = flat_pos.copy()
+        if flat_pos.size > 1:
+            pdeltas[1:] = flat_pos[1:] - flat_pos[:-1]
+        pdeltas[pstarts] = flat_pos[pstarts] if flat_pos.size else pdeltas[pstarts]
+        pos_bytes, pos_lens = varbyte_encode_raw(pdeltas)
+        # byte offset of each POSTING's position run
+        pos_byte_off = np.concatenate(([0], np.cumsum(pos_lens)))
+        posting_pos_off = pos_byte_off[pstarts]
+        posting_pos_end = pos_byte_off[np.cumsum(counts)]
 
     gstart = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
     gend = np.concatenate((gstart[1:], [n_all]))
@@ -116,21 +146,25 @@ def _encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
         n = e - s
         bstarts = np.arange(s, e, BLOCK)
         bends = np.minimum(bstarts + BLOCK, e)
-        rows.append(
-            (
-                int(tid[s]),
-                part,
-                n,
-                doc_bytes[doc_off[s] : doc_off[e]].tobytes(),
-                tf_bytes[tf_off[s] : tf_off[e]].tobytes(),
-                sc[s:e].tobytes(),
-                did[bends - 1].tolist(),
-                np.maximum.reduceat(sc[s:e], bstarts - s).tolist(),
-                (doc_off[bstarts] - doc_off[s]).tolist(),
-                (tf_off[bstarts] - tf_off[s]).tolist(),
-            )
+        row = (
+            int(tid[s]),
+            part,
+            n,
+            doc_bytes[doc_off[s] : doc_off[e]].tobytes(),
+            tf_bytes[tf_off[s] : tf_off[e]].tobytes(),
+            sc[s:e].tobytes(),
+            did[bends - 1].tolist(),
+            np.maximum.reduceat(sc[s:e], bstarts - s).tolist(),
+            (doc_off[bstarts] - doc_off[s]).tolist(),
+            (tf_off[bstarts] - tf_off[s]).tolist(),
         )
-    return pd.DataFrame(rows, columns=POSTING_COLS)
+        if with_pos:
+            row = row + (
+                pos_bytes[posting_pos_off[s] : posting_pos_end[e - 1]].tobytes(),
+            )
+        rows.append(row)
+    cols = POSTING_COLS + (["positions"] if with_pos else [])
+    return pd.DataFrame(rows, columns=cols)
 
 
 def build_postings(
@@ -153,7 +187,8 @@ def build_postings(
     sp = scored_postings(tf, dl, term_dict, stats).withColumn(
         "part", (F.col("doc_id") / F.lit(docs_per_part)).cast("int")
     )
-    return sp.groupBy("part").applyInPandas(_encode_part, schema=POSTINGS_SCHEMA)
+    schema = POSTINGS_POS_SCHEMA if "positions" in tf.columns else POSTINGS_SCHEMA
+    return sp.groupBy("part").applyInPandas(_encode_part, schema=schema)
 
 
 # ------------------------------------------------------------------- decode
@@ -200,3 +235,21 @@ def decode_scores(scores: bytes) -> np.ndarray:
 
 def decode_tfs(tfs: bytes) -> np.ndarray:
     return varbyte_decode(tfs).astype(np.int64)
+
+
+def decode_positions(positions: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Decode a row's positions blob into one sorted array per posting.
+
+    Posting i holds tfs[i] values (delta-encoded, first absolute), so the
+    split points fall at cumsum(tfs) — no per-posting offsets are stored.
+    """
+    flat = varbyte_decode(positions)
+    counts = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    cs = np.cumsum(flat, dtype=np.uint64)
+    base = np.zeros(len(counts), dtype=np.uint64)
+    nz = counts > 0
+    base[nz] = cs[starts[nz]] - flat[starts[nz]]
+    out_flat = cs - np.repeat(base, counts)
+    ends = np.cumsum(counts)
+    return [out_flat[s:e].astype(np.int64) for s, e in zip(starts, ends)]

@@ -35,11 +35,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import re
+
 from ..functions.tokenize import IDENT_RE
 from ..operators.postings import (
     decode_blocks,
     decode_doc_ids,
+    decode_positions,
     decode_scores,
+    decode_tfs,
 )
 from .bm25_dataframe import tokenize_query
 
@@ -137,6 +141,51 @@ def _score_part_or(groups: list, qtf: dict, k: int):
     return cand[order].tolist(), score[order].tolist()
 
 
+def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int):
+    """Exact-phrase scoring for one part: conjunctive intersection, then
+    positional adjacency verification (slot i's term must appear at
+    position p+i for some p). groups must carry the `positions` column.
+
+    Returns top-k (doc_ids, scores) where score is the BM25 sum over the
+    phrase's distinct terms (qtf weights included)."""
+    by_tid = {g["term_id"]: g for g in groups}
+    if any(t not in by_tid for t in slots):
+        return [], []
+    distinct = list(dict.fromkeys(slots))
+    docs_by_tid = {}
+    pos_by_tid = {}
+    score_by_tid = {}
+    for t in distinct:
+        g = by_tid[t]
+        ids = decode_doc_ids(g["docs"], g["n"])
+        docs_by_tid[t] = ids
+        tfs = decode_tfs(g["tfs"])
+        pos_by_tid[t] = decode_positions(g["positions"], tfs)
+        score_by_tid[t] = decode_scores(g["scores"])
+    # conjunctive candidates
+    cand = docs_by_tid[distinct[0]]
+    for t in distinct[1:]:
+        cand = cand[np.isin(cand, docs_by_tid[t], assume_unique=True)]
+    out_ids, out_scores = [], []
+    for d in cand.tolist():
+        idxs = {t: int(np.searchsorted(docs_by_tid[t], d)) for t in distinct}
+        p = pos_by_tid[slots[0]][idxs[slots[0]]].astype(np.int64)
+        ok = p
+        for i, t in enumerate(slots[1:], start=1):
+            nxt = pos_by_tid[t][idxs[t]].astype(np.int64) - i
+            ok = ok[np.isin(ok, nxt, assume_unique=True)]
+            if ok.size == 0:
+                break
+        if ok.size:
+            score = sum(
+                qtf[t] * float(score_by_tid[t][idxs[t]]) for t in distinct
+            )
+            out_ids.append(d)
+            out_scores.append(score)
+    order = sorted(range(len(out_ids)), key=lambda i: (-out_scores[i], out_ids[i]))[:k]
+    return [out_ids[i] for i in order], [out_scores[i] for i in order]
+
+
 class Bm25CompressedIndex:
     """Query engine over (postings, term_dict) tables."""
 
@@ -181,6 +230,45 @@ class Bm25CompressedIndex:
                 docs, scores = _score_part_and(groups, qtf, n_terms, k)
             else:
                 docs, scores = _score_part_or(groups, qtf, k)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        scored = cand.groupBy("part").applyInPandas(
+            score_part, schema="doc_id long, score double"
+        )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        pattern: str = IDENT_RE,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Exact-phrase top-k: all terms adjacent and in order.
+
+        Requires a positions-enabled index (build_postings over a
+        positions-carrying tf table); the ``positions`` column is read only
+        by this path — non-phrase queries never scan it (column pruning).
+        """
+        toks = re.findall(pattern, phrase.lower())
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not toks:
+            return empty
+        tid = self.lookup_terms(sorted(set(toks)))
+        if len(tid) < len(set(toks)):
+            return empty
+        slots = [tid[t] for t in toks]
+        qtf = {tid[t]: float(c) for t, c in tokenize_query(phrase, pattern)}
+
+        cand = self.postings.filter(F.col("term_id").isin(list(set(slots))))
+
+        def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            docs, scores = _score_part_phrase(pdf.to_dict("records"), slots, qtf, k)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         scored = cand.groupBy("part").applyInPandas(

@@ -81,6 +81,7 @@ def build_index(
     docs_per_part: int = 1 << 16,
     text_col: str = "content",
     max_parts: int | None = None,
+    with_positions: bool = False,
 ) -> dict:
     """Build (or resume) the full index for ``docs(doc_id, <text_col>, ...)``.
 
@@ -121,7 +122,9 @@ def build_index(
     if not (_table_ready(spark, paths.term_dict) and _table_ready(spark, paths.stats)):
         # stats read the in-memory input directly — identical rows to what
         # the writer thread is persisting (both derive from `docs`)
-        tf = S.term_frequencies(docs, text_col=text_col).persist()
+        tf = S.term_frequencies(
+            docs, text_col=text_col, with_positions=with_positions
+        ).persist()
         dl = S.doc_lengths(tf)
         build_term_dict(S.document_frequencies(tf)).write.mode("overwrite").parquet(
             paths.term_dict
@@ -151,7 +154,9 @@ def build_index(
         if tf is None:
             # resume: recompute tf for pending parts only (df/avgdl are
             # already frozen in term_dict/stats from the first run)
-            pend_tf = S.term_frequencies(pend_docs, text_col=text_col)
+            pend_tf = S.term_frequencies(
+                pend_docs, text_col=text_col, with_positions=with_positions
+            )
         else:
             # part is a pure function of doc_id — filter beats a semi-join
             pend_tf = tf.filter(
