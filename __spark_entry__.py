@@ -139,6 +139,16 @@ def _q_bm25_compressed_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cindex(spark, sf_dir).search("spark merge window", k=10, mode="or", round_to=4)
 
 
+_BATCH_QUERIES = {"q1": "query data", "q2": "spark merge window", "q3": "the fast"}
+
+
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query scoring: one job for the whole query set."""
+    return _cindex(spark, sf_dir).search_batch(
+        _BATCH_QUERIES, k=10, mode="and", round_to=4
+    )
+
+
 def _q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     return (
@@ -360,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_repeated_term": _q_bm25_repeated_term,
         "bm25_compressed_and_topk": _q_bm25_compressed_and,
         "bm25_compressed_or_topk": _q_bm25_compressed_or,
+        "bm25_batch_topk": _q_bm25_batch,
         "term_df_stats": _q_term_df_stats,
         "doc_stats": _q_doc_stats,
         "doc_lengths_topk": _q_doc_lengths,
@@ -390,6 +401,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_repeated_term": _bm25_sql("the the fast", "and"),
         "bm25_compressed_and_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_compressed_or_topk": _bm25_sql("spark merge window", "or"),
+        "bm25_batch_topk": "\nUNION ALL\n".join(
+            f"SELECT '{qid}' AS query_id, * FROM ({_bm25_sql(text, 'and')})"
+            for qid, text in _BATCH_QUERIES.items()
+        ),
         "term_df_stats": f"""
 WITH {_TOKS_CTE}
 SELECT term, df, cf FROM dft ORDER BY df DESC, term LIMIT 50

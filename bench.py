@@ -98,6 +98,17 @@ def main() -> None:
         lat.sort()
         extras["bm25_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
 
+        # batched throughput: 100 queries in one Spark job
+        batch = {
+            f"b{i}": f"id{i * 13 % 2000} {'int' if i % 2 else 'return'} value"
+            for i in range(100)
+        }
+        t = time.monotonic()
+        idx.search_batch(batch, k=10, mode="or").collect()
+        dt = time.monotonic() - t
+        timings["bm25_batch_100"] = round(dt, 3)
+        extras["batch_queries_per_sec"] = round(100 / dt, 1)
+
         # ---- dedup over the synthetic corpus -------------------------------
         ddocs = docs.select("doc_id", F.col("content").alias("text"))
         timed(

@@ -242,6 +242,88 @@ class Bm25CompressedIndex:
             .limit(k)
         )
 
+    def search_batch(
+        self,
+        queries: dict[str, str] | list[str],
+        k: int = 10,
+        mode: str = "and",
+        pattern: str = IDENT_RE,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Score MANY queries in ONE Spark job -> (query_id, doc_id, score).
+
+        The reference serves queries one RPC at a time
+        (srpc/PageSearch/server.pb_skeleton.cc); on Spark the idiomatic
+        high-throughput shape is a batch: the query set joins the postings
+        once, every (part x query) group scores inside the same stage, and
+        a window takes per-query top-k. Fixed job overhead is paid once for
+        the whole batch instead of once per query.
+        """
+        if isinstance(queries, list):
+            queries = {str(i): q for i, q in enumerate(queries)}
+        tokenized = {qid: tokenize_query(text, pattern) for qid, text in queries.items()}
+        # ONE dictionary probe for the union of all query terms
+        tid = self.lookup_terms(
+            sorted({t for terms in tokenized.values() for t, _ in terms})
+        )
+        rows = []
+        qmeta: dict[str, dict] = {}
+        for qid, terms in tokenized.items():
+            matched = [t for t, _ in terms if t in tid]
+            if not terms or (mode == "and" and len(matched) < len(terms)) or not matched:
+                continue  # unmatchable query -> no rows
+            qtf = {tid[t]: float(c) for t, c in terms if t in tid}
+            qmeta[qid] = qtf
+            for t, c in qtf.items():
+                rows.append((qid, t))
+        empty = self.spark.createDataFrame([], "query_id string, doc_id long, score double")
+        if not rows:
+            return empty
+        qdf = self.spark.createDataFrame(rows, "query_id string, term_id long")
+        bmeta = self.spark.sparkContext.broadcast(qmeta)
+        n_by_q = {qid: len(qtf) for qid, qtf in qmeta.items()}
+        all_tids = list({t for qtf in qmeta.values() for t in qtf})
+
+        cand = self.postings.filter(F.col("term_id").isin(all_tids)).join(
+            F.broadcast(qdf), "term_id"
+        )
+
+        def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_q, out_d, out_s = [], [], []
+            for qid, sub in pdf.groupby("query_id", sort=False):
+                qtf = bmeta.value[qid]
+                groups = sub.to_dict("records")
+                if mode == "and":
+                    docs, scores = _score_part_and(groups, qtf, n_by_q[qid], k)
+                else:
+                    docs, scores = _score_part_or(groups, qtf, k)
+                out_q += [qid] * len(docs)
+                out_d += docs
+                out_s += scores
+            return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+        from pyspark.sql import Window
+
+        scored = cand.groupBy("part").applyInPandas(
+            score_part, schema="query_id string, doc_id long, score double"
+        )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.select("query_id", "doc_id", score.alias("score"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+
+    def fetch_docs(self, topk: DataFrame, docs: DataFrame, cols: list[str] | None = None) -> DataFrame:
+        """Join top-k results back to document metadata/content — the Spark
+        form of the reference's content fetch by offset
+        (srpc/PageSearch/server.pb_skeleton.cc:214-241): the k-row result
+        side is broadcast, so the docs table is probed, never shuffled."""
+        sel = docs if cols is None else docs.select("doc_id", *cols)
+        return F.broadcast(topk).join(sel, "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
+
     def search_phrase(
         self,
         phrase: str,

@@ -217,6 +217,30 @@ def build_index(
     }
 
 
+def compact_indexes(
+    spark: SparkSession,
+    roots: list[str],
+    out_root: str,
+    docs_per_part: int = 1 << 16,
+    with_positions: bool = False,
+) -> dict:
+    """Compact several indexes (e.g. a base + incremental deltas) into one.
+
+    Term ids and BM25 stats are index-local, so a correct merge must
+    re-derive df/avgdl/scores over the union — this is the rebuild-style
+    compaction (the incremental path in streaming/incremental.py is the
+    in-place delta fold; this is the periodic consolidation that clears its
+    accumulated idf staleness). Doc ids must be disjoint across inputs.
+    """
+    docs = None
+    for r in roots:
+        d = spark.read.parquet(IndexPaths(r).docs).drop("part")
+        docs = d if docs is None else docs.unionByName(d)
+    return build_index(
+        docs, out_root, docs_per_part=docs_per_part, with_positions=with_positions
+    )
+
+
 def open_index(spark: SparkSession, root: str) -> Bm25CompressedIndex:
     paths = IndexPaths(root)
     return Bm25CompressedIndex(
