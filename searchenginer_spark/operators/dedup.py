@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import minhash_signatures, simhash_bands, token_shingles
-from ..functions.tokenize import IDENT_RE, tokens
+from ..functions.tokenize import tokens
 
 
 def exact_duplicates(
