@@ -363,6 +363,21 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_phrase("merge part", k=100, round_to=4).select("doc_id")
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session_window); oracle = gaps-and-islands SQL."""
+    from searchenginer_spark.streaming.windows import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    s = sessionize(e, gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_and_topk": _q_bm25_and,
@@ -390,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_agg": _q_events_hourly,
         "supplier_rank_window": _q_supplier_rank_window,
         "events_rollup": _q_events_rollup,
+        "events_sessionize": _q_sessionize,
         "phrase_search": _q_phrase_search,
     }
 
@@ -563,6 +579,27 @@ SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS bal, rk FROM (
 SELECT coalesce(event_type, 'ALL') AS event_type,
        count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY ROLLUP(event_type)
+""",
+        "events_sessionize": """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
 """,
         "phrase_search": """
 WITH tk AS (

@@ -42,13 +42,23 @@ def doc_lengths(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
 
 
-def document_frequencies(tf: DataFrame) -> DataFrame:
+def document_frequencies(tf: DataFrame, approximate: bool = False) -> DataFrame:
     """(term, df, cf) — document frequency and collection frequency.
 
     Exact count-distinct is free here because ``tf`` is already grouped by
     (doc_id, term): df = row count per term. Reference computes the same via
     a seen-in-doc set (Make_Page/MakePage.cpp:113-144).
+
+    ``approximate=True`` switches df to a HyperLogLog++ sketch
+    (``approx_count_distinct``, 5% rsd) — the scalable alternative when the
+    pipeline feeds df straight from raw token rows without the pre-grouped
+    tf table (BM25 idf tolerates small df error).
     """
+    if approximate:
+        return tf.groupBy("term").agg(
+            F.approx_count_distinct("doc_id", 0.05).alias("df"),
+            F.sum("tf").alias("cf"),
+        )
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("cf"),

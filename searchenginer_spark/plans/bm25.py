@@ -189,6 +189,11 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int):
 class Bm25CompressedIndex:
     """Query engine over (postings, term_dict) tables."""
 
+    #: term_dicts up to this many rows are collected to the driver once and
+    #: probed in-process (kills one Spark job per query). Web-scale dicts
+    #: exceed it and fall back to per-query filtered probes.
+    DRIVER_DICT_CACHE_MAX = 2_000_000
+
     def __init__(self, spark: SparkSession, postings: DataFrame, term_dict: DataFrame):
         from ..deploy import ship_package
 
@@ -196,8 +201,24 @@ class Bm25CompressedIndex:
         self.spark = spark
         self.postings = postings
         self.term_dict = term_dict
+        self._dict_cache: dict[str, int] | None = None
+        self._dict_cache_checked = False
+
+    def _maybe_cache_dict(self) -> dict[str, int] | None:
+        if not self._dict_cache_checked:
+            self._dict_cache_checked = True
+            n = self.term_dict.count()
+            if n <= self.DRIVER_DICT_CACHE_MAX:
+                self._dict_cache = {
+                    r["term"]: r["term_id"]
+                    for r in self.term_dict.select("term", "term_id").collect()
+                }
+        return self._dict_cache
 
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
+        cache = self._maybe_cache_dict()
+        if cache is not None:
+            return {t: cache[t] for t in terms if t in cache}
         rows = (
             self.term_dict.filter(F.col("term").isin(terms))
             .select("term", "term_id")
