@@ -62,6 +62,52 @@ def cosine_topk(
     )
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+) -> tuple[np.ndarray, DataFrame]:
+    """IVF coarse quantizer: k-means centroids + per-vector list assignment.
+
+    Returns (centroids[n_lists, dim], embeddings + ``list_id``). This is the
+    FAISS IVF structure rebuilt Spark-native: train with pyspark.ml KMeans
+    (distributed Lloyd's), store the inverted lists as a ``list_id``
+    partition/bucket column. At scale the bucketed table is written
+    ``partitionBy('list_id')`` so a probe reads only nprobe partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.withColumn("_fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_fv", predictionCol="list_id")
+    model = km.fit(feat)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(feat).drop("_fv")
+    return centroids, assigned
+
+
+def ivf_topk(
+    bucketed: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe nearest inverted lists, exact
+    cosine inside them (FAISS IVF-Flat search shape,
+    /root/reference/srpc/PageSearch/server.pb_skeleton.cc:288-302 analog)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - qv) ** 2).sum(axis=1)
+    probes = np.argsort(d2)[:nprobe].tolist()
+    cand = bucketed.filter(F.col("list_id").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to)
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic SRP hyperplanes (Gaussian via seeded RNG)."""
     rng = np.random.default_rng(seed)

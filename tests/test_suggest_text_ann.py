@@ -86,6 +86,22 @@ def test_cosine_topk_vs_numpy(embeddings):
     assert got[0] == 0  # self-similarity = 1
 
 
+def test_ivf_recall(embeddings):
+    from searchenginer_spark.operators.ann import ivf_build, ivf_topk
+
+    centroids, bucketed = ivf_build(embeddings, n_lists=8, seed=42)
+    bucketed = bucketed.persist()
+    assert centroids.shape == (8, 64)
+    q = embeddings.limit(1).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(bucketed, centroids, q, k=10, nprobe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4
+    assert approx[0] == 0  # query vector's own list always probed first
+    # every vector landed in exactly one list
+    assert bucketed.count() == embeddings.count()
+
+
 def test_ann_lsh_recall(embeddings):
     rows = embeddings.limit(1).collect()
     q = rows[0]["embedding"]
