@@ -98,6 +98,38 @@ def test_sessionize_batch(spark):
     assert [(r["user_id"], r["n_events"]) for r in out] == [(1, 2), (1, 1), (2, 1)]
 
 
+def test_streaming_dedup_stateful(spark, tmp_path_factory):
+    from searchenginer_spark.streaming.stateful import streaming_dedup
+
+    base = str(tmp_path_factory.mktemp("sdedup"))
+    rows1 = [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")]  # 2 dups 0
+    rows2 = [(5, "alpha beta"), (6, "epsilon zeta"), (7, "gamma delta")]
+    spark.createDataFrame(rows1, "doc_id long, text string").write.mode("append").parquet(f"{base}/in")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(f"{base}/in")
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = {r["doc_id"] for r in spark.read.parquet(f"{base}/out").collect()}
+    assert got1 == {0, 1}  # doc 2 suppressed (same content as 0, lowest id wins)
+
+    # second batch: 5 and 7 are dups of content already emitted -> suppressed
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode("append").parquet(f"{base}/in")
+    drain()
+    got2 = {r["doc_id"] for r in spark.read.parquet(f"{base}/out").collect()}
+    assert got2 == {0, 1, 6}, got2  # state persisted across restarts
+
+
 def test_image_features_plumbing(spark):
     media = make_fake_media(spark, n=60)
     feats = extract_image_features(media).collect()
