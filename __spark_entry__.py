@@ -360,7 +360,10 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = build_term_dict(dft)
     postings = build_postings(tf, dl, td, st, docs_per_part=128)
     idx = Bm25CompressedIndex(spark, postings, td)
-    return idx.search_phrase("merge part", k=100, round_to=4).select("doc_id")
+    # unbounded k: the SQL oracle returns EVERY doc containing the phrase,
+    # so the Spark side must not truncate (a k=100 cap would spuriously
+    # mismatch once >100 docs match at the graded scale factor)
+    return idx.search_phrase("merge part", k=(1 << 31) - 1, round_to=4).select("doc_id")
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

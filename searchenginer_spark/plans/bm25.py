@@ -48,8 +48,13 @@ from ..operators.postings import (
 from .bm25_dataframe import tokenize_query
 
 
-def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int):
-    """Conjunctive scoring for one part. groups: list of posting rows."""
+def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None):
+    """Conjunctive scoring for one part. groups: list of posting rows.
+
+    When ``round_to`` is set, per-part top-k truncation happens on the
+    ROUNDED score (doc_id tie-break) — the same key the global merge sorts
+    by — so a rounded near-tie can never be pruned below a doc it ties with.
+    """
     if len(groups) < n_terms:
         return [], []
     groups = sorted(groups, key=lambda g: g["n"])  # rarest first
@@ -75,6 +80,8 @@ def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int):
             return [], []
         sc = decode_scores(g["scores"])
         cand_score = cand_score[member] + sc[pos[loc_c[member]]] * qtf[g["term_id"]]
+    if round_to is not None:
+        cand_score = np.round(cand_score, round_to)
     if cand.size > k:
         top = np.argpartition(-cand_score, k - 1)[:k]
         order = top[np.lexsort((cand[top], -cand_score[top]))]
@@ -83,8 +90,14 @@ def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int):
     return cand[order].tolist(), cand_score[order].tolist()
 
 
-def _score_part_or(groups: list, qtf: dict, k: int):
-    """Disjunctive MaxScore scoring for one part."""
+def _score_part_or(groups: list, qtf: dict, k: int, round_to=None):
+    """Disjunctive MaxScore scoring for one part.
+
+    With ``round_to`` set, the MaxScore threshold tau gets a one-ulp-of-the-
+    rounding slack (10^-round_to) so a doc whose unrounded score is below
+    tau but whose ROUNDED score ties the kth result is never pruned, and the
+    final per-part truncation uses the rounded key (global-merge key).
+    """
     uppers = np.array(
         [qtf[g["term_id"]] * max(g["block_max"]) for g in groups], dtype=np.float64
     )
@@ -97,6 +110,8 @@ def _score_part_or(groups: list, qtf: dict, k: int):
     s0 = decode_scores(g0["scores"]) * qtf[g0["term_id"]]
     if s0.size >= k:
         tau = np.partition(s0, s0.size - k)[s0.size - k]
+        if round_to is not None:
+            tau -= 10.0 ** (-round_to)
     else:
         tau = -np.inf
     # non-essential = maximal suffix with summed uppers strictly below tau
@@ -133,6 +148,8 @@ def _score_part_or(groups: list, qtf: dict, k: int):
         sc = decode_scores(g["scores"])
         score[member] += sc[pos[loc_c[member]]] * qtf[g["term_id"]]
 
+    if round_to is not None:
+        score = np.round(score, round_to)
     if cand.size > k:
         top = np.argpartition(-score, k - 1)[:k]
         order = top[np.lexsort((cand[top], -score[top]))]
@@ -141,7 +158,7 @@ def _score_part_or(groups: list, qtf: dict, k: int):
     return cand[order].tolist(), score[order].tolist()
 
 
-def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int):
+def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_to=None):
     """Exact-phrase scoring for one part: conjunctive intersection, then
     positional adjacency verification (slot i's term must appear at
     position p+i for some p). groups must carry the `positions` column.
@@ -182,6 +199,8 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int):
             )
             out_ids.append(d)
             out_scores.append(score)
+    if round_to is not None:
+        out_scores = [round(s, round_to) for s in out_scores]
     order = sorted(range(len(out_ids)), key=lambda i: (-out_scores[i], out_ids[i]))[:k]
     return [out_ids[i] for i in order], [out_scores[i] for i in order]
 
@@ -248,9 +267,9 @@ class Bm25CompressedIndex:
         def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
             groups = pdf.to_dict("records")
             if mode == "and":
-                docs, scores = _score_part_and(groups, qtf, n_terms, k)
+                docs, scores = _score_part_and(groups, qtf, n_terms, k, round_to)
             else:
-                docs, scores = _score_part_or(groups, qtf, k)
+                docs, scores = _score_part_or(groups, qtf, k, round_to)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         scored = cand.groupBy("part").applyInPandas(
@@ -315,9 +334,9 @@ class Bm25CompressedIndex:
                 qtf = bmeta.value[qid]
                 groups = sub.to_dict("records")
                 if mode == "and":
-                    docs, scores = _score_part_and(groups, qtf, n_by_q[qid], k)
+                    docs, scores = _score_part_and(groups, qtf, n_by_q[qid], k, round_to)
                 else:
-                    docs, scores = _score_part_or(groups, qtf, k)
+                    docs, scores = _score_part_or(groups, qtf, k, round_to)
                 out_q += [qid] * len(docs)
                 out_d += docs
                 out_s += scores
@@ -371,7 +390,7 @@ class Bm25CompressedIndex:
         cand = self.postings.filter(F.col("term_id").isin(list(set(slots))))
 
         def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
-            docs, scores = _score_part_phrase(pdf.to_dict("records"), slots, qtf, k)
+            docs, scores = _score_part_phrase(pdf.to_dict("records"), slots, qtf, k, round_to)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         scored = cand.groupBy("part").applyInPandas(

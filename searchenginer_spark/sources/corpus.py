@@ -14,9 +14,11 @@ a long tail of rare identifiers — this is what exercises the skew handling
 (salting) in the postings builder.
 
 Duplicate injection (FIXTURES F1): every id with ``id % DUP_EVERY == 1``
-is an exact copy of ``id-1``; every ``id % NEARDUP_EVERY == 2`` is ``id-1``
-with one identifier renamed (hamming<=3 on simhash by construction of the
-top-20-keyword fingerprint).
+is an exact byte-copy of ``id-1``; every id whose post-dup-redirect base
+satisfies ``base % NEARDUP_EVERY == 2`` is ``base-1`` with one identifier
+renamed (hamming<=3 on simhash by construction of the top-20-keyword
+fingerprint). Deciding the rename on the redirected base keeps the
+exact-dup byte-identity invariant even where the two rules chain.
 """
 
 from __future__ import annotations
@@ -49,8 +51,12 @@ def _mix(x: np.ndarray) -> np.ndarray:
 def _content_for(ids: np.ndarray, seed: int) -> list[str]:
     """Vectorized content synthesis for a batch of doc indices."""
     ids = ids.astype(np.uint64)
-    base = np.where(ids % DUP_EVERY == 1, ids - 1, ids)
-    base = np.where(base % NEARDUP_EVERY == 2, base - 1, base)
+    base1 = np.where(ids % DUP_EVERY == 1, ids - 1, ids)
+    # rename decision comes from the POST-dup-redirect id: an exact dup of a
+    # renamed doc must itself be renamed, or the byte-identity invariant for
+    # ids with id%DUP_EVERY==1 breaks once chains hit the near-dup rule
+    rename = base1 % NEARDUP_EVERY == 2
+    base = np.where(rename, base1 - 1, base1)
     seed64 = np.uint64(seed)
 
     # token count per doc: 5..200 "lines" of ~6 tokens
@@ -86,7 +92,7 @@ def _content_for(ids: np.ndarray, seed: int) -> list[str]:
         off += int(n)
         # near-dup: rename one identifier occurrence (list, not ndarray —
         # fixed-width numpy U-dtype would truncate the replacement)
-        if ids[i] % NEARDUP_EVERY == 2:
+        if rename[i]:
             words[-1] = "renamed_ident"
         lines = [" ".join(words[j : j + 6]) for j in range(0, len(words), 6)]
         out.append("\n".join(lines))
