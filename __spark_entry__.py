@@ -34,6 +34,7 @@ from searchenginer_spark.operators.dedup import (
 from searchenginer_spark.operators.dict import build_term_dict
 from searchenginer_spark.operators.postings import build_postings
 from searchenginer_spark.operators.suggest import suggest
+from searchenginer_spark.operators.vectors import doc_vectors, vector_search_text
 from searchenginer_spark.plans.bm25 import Bm25CompressedIndex
 from searchenginer_spark.plans.bm25_dataframe import Bm25DataFrameIndex, tokenize_query
 
@@ -258,6 +259,97 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- fastText-analog vectors
+
+_VDIM = 16
+VEC_QUERY = "merge sort data"
+
+
+def _vec_comp_sql(d: int) -> str:
+    """DuckDB twin of operators.vectors.hash_component (bit-identical)."""
+    return (
+        f"((('0x' || substring(md5('{d}:' || term), 1, 8))::BIGINT"
+        f" / 4294967296.0) * 2 - 1)"
+    )
+
+
+# doc-vector CTEs shared by both vector oracles (appended after _TOKS_CTE):
+# vw = per-(doc, term) TF-IDF weight, vs = per-doc unnormalized vector sums
+_DOCVEC_CTES = f"""
+vw AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * log2((SELECT n_docs FROM st) / (dft.df + 1.0)) AS w
+  FROM tf JOIN dft USING (term)
+),
+vs AS (
+  SELECT doc_id,
+         {', '.join(f'sum(w * {_vec_comp_sql(d)}) AS s{d}' for d in range(_VDIM))}
+  FROM vw WHERE w > 0 GROUP BY doc_id
+)
+"""
+
+_DOC_NORM_SQL = "sqrt(" + " + ".join(f"s{d}*s{d}" for d in range(_VDIM)) + ")"
+
+
+def _doc_vectors_sql() -> str:
+    comps = ", ".join(
+        f"round(CASE WHEN nrm > 0 THEN s{d}/nrm ELSE 0.0 END, 4) AS v{d}"
+        for d in range(_VDIM)
+    )
+    return f"""
+WITH {_TOKS_CTE}, {_DOCVEC_CTES},
+vn AS (SELECT *, {_DOC_NORM_SQL} AS nrm FROM vs)
+SELECT doc_id, {comps} FROM vn WHERE doc_id < 20
+"""
+
+
+def _vector_search_sql(query: str, k: int = 10) -> str:
+    values = ", ".join(f"('{t}', {c})" for t, c in tokenize_query(query))
+    qnorm = "sqrt(" + " + ".join(f"q{d}*q{d}" for d in range(_VDIM)) + ")"
+    dot = " + ".join(f"s{d}*q{d}" for d in range(_VDIM))
+    qcomps = ", ".join(f"sum(w * {_vec_comp_sql(d)}) AS q{d}" for d in range(_VDIM))
+    return f"""
+WITH {_TOKS_CTE}, {_DOCVEC_CTES},
+q(term, qtf) AS (VALUES {values}),
+qw AS (
+  SELECT q.term,
+         q.qtf * log2(((SELECT n_docs FROM st) + 1.0) / (coalesce(dft.df, 0) + 1.0)) AS w
+  FROM q LEFT JOIN dft USING (term)
+),
+qv AS (SELECT {qcomps} FROM qw WHERE w != 0),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN {_DOC_NORM_SQL} * {qnorm} > 0
+              THEN ({dot}) / ({_DOC_NORM_SQL} * {qnorm})
+              ELSE 0.0 END AS cos
+  FROM vs CROSS JOIN qv
+)
+SELECT doc_id, round(cos, 4) AS cos
+FROM scored ORDER BY round(cos, 4) DESC, doc_id LIMIT {k}
+"""
+
+
+def _q_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-vector construction (MakePage.cpp:247-398 analog): sampled rows,
+    per-component values rounded for cross-engine comparison."""
+    idx = _index(spark, sf_dir)
+    dv = doc_vectors(idx.tf, idx.dft, idx.stats, dim=_VDIM)
+    return dv.filter(F.col("doc_id") < 20).select(
+        "doc_id",
+        *[F.round(F.element_at("vec", d + 1), 4).alias(f"v{d}") for d in range(_VDIM)],
+    )
+
+
+def _q_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-text -> TF-IDF query embedding -> cosine top-10 (the reference's
+    primary FAISS search path, server.pb_skeleton.cc:160-178)."""
+    idx = _index(spark, sf_dir)
+    dv = doc_vectors(idx.tf, idx.dft, idx.stats, dim=_VDIM)
+    return vector_search_text(
+        VEC_QUERY, dv, idx.dft, idx.stats, k=10, dim=_VDIM, round_to=4
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -403,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,                 # rows-only
+        "doc_vectors_sample": _q_doc_vectors,
+        "vector_search_text": _q_vector_search,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "top_customers_by_revenue": _q_top_customers,
         "events_hourly_agg": _q_events_hourly,
@@ -537,6 +631,8 @@ SELECT doc_id, n_ws, n_bpe,
        4) AS quality
 FROM m
 """,
+        "doc_vectors_sample": _doc_vectors_sql(),
+        "vector_search_text": _vector_search_sql(VEC_QUERY),
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
