@@ -194,14 +194,14 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: MinHash-LSH near-dup pairs (xxhash64 not in DuckDB)."""
+    """MinHash-LSH near-dup pairs (md5-family hashes, DuckDB-checked)."""
     return minhash_lsh_pairs(_union_docs(spark, sf_dir), threshold=0.7).select(
         "doc_id", "doc_id_2", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: SimHash banded near-dup pairs."""
+    """SimHash banded near-dup pairs (md5-derived bits, DuckDB-checked)."""
     docs = _union_docs(spark, sf_dir)
     idx = Bm25DataFrameIndex.build(docs, text_col="text", persist=False)
     kw = tfidf_top_keywords(idx.tf, idx.dft, idx.stats, top_n=20)
@@ -209,7 +209,7 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: winnowing-style rolling-hash fingerprint counts per doc."""
+    """Winnowing-style rolling-hash fingerprint counts per doc."""
     toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
     fp = rolling_fingerprints(toks, window=8, keep_mod=16)
     return fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp")).orderBy("doc_id")
@@ -257,6 +257,162 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TS.mean_word_len(t), 4).alias("mean_word_len"),
         F.round(TS.quality_score(t), 4).alias("quality"),
     )
+
+
+# --------------------------------------------- md5-hash operator oracles
+# Every fingerprint/signature/bucket operator hashes via md5-derived ints
+# (functions/hashing.py) precisely so these oracles can recompute them in
+# ANSI SQL — no fixtures, no rows-only entries.
+
+_TOKS_ARR = "regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')"
+
+
+def _md5_int_sql(expr: str, nhex: int = 15) -> str:
+    """DuckDB twin of functions.hashing.md5_int (bit-identical)."""
+    return f"('0x' || substring(md5({expr}), 1, {nhex}))::BIGINT"
+
+
+def _doc_fingerprints_sql(window: int = 8, keep_mod: int = 16) -> str:
+    h = _md5_int_sql("gram")
+    return f"""
+WITH tk AS (SELECT doc_id, {_TOKS_ARR} AS toks FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(toks) >= {window}
+    THEN list_transform(range(1, len(toks) - {window - 2}),
+                        i -> array_to_string(toks[i:i+{window - 1}], ' '))
+    ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM tk
+),
+fph AS (SELECT doc_id, {h} AS fingerprint FROM g, unnest(grams) AS u(gram)),
+fp AS (SELECT DISTINCT doc_id, fingerprint FROM fph WHERE fingerprint % {keep_mod} = 0)
+SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.7) -> str:
+    from searchenginer_spark.functions.hashing import MOD31, minhash_params
+
+    params = minhash_params(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({a} * base + {b}) % {MOD31}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        + " || ',' || ".join(f"m{bi * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS bh FROM sigs"
+        for bi in range(bands)
+    )
+    eq = " + ".join(f"(s1.m{j} = s2.m{j})::INT" for j in range(num_hashes))
+    return f"""
+WITH {_UNION_SQL},
+tk AS (SELECT doc_id, {_TOKS_ARR} AS toks FROM u),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM tk,
+  unnest(CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [array_to_string(toks, ' ')] END) AS s(shingle)
+),
+hs AS (SELECT doc_id, {_md5_int_sql("shingle", 7)} AS base FROM sh),
+sigs AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT a.doc_id, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b USING (band_idx, bh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+est AS (
+  SELECT c.doc_id, c.doc_id_2, ({eq}) / {num_hashes}.0 AS est_jaccard
+  FROM cand c JOIN sigs s1 ON c.doc_id = s1.doc_id
+              JOIN sigs s2 ON c.doc_id_2 = s2.doc_id
+)
+SELECT doc_id, doc_id_2, round(est_jaccard, 4) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+def _simhash_pairs_sql(top_n: int = 20, n_bands: int = 4, max_hamming: int = 3) -> str:
+    def bit(b: int) -> str:
+        return f"((('0x' || substring(md5(term), {b // 4 + 1}, 1))::INT >> {b % 4}) & 1)"
+
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN {bit(b)} = 1 THEN weight ELSE -weight END) AS v{b}"
+        for b in range(64)
+    )
+    bit_cols = ", ".join(f"(v{b} > 0)::INT AS b{b}" for b in range(64))
+    width = 64 // n_bands
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        + " || ".join(f"b{bi * width + j}::VARCHAR" for j in range(width))
+        + " AS bv FROM bits"
+        for bi in range(n_bands)
+    )
+    hamming = " + ".join(f"(x.b{b} != y.b{b})::INT" for b in range(64))
+    return f"""
+WITH {_UNION_SQL},
+toks AS (SELECT doc_id, t.tok AS term FROM u, unnest({_TOKS_ARR}) AS t(tok)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+st AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * log2((SELECT n_docs FROM st) / (dft.df + 1.0)) AS weight,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * log2((SELECT n_docs FROM st) / (dft.df + 1.0)) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN dft USING (term)
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM w WHERE rn <= {top_n} GROUP BY doc_id
+),
+bits AS (SELECT doc_id, {bit_cols} FROM votes),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT a.doc_id, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b USING (band_idx, bv)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+ham AS (
+  SELECT c.doc_id, c.doc_id_2, ({hamming})::INT AS hamming
+  FROM cand c JOIN bits x ON c.doc_id = x.doc_id
+              JOIN bits y ON c.doc_id_2 = y.doc_id
+)
+SELECT doc_id, doc_id_2, hamming FROM ham WHERE hamming <= {max_hamming}
+"""
+
+
+def _ann_lsh_sql(
+    n_planes: int = 8, seed: int = 42, dim: int = 64, k: int = 10, probe_hamming: int = 1
+) -> str:
+    """Plane literals are the SAME seeded-numpy hyperplanes the Spark side
+    uses (operators/ann._planes); repr() round-trips doubles exactly."""
+    from searchenginer_spark.operators.ann import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v, ({bucket}) AS bucket FROM p),
+q AS (SELECT v AS qv, bucket AS qb FROM c WHERE vec_id = 0),
+cand AS (
+  SELECT c.vec_id, c.v FROM c, q
+  WHERE bit_count(xor(c.bucket::BIGINT, q.qb::BIGINT)) <= {probe_hamming}
+)
+SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS cos
+FROM cand ORDER BY round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) DESC, vec_id
+LIMIT {k}
+"""
 
 
 # ------------------------------------------------- fastText-analog vectors
@@ -365,10 +521,13 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only: SRP-LSH bucketed ANN (approximate; no SQL oracle)."""
+    """SRP-LSH bucketed ANN; the oracle recomputes the same seeded
+    hyperplanes/buckets in SQL, so even the approximation is value-checked."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b = srp_buckets(emb, n_planes=8, seed=42)
-    return ann_lsh_topk(b, _query_vec(spark, sf_dir), k=10, n_planes=8, seed=42)
+    return ann_lsh_topk(
+        b, _query_vec(spark, sf_dir), k=10, n_planes=8, seed=42, round_to=4
+    )
 
 
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,15 +645,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths_topk": _q_doc_lengths,
         "dedup_exact_groups": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash,      # rows-only
-        "dedup_simhash_pairs": _q_dedup_simhash,    # rows-only
-        "doc_fingerprints": _q_doc_fingerprints,    # rows-only
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash_pairs": _q_dedup_simhash,
+        "doc_fingerprints": _q_doc_fingerprints,
         "tfidf_keywords_topn": _q_tfidf_keywords,
         "suggest_terms": _q_suggest,
         "lang_id_counts": _q_lang_id_counts,
         "quality_scores": _q_quality_scores,
         "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_topk": _q_ann_lsh,                 # rows-only
+        "ann_lsh_topk": _q_ann_lsh,
         "doc_vectors_sample": _q_doc_vectors,
         "vector_search_text": _q_vector_search,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
@@ -631,6 +790,10 @@ SELECT doc_id, n_ws, n_bpe,
        4) AS quality
 FROM m
 """,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "doc_fingerprints": _doc_fingerprints_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "doc_vectors_sample": _doc_vectors_sql(),
         "vector_search_text": _vector_search_sql(VEC_QUERY),
         "ann_cosine_topk": """

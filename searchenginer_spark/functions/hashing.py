@@ -3,18 +3,65 @@
 SimHash reproduces the reference's dedup fingerprint
 (/root/reference/include/Simhasher.hpp:26-78: top-N TF-IDF keywords, 64-bit
 hash per keyword, weighted bit vote, sign -> bit) with two Spark-native
-substitutions: xxhash64 instead of Jenkins lookup3 (both public-domain-style
-64-bit hashes; xxhash64 is builtin + stable across executors), and the bit
-vote as 64 JVM-side conditional sums (whole-stage codegen) instead of a
-per-row C++ loop — no Python in the pipeline at all.
+substitutions: an md5-derived 64-bit hash instead of Jenkins lookup3, and
+the bit vote as 64 JVM-side conditional sums (whole-stage codegen) instead
+of a per-row C++ loop — no Python in the pipeline at all.
+
+Hash family choice: every primitive here derives from md5 (builtin, JVM,
+stable across executors) rather than xxhash64 because md5 is ALSO available
+in ANSI SQL engines — the DuckDB oracle recomputes the exact same
+fingerprints/signatures/buckets, which is what upgrades these operators
+from rows-only to full value-checked correctness rows. md5 on short tokens
+is a few hundred ns; none of these paths hash document-length strings more
+than once per shingle/term.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SIMHASH_BITS = 64
+
+#: Mersenne prime 2^31 - 1 — modulus of the universal-hash family used for
+#: the MinHash function stream ((a*x + b) mod p, Carter-Wegman, public).
+MOD31 = (1 << 31) - 1
+
+
+def md5_int(col: Column | str, nhex: int = 15) -> Column:
+    """First ``nhex`` hex chars of md5 as a non-negative long (4 bits/char).
+
+    nhex <= 15 keeps the value under 2^60 so downstream arithmetic never
+    overflows a BIGINT (Spark ANSI mode makes overflow a hard failure).
+    DuckDB twin: ``('0x' || substring(md5(x), 1, nhex))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, nhex), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int = 64, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the (a*x + b) mod 2^31-1 family.
+
+    Fixed seed => the constants are compile-time literals on BOTH engines
+    (Spark expressions here, SQL text in the oracle builder).
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MOD31 - 1, size=num_hashes)
+    b = rng.integers(0, MOD31 - 1, size=num_hashes)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def term_hash_bit(term: Column | str, b: int) -> Column:
+    """Bit ``b`` (0..63) of the term's 64-bit md5-derived hash.
+
+    Bit b lives in hex nibble b//4 of the md5 digest; extraction is
+    substring + base-16 conv + shift/mask — pure codegen, and expressible
+    verbatim in the SQL oracle.
+    """
+    t = F.col(term) if isinstance(term, str) else term
+    nib = F.conv(F.substring(F.md5(t), b // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
 
 
 def tfidf_top_keywords(
@@ -46,10 +93,9 @@ def simhash(keywords: DataFrame) -> DataFrame:
     one hash-aggregate with codegen — this is the vectorized form of
     Simhasher.hpp:51-78.
     """
-    h = F.xxhash64("term")
     votes = [
         F.sum(
-            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.col("weight"))
+            F.when(term_hash_bit("term", b) == 1, F.col("weight"))
             .otherwise(-F.col("weight"))
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
@@ -92,18 +138,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures from (doc_id, shingle).
 
-    h_j(s) = xxhash64(s, j); sig[j] = min over shingles. Implemented as
-    num_hashes parallel MIN aggregates in ONE hash-aggregate pass (partial
-    aggregation + codegen) — no seed cross-join, so the shingle rows are
-    never multiplied by num_hashes (a 64x shuffle-volume saving at scale).
+    h_j(s) = (a_j * base(s) + b_j) mod 2^31-1 with base(s) = 28-bit
+    md5-derived int; sig[j] = min over shingles. Implemented as num_hashes
+    parallel MIN aggregates in ONE hash-aggregate pass (partial aggregation
+    + codegen) — no seed cross-join, so the shingle rows are never
+    multiplied by num_hashes (a 64x shuffle-volume saving at scale).
+    a_j*base + b_j < 2^59 + 2^31, so ANSI-mode overflow is impossible.
     """
     # hash the (possibly long) shingle string ONCE, then derive the
-    # num_hashes family by mixing the 64-bit value with each seed — string
-    # hashing is the expensive part, long+seed mixing is a few instructions
-    pre = doc_shingles.select("doc_id", F.xxhash64("shingle").alias("_sh"))
+    # num_hashes family by affine mixing — string hashing is the expensive
+    # part, the (a*x+b) mod p stream is a few instructions each
+    pre = doc_shingles.select("doc_id", md5_int("shingle", 7).alias("_sh"))
     mins = [
-        F.min(F.xxhash64("_sh", F.lit(j))).alias(f"_h{j}")
-        for j in range(num_hashes)
+        F.min((F.lit(a) * F.col("_sh") + F.lit(b)) % F.lit(MOD31)).alias(f"_h{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return (
         pre.groupBy("doc_id")
@@ -136,17 +184,18 @@ def rolling_fingerprints(
     Rolling hash over token windows, keeping hashes = 0 (mod keep_mod) — the
     standard content-defined sampling used for plagiarism/near-dup detection
     (Schleimer et al. winnowing, public). JVM-side: window n-grams hashed
-    with xxhash64, modular selection as a filter.
+    with the md5-derived 60-bit int (oracle-reproducible), modular selection
+    as a filter.
     """
     toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= window,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: F.xxhash64(
+            lambda i: md5_int(
                 F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(window)])
             ),
         ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    ).otherwise(F.array(md5_int(F.concat_ws(" ", toks))))
     out = tokens_df.select("doc_id", F.explode(grams).alias("fingerprint"))
     return out.filter(F.pmod(F.col("fingerprint"), F.lit(keep_mod)) == 0).distinct()

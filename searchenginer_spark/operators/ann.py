@@ -149,6 +149,7 @@ def ann_lsh_topk(
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's SRP bucket (+ hamming<=1
     neighbors) then exact cosine inside the probed buckets."""
@@ -162,4 +163,6 @@ def ann_lsh_topk(
     if probe_hamming >= 1:
         probes += [qcode ^ (1 << i) for i in range(n_planes)]
     cand = bucketed.filter(F.col("bucket").isin(probes))
-    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    return cosine_topk(
+        cand, query_vec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )

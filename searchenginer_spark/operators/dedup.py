@@ -100,14 +100,25 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """(doc_id, doc_id_2, est_jaccard) near-dup pairs via MinHash-LSH.
 
-    shingle -> 64 minhashes -> 16 bands x 4 rows -> band-hash equi-join ->
-    signature-estimated Jaccard filter. The estimate (fraction of equal
-    minhashes) is the standard unbiased estimator.
+    shingle -> 64 minhashes -> 16 bands x 4 rows -> band-hash equi-join on
+    (doc_id, band_hash) ONLY -> distinct candidate pairs -> re-join the two
+    signatures once per surviving pair -> estimated-Jaccard filter (fraction
+    of equal minhashes, the standard unbiased estimator).
+
+    Shuffle shape: the dominant band self-join carries 16 x 16 bytes per
+    doc, never the 512-byte signature array (which would be ~16 KB/doc
+    through the explode); signatures ride exactly two joins keyed by the
+    (small) surviving-pair set. ``sigs`` is persisted because three
+    downstream subtrees consume it — at warehouse scale it would be a
+    materialized signature table.
     """
     rows_per_band = num_hashes // bands
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    sigs = minhash_signatures(token_shingles(toks, n=shingle_n), num_hashes)
+    sigs = minhash_signatures(token_shingles(toks, n=shingle_n), num_hashes).persist()
 
+    # band value = the 4 raw minhash values, concatenated; hashed to 8 bytes
+    # for the shuffle. (The DuckDB oracle joins on the raw concatenation —
+    # equal strings <=> equal hashes up to a 2^-64 collision.)
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -123,12 +134,15 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", "sig", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
     other = banded.select(
-        F.col("doc_id").alias("doc_id_2"),
-        F.col("sig").alias("sig_2"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_id_2"), "band_idx", "band_hash"
+    )
+    pairs = (
+        banded.join(other, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") < F.col("doc_id_2"))
+        .select("doc_id", "doc_id_2")
+        .distinct()
     )
     est = (
         F.aggregate(
@@ -139,10 +153,11 @@ def minhash_lsh_pairs(
         / F.lit(float(num_hashes))
     )
     return (
-        banded.join(other, ["band_idx", "band_hash"])
-        .filter(F.col("doc_id") < F.col("doc_id_2"))
-        .select("doc_id", "doc_id_2", "sig", "sig_2")
-        .distinct()
+        pairs.join(sigs, "doc_id")
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig_2")),
+            "doc_id_2",
+        )
         .select("doc_id", "doc_id_2", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
