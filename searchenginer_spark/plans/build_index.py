@@ -48,6 +48,10 @@ class IndexPaths:
         self.docs = f"{root}/docs"
         self.term_dict = f"{root}/term_dict"
         self.stats = f"{root}/stats"
+        #: per-part (n_docs, sum_dl) rows — the O(parts) source the
+        #: incremental fold refreshes global stats from without ever
+        #: re-tokenizing untouched parts (streaming/incremental.py)
+        self.stats_parts = f"{root}/stats_parts"
         self.postings = f"{root}/postings"
         self.metrics = f"{root}/metrics"
 
@@ -64,6 +68,17 @@ def _done_parts(spark: SparkSession, paths: IndexPaths) -> set[int]:
         return {r["partition_id"] for r in rows}
     except Exception:
         return set()
+
+
+def part_stats(dl: DataFrame, docs_per_part: int) -> DataFrame:
+    """(part, n_docs, sum_dl) per doc-range part — the incremental-stats
+    unit. part is a pure function of doc_id, so this is one map-side-combined
+    aggregate, no join."""
+    return (
+        dl.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    )
 
 
 def _table_ready(spark: SparkSession, path: str) -> bool:
@@ -130,6 +145,9 @@ def build_index(
             paths.term_dict
         )
         S.corpus_stats(dl).write.mode("overwrite").parquet(paths.stats)
+        part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
+            "part"
+        ).parquet(paths.stats_parts)
     if writer is not None:
         writer.join()
         if _werr:

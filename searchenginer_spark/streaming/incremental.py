@@ -12,10 +12,19 @@ Semantics and their scale rationale:
     existing postings partitions are never rewritten.
   - new terms are appended to term_dict with ids continuing after the
     current max (ids stay dense and stable for existing terms).
-  - df/avgdl corpus stats are refreshed from the metrics of all parts; the
-    per-posting impact scores of OLD parts are NOT rescored (standard
-    incremental-index trade-off: BM25 idf staleness until the next full
-    rebuild/compaction — documented, deterministic).
+  - n_docs/avgdl corpus stats are refreshed O(parts): each fold overwrites
+    the touched parts' rows in the per-part ``stats_parts`` table
+    (build_index.part_stats) and re-aggregates that table — untouched doc
+    parts are NEVER re-read or re-tokenized. Per-posting impact scores of
+    OLD parts are NOT rescored (standard incremental-index trade-off: BM25
+    idf staleness until the next compact_indexes — documented,
+    deterministic).
+  - replay safety: foreachBatch is at-least-once and the docs sink is a
+    plain parquet append (an Iceberg MERGE on a real deployment), so a
+    replayed batch can double-append doc rows; every read of the docs table
+    inside the fold dedups on doc_id, which makes the part rebuild, the
+    stats refresh, and the term_dict append converge to the same bytes on
+    replay.
 """
 
 from __future__ import annotations
@@ -26,7 +35,7 @@ from pyspark.sql import functions as F
 from ..operators import stats as S
 from ..operators.ids import assign_sequential_ids
 from ..operators.postings import build_postings
-from ..plans.build_index import IndexPaths, _table_ready
+from ..plans.build_index import IndexPaths, _table_ready, part_stats
 
 
 def _append_term_dict(spark: SparkSession, paths: IndexPaths, batch_dft: DataFrame) -> DataFrame:
@@ -71,31 +80,51 @@ def incremental_index(
         if batch.isEmpty():
             return
         bspark = batch.sparkSession
+        bspark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         new_docs = batch.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
         new_docs.write.mode("append").partitionBy("part").parquet(paths.docs)
-        # (on a real deployment the docs sink is an Iceberg MERGE so a
-        # replayed batch cannot double-append; plain parquet append is the
-        # sandbox stand-in)
 
         # a batch may land in a part that earlier batches already touched:
         # rebuild the touched parts from ALL docs in them, so the dynamic
-        # partition overwrite below is a correct idempotent replacement
+        # partition overwrite below is a correct idempotent replacement.
+        # dropDuplicates makes a replayed (double-appended) batch harmless.
         touched = [r["part"] for r in new_docs.select("part").distinct().collect()]
-        docs = bspark.read.parquet(paths.docs).filter(F.col("part").isin(touched))
+        docs = (
+            bspark.read.parquet(paths.docs)
+            .filter(F.col("part").isin(touched))
+            .dropDuplicates(["doc_id"])
+        )
 
         tf = S.term_frequencies(docs, text_col=text_col).persist()
         dl = S.doc_lengths(tf)
         term_dict = _append_term_dict(bspark, paths, S.document_frequencies(tf))
-        # refresh corpus stats from ALL docs seen so far
-        all_dl = S.doc_lengths(
-            S.term_frequencies(
-                bspark.read.parquet(paths.docs), text_col=text_col
+
+        # ---- O(parts) stats refresh: overwrite the touched parts' rows in
+        # stats_parts from THIS fold's dl, then aggregate the tiny per-part
+        # table. Untouched doc parts are never read, let alone re-tokenized.
+        if not _table_ready(bspark, paths.stats_parts):
+            # one-time bootstrap for roots predating stats_parts: derive the
+            # NON-touched parts' rows (touched rows come from this fold)
+            others = (
+                bspark.read.parquet(paths.docs)
+                .filter(~F.col("part").isin(touched))
+                .dropDuplicates(["doc_id"])
             )
-        )
-        S.corpus_stats(all_dl).write.mode("overwrite").parquet(paths.stats)
+            if not others.isEmpty():
+                part_stats(
+                    S.doc_lengths(S.term_frequencies(others, text_col=text_col)),
+                    docs_per_part,
+                ).write.mode("overwrite").partitionBy("part").parquet(paths.stats_parts)
+        part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
+            "part"
+        ).parquet(paths.stats_parts)
+        sp = bspark.read.parquet(paths.stats_parts)
+        sp.agg(
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+        ).write.mode("overwrite").parquet(paths.stats)
         stats = bspark.read.parquet(paths.stats)
 
-        bspark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         postings = build_postings(tf, dl, term_dict, stats, docs_per_part)
         postings.write.mode("overwrite").partitionBy("part").parquet(paths.postings)
         tf.unpersist()

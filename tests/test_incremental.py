@@ -1,0 +1,86 @@
+"""Incremental fold: O(parts) stats refresh + at-least-once replay safety."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from searchenginer_spark.operators import stats as S
+from searchenginer_spark.plans.build_index import IndexPaths
+from searchenginer_spark.sources.corpus import build_docs
+from searchenginer_spark.streaming.incremental import incremental_index
+
+DPP = 64  # docs_per_part
+
+
+def _fold(spark, input_dir, root, ckpt):
+    incremental_index(spark, input_dir, root, ckpt, docs_per_part=DPP)
+
+
+def test_stats_refresh_never_rereads_untouched_parts(spark, tmp_path_factory):
+    """After folding parts 0-2 we DELETE their doc files; folding a later
+    batch that only touches part 4 must still produce corpus stats that
+    include parts 0-2 — proof the refresh comes from stats_parts (O(parts)),
+    not from re-tokenizing the docs table (O(corpus))."""
+    base = str(tmp_path_factory.mktemp("incstats"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    paths = IndexPaths(root)
+
+    docs = build_docs(spark, 320, seed=42, num_partitions=4).persist()
+    d1 = docs.filter(F.col("doc_id") < 192)           # parts 0,1,2
+    d2 = docs.filter(F.col("doc_id") >= 256)          # part 4 only
+
+    d1.write.mode("append").parquet(input_dir)
+    _fold(spark, input_dir, root, ckpt)
+
+    # ground truth over BOTH chunks, computed before any deletion
+    both = d1.unionByName(d2)
+    want = S.corpus_stats(
+        S.doc_lengths(S.term_frequencies(both, text_col="content"))
+    ).first()
+
+    # vandalize the already-folded parts' doc files: any stats path that
+    # re-reads them now sees 0 rows there and undercounts
+    for p in (0, 1, 2):
+        shutil.rmtree(f"{paths.docs}/part={p}")
+
+    d2.write.mode("append").parquet(input_dir)
+    _fold(spark, input_dir, root, ckpt)
+
+    got = spark.read.parquet(paths.stats).first()
+    assert got["n_docs"] == want["n_docs"]
+    assert abs(got["avgdl"] - want["avgdl"]) < 1e-9
+    docs.unpersist()
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path_factory):
+    """Simulate an at-least-once replay: wipe the streaming checkpoint so
+    the same input files are drained AGAIN (docs double-append). The part
+    rebuild + stats refresh must converge to the same index."""
+    base = str(tmp_path_factory.mktemp("increplay"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    paths = IndexPaths(root)
+
+    docs = build_docs(spark, 150, seed=42, num_partitions=4)
+    docs.write.mode("append").parquet(input_dir)
+    _fold(spark, input_dir, root, ckpt)
+
+    def snapshot():
+        post = sorted(
+            (r["term_id"], r["part"], r["n"], bytes(r["docs"]), bytes(r["scores"]))
+            for r in spark.read.parquet(paths.postings).collect()
+        )
+        stats = spark.read.parquet(paths.stats).first()
+        return post, (stats["n_docs"], round(stats["avgdl"], 9))
+
+    before = snapshot()
+    # replay: fresh checkpoint -> the SAME files are folded a second time
+    shutil.rmtree(ckpt)
+    _fold(spark, input_dir, root, f"{base}/ckpt2")
+
+    # the docs table really did double-append (at-least-once reality) ...
+    raw = spark.read.parquet(paths.docs)
+    assert raw.count() == 300 and raw.select("doc_id").distinct().count() == 150
+    # ... yet postings and stats are byte/value-identical
+    assert snapshot() == before
