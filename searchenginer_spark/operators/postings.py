@@ -237,11 +237,16 @@ def decode_tfs(tfs: bytes) -> np.ndarray:
     return varbyte_decode(tfs).astype(np.int64)
 
 
-def decode_positions(positions: bytes, tfs: np.ndarray) -> list[np.ndarray]:
-    """Decode a row's positions blob into one sorted array per posting.
+def decode_positions_flat(
+    positions: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a row's positions blob -> (flat, starts, counts).
 
-    Posting i holds tfs[i] values (delta-encoded, first absolute), so the
-    split points fall at cumsum(tfs) — no per-posting offsets are stored.
+    Posting i's sorted absolute positions are ``flat[starts[i] :
+    starts[i] + counts[i]]`` (delta-encoded, first value absolute; split
+    points fall at cumsum(tfs), no per-posting offsets are stored). The
+    flat layout lets callers gather many postings' positions with one
+    vectorized fancy-index instead of per-posting Python slicing.
     """
     flat = varbyte_decode(positions)
     counts = np.asarray(tfs, dtype=np.int64)
@@ -250,6 +255,11 @@ def decode_positions(positions: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     base = np.zeros(len(counts), dtype=np.uint64)
     nz = counts > 0
     base[nz] = cs[starts[nz]] - flat[starts[nz]]
-    out_flat = cs - np.repeat(base, counts)
-    ends = np.cumsum(counts)
-    return [out_flat[s:e].astype(np.int64) for s, e in zip(starts, ends)]
+    out_flat = (cs - np.repeat(base, counts)).astype(np.int64)
+    return out_flat, starts, counts
+
+
+def decode_positions(positions: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Per-posting view of :func:`decode_positions_flat` (tests/debugging)."""
+    flat, starts, counts = decode_positions_flat(positions, tfs)
+    return [flat[s : s + c] for s, c in zip(starts, counts)]

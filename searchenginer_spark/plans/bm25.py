@@ -41,7 +41,7 @@ from ..functions.tokenize import IDENT_RE
 from ..operators.postings import (
     decode_blocks,
     decode_doc_ids,
-    decode_positions,
+    decode_positions_flat,
     decode_scores,
     decode_tfs,
 )
@@ -158,10 +158,44 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None):
     return cand[order].tolist(), score[order].tolist()
 
 
+def _member_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Boolean mask: which values of ``a`` occur in SORTED array ``b``."""
+    if b.size == 0:
+        return np.zeros(a.size, dtype=bool)
+    loc = np.minimum(np.searchsorted(b, a), b.size - 1)
+    return b[loc] == a
+
+
+def _gather_runs(
+    flat: np.ndarray, starts: np.ndarray, counts: np.ndarray, rows: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate flat[starts[r] : starts[r]+counts[r]] for r in rows.
+
+    Returns (values, owner) where owner[i] is the index into ``rows`` the
+    value came from. One fancy-index over the whole part — no per-row loop.
+    """
+    c = counts[rows]
+    total = int(c.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype), np.empty(0, dtype=np.int64)
+    ends = np.cumsum(c)
+    owner = np.repeat(np.arange(rows.size, dtype=np.int64), c)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - c, c)
+    return flat[starts[rows][owner] + within], owner
+
+
 def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_to=None):
     """Exact-phrase scoring for one part: conjunctive intersection, then
     positional adjacency verification (slot i's term must appear at
     position p+i for some p). groups must carry the `positions` column.
+
+    Fully vectorized across ALL candidate docs at once (no per-candidate
+    Python loop — SURVEY §7.4.3): each slot's positions become composite
+    keys (candidate_row << 32) | (pos - slot + offset); a phrase start
+    survives iff its key appears in every slot's sorted key array, so the
+    adjacency check is len(slots)-1 sorted-membership passes over flat
+    arrays. A hot phrase with thousands of candidates costs the same numpy
+    passes as a rare one.
 
     Returns top-k (doc_ids, scores) where score is the BM25 sum over the
     phrase's distinct terms (qtf weights included)."""
@@ -174,35 +208,40 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
     score_by_tid = {}
     for t in distinct:
         g = by_tid[t]
-        ids = decode_doc_ids(g["docs"], g["n"])
-        docs_by_tid[t] = ids
-        tfs = decode_tfs(g["tfs"])
-        pos_by_tid[t] = decode_positions(g["positions"], tfs)
+        docs_by_tid[t] = decode_doc_ids(g["docs"], g["n"])
+        pos_by_tid[t] = decode_positions_flat(g["positions"], decode_tfs(g["tfs"]))
         score_by_tid[t] = decode_scores(g["scores"])
     # conjunctive candidates
     cand = docs_by_tid[distinct[0]]
     for t in distinct[1:]:
         cand = cand[np.isin(cand, docs_by_tid[t], assume_unique=True)]
-    out_ids, out_scores = [], []
-    for d in cand.tolist():
-        idxs = {t: int(np.searchsorted(docs_by_tid[t], d)) for t in distinct}
-        p = pos_by_tid[slots[0]][idxs[slots[0]]].astype(np.int64)
-        ok = p
-        for i, t in enumerate(slots[1:], start=1):
-            nxt = pos_by_tid[t][idxs[t]].astype(np.int64) - i
-            ok = ok[np.isin(ok, nxt, assume_unique=True)]
-            if ok.size == 0:
-                break
-        if ok.size:
-            score = sum(
-                qtf[t] * float(score_by_tid[t][idxs[t]]) for t in distinct
-            )
-            out_ids.append(d)
-            out_scores.append(score)
+    if cand.size == 0:
+        return [], []
+    # posting index of every candidate within each term's posting list
+    idxs = {t: np.searchsorted(docs_by_tid[t], cand) for t in distinct}
+    # keys are strictly increasing per slot: owner asc, positions asc within
+    offset = len(slots)  # keeps pos - slot_i strictly positive
+    keys = None
+    for i, t in enumerate(slots):
+        flat, starts, counts = pos_by_tid[t]
+        vals, owner = _gather_runs(flat, starts, counts, idxs[t])
+        keys_i = (owner << 32) | (vals - i + offset)
+        keys = keys_i if keys is None else keys[_member_sorted(keys, keys_i)]
+        if keys.size == 0:
+            return [], []
+    surv = np.unique(keys >> 32)  # candidate rows with >=1 phrase start
+    out_ids = cand[surv]
+    out_scores = np.zeros(surv.size, dtype=np.float64)
+    for t in distinct:
+        out_scores += qtf[t] * score_by_tid[t][idxs[t][surv]]
     if round_to is not None:
-        out_scores = [round(s, round_to) for s in out_scores]
-    order = sorted(range(len(out_ids)), key=lambda i: (-out_scores[i], out_ids[i]))[:k]
-    return [out_ids[i] for i in order], [out_scores[i] for i in order]
+        out_scores = np.round(out_scores, round_to)
+    if out_ids.size > k:
+        top = np.argpartition(-out_scores, k - 1)[:k]
+        order = top[np.lexsort((out_ids[top], -out_scores[top]))]
+    else:
+        order = np.lexsort((out_ids, -out_scores))
+    return out_ids[order].tolist(), out_scores[order].tolist()
 
 
 class Bm25CompressedIndex:
