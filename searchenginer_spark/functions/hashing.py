@@ -19,7 +19,7 @@ than once per shingle/term.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SIMHASH_BITS = 64
@@ -72,15 +72,24 @@ def tfidf_top_keywords(
     Reference: KeywordExtractor topN=20 (/root/reference/Make_Page/rcc.cpp:148,
     include/cppjieba/KeywordExtractor.hpp:58-93); idf = log2(N/(df+1)) as in
     Make_Page/MakePage.cpp:166-172. Ties broken by term for determinism.
+
+    Top-N is a grouped aggregate (collect_list -> sort_array -> slice), NOT
+    a row_number window: the window would sort every shuffle partition by
+    (doc_id, weight), while the aggregate sorts only each doc's own term
+    list (bounded by doc length) inside one hash-aggregate pass — the same
+    answer for a fraction of the sort work, and no skew on hot partitions.
+    Ordering trick: sort ascending on struct(-weight, term) == weight desc
+    with term-asc tie-break.
     """
-    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    kw = F.struct((-F.col("weight")).alias("nw"), F.col("term").alias("term"))
     return (
         tf.join(dft.select("term", "df"), "term")
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .withColumn("weight", F.col("tf") * F.log2(F.col("n_docs") / (F.col("df") + 1)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= top_n)
-        .select("doc_id", "term", "weight")
+        .groupBy("doc_id")
+        .agg(F.slice(F.sort_array(F.collect_list(kw)), 1, top_n).alias("_kw"))
+        .select("doc_id", F.explode("_kw").alias("_s"))
+        .select("doc_id", F.col("_s.term").alias("term"), (-F.col("_s.nw")).alias("weight"))
     )
 
 
