@@ -70,10 +70,12 @@ def _cindex(spark: SparkSession, sf_dir: str) -> Bm25CompressedIndex:
 
 # ---------------------------------------------------------------- oracle SQL
 
-_TOKS_CTE = f"""
+def _toks_cte(src: str = "documents") -> str:
+    """tf/dl/st/dft CTE chain over any docs source (table or prior CTE)."""
+    return f"""
 toks AS (
   SELECT doc_id, lower(u.t) AS term
-  FROM documents, unnest(regexp_extract_all(text, '{IDENT_SQL_RE}')) AS u(t)
+  FROM {src}, unnest(regexp_extract_all(text, '{IDENT_SQL_RE}')) AS u(t)
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
@@ -82,12 +84,15 @@ dft AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1)
 """
 
 
-def _bm25_sql(query: str, mode: str, k: int = 10) -> str:
+_TOKS_CTE = _toks_cte()
+
+
+def _bm25_sql(query: str, mode: str, k: int = 10, pre: str = "", src: str = "documents") -> str:
     terms = tokenize_query(query)
     values = ", ".join(f"('{t}', {c})" for t, c in terms)
     m_filter = f"WHERE m = {len(terms)}" if mode == "and" else ""
     return f"""
-WITH {_TOKS_CTE},
+WITH {pre}{_toks_cte(src)},
 q(term, qtf) AS (VALUES {values}),
 scored AS (
   SELECT tf.doc_id,
@@ -140,6 +145,63 @@ def _q_bm25_compressed_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cindex(spark, sf_dir).search("spark merge window", k=10, mode="or", round_to=4)
 
 
+_CIDX_PROD_CACHE: dict[tuple[int, str], Bm25CompressedIndex] = {}
+
+
+def _cindex_prod(spark: SparkSession, sf_dir: str) -> Bm25CompressedIndex:
+    """Compressed index at PRODUCTION geometry (docs_per_part=1<<16): the
+    contract gate must also exercise the many-blocks-per-part shape, not
+    just the many-tiny-parts shape of _cindex."""
+    key = (id(spark), sf_dir)
+    if key not in _CIDX_PROD_CACHE:
+        m1 = _index(spark, sf_dir)
+        term_dict = build_term_dict(m1.dft).persist()
+        postings = build_postings(m1.tf, m1.dl, term_dict, m1.stats)
+        _CIDX_PROD_CACHE[key] = Bm25CompressedIndex(spark, postings.persist(), term_dict)
+    return _CIDX_PROD_CACHE[key]
+
+
+def _q_bm25_compressed_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cindex_prod(spark, sf_dir).search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
+
+
+# ------------------------------------------- dedup-integrated build pipeline
+
+_DEDUP_IDX_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _dedup_index(spark: SparkSession, sf_dir: str):
+    """End-to-end corpus -> dedup -> build_index pipeline over the
+    dup-injected union table (reference dedups inside store,
+    Make_Page/rcc.cpp:146-202). Returns (compressed index, index root)."""
+    import tempfile
+
+    from searchenginer_spark.plans.build_index import build_index, open_index
+
+    key = (id(spark), sf_dir)
+    if key not in _DEDUP_IDX_CACHE:
+        root = tempfile.mkdtemp(prefix="sg_dedup_idx_")
+        build_index(_union_docs(spark, sf_dir), root, text_col="text", dedup="exact")
+        _DEDUP_IDX_CACHE[key] = (open_index(spark, root), root)
+    return _DEDUP_IDX_CACHE[key]
+
+
+def _q_bm25_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the dedup-integrated build: the duplicate copies must be
+    gone from df/avgdl/postings (lowest doc_id wins)."""
+    idx, _ = _dedup_index(spark, sf_dir)
+    return idx.search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
+
+
+def _q_dedup_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats of the deduped build (doc count proves dedup ran)."""
+    _, root = _dedup_index(spark, sf_dir)
+    from searchenginer_spark.plans.build_index import IndexPaths
+
+    st = spark.read.parquet(IndexPaths(root).stats)
+    return st.select("n_docs", F.round("avgdl", 4).alias("avgdl"))
+
+
 _BATCH_QUERIES = {"q1": "query data", "q2": "spark merge window", "q3": "the fast"}
 
 
@@ -179,6 +241,14 @@ def _union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNION_SQL = (
     "u AS (SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 1000, text FROM documents)"
+)
+
+#: exact dedup over the union table, lowest doc_id wins — the SQL twin of
+#: build_index(dedup='exact') for the dedup-integrated-build oracles
+_DEDUP_SQL_PRE = (
+    f"{_UNION_SQL},\n"
+    "keep AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY sha256(text)),\n"
+    "dd AS (SELECT u.doc_id, u.text FROM u JOIN keep USING (doc_id)),\n"
 )
 
 
@@ -639,7 +709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_repeated_term": _q_bm25_repeated_term,
         "bm25_compressed_and_topk": _q_bm25_compressed_and,
         "bm25_compressed_or_topk": _q_bm25_compressed_or,
+        "bm25_compressed_prod_geometry": _q_bm25_compressed_prod,
         "bm25_batch_topk": _q_bm25_batch,
+        "bm25_dedup_topk": _q_bm25_dedup,
+        "dedup_build_doc_stats": _q_dedup_build_stats,
         "term_df_stats": _q_term_df_stats,
         "doc_stats": _q_doc_stats,
         "doc_lengths_topk": _q_doc_lengths,
@@ -673,6 +746,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_repeated_term": _bm25_sql("the the fast", "and"),
         "bm25_compressed_and_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_compressed_or_topk": _bm25_sql("spark merge window", "or"),
+        "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
+        "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
+        "dedup_build_doc_stats": f"""
+WITH {_DEDUP_SQL_PRE}{_toks_cte("dd")}
+SELECT n_docs, round(avgdl, 4) AS avgdl FROM st
+""",
         "bm25_batch_topk": "\nUNION ALL\n".join(
             f"SELECT '{qid}' AS query_id, * FROM ({_bm25_sql(text, 'and')})"
             for qid, text in _BATCH_QUERIES.items()

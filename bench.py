@@ -128,6 +128,28 @@ def main() -> None:
         timings["bm25_batch_100"] = round(dt, 3)
         extras["batch_queries_per_sec"] = round(100 / dt, 1)
 
+        # ---- exact-phrase over a positions-enabled index -------------------
+        # hot phrase = worst case: ~every doc is a conjunctive candidate, so
+        # this times the vectorized adjacency verification, not the probe
+        def _phrase_index():
+            from searchenginer_spark.operators import stats as S
+            from searchenginer_spark.operators.dict import build_term_dict
+            from searchenginer_spark.operators.postings import build_postings
+            from searchenginer_spark.plans.bm25 import Bm25CompressedIndex
+
+            pdocs = docs.filter(F.col("doc_id") < n_corpus // 2)
+            ptf = S.term_frequencies(pdocs, text_col="content", with_positions=True)
+            pdl = S.doc_lengths(ptf)
+            ptd = build_term_dict(S.document_frequencies(ptf)).persist()
+            pp = build_postings(
+                ptf, pdl, ptd, S.corpus_stats(pdl), docs_per_part=max(256, n_corpus // 64)
+            ).persist()
+            pp.count()
+            return Bm25CompressedIndex(spark, pp, ptd)
+
+        pidx = timed("phrase_index_build", _phrase_index)
+        timed("phrase_hot", lambda: pidx.search_phrase("int return", k=10).collect())
+
         # ---- dedup over the synthetic corpus -------------------------------
         ddocs = docs.select("doc_id", F.col("content").alias("text"))
         timed(
@@ -135,12 +157,30 @@ def main() -> None:
             lambda: minhash_lsh_pairs(ddocs, threshold=0.7).count(),
         )
 
+        dfidx = Bm25DataFrameIndex.build(ddocs, text_col="text", persist=False)
+
         def _simhash_pairs():
-            i = Bm25DataFrameIndex.build(ddocs, text_col="text", persist=False)
-            kw = tfidf_top_keywords(i.tf, i.dft, i.stats, top_n=20)
+            kw = tfidf_top_keywords(dfidx.tf, dfidx.dft, dfidx.stats, top_n=20)
             return simhash_near_pairs(simhash(kw), max_hamming=3).count()
 
         timed("dedup_simhash", _simhash_pairs)
+
+        # ---- fastText-analog doc vectors + text-query cosine search --------
+        from searchenginer_spark.operators.vectors import doc_vectors, vector_search_text
+
+        def _doc_vectors():
+            dv = doc_vectors(dfidx.tf, dfidx.dft, dfidx.stats, dim=16).persist()
+            dv.count()
+            return dv
+
+        dv = timed("doc_vectors_build", _doc_vectors)
+        extras["doc_vectors_per_sec"] = round(n_corpus / timings["doc_vectors_build"], 1)
+        timed(
+            "vector_search_text",
+            lambda: vector_search_text(
+                "int return value", dv, dfidx.dft, dfidx.stats, k=10, dim=16
+            ).collect(),
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root + "_warm", ignore_errors=True)

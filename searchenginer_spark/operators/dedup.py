@@ -51,6 +51,50 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.join(w_keep, id_col, "left_semi")
 
 
+def dedup_docs(
+    docs: DataFrame,
+    how: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """corpus -> deduped corpus: the build-pipeline dedup stage.
+
+    The reference dedups INSIDE the store step before indexing
+    (/root/reference/Make_Page/rcc.cpp:146-202: exact simhash repeat, then
+    hamming<=3 near-dup against previously kept docs). Spark analog with the
+    deterministic lowest-id-wins rule (SURVEY §2.9.6):
+
+      how='exact'    drop byte-identical copies (sha256 hash-groupBy)
+      how='simhash'  exact pass first, then drop docs with a smaller-id
+                     neighbor within hamming<=max_hamming of the
+                     top-``top_n``-TF-IDF-keyword simhash
+
+    Wired into plans.build_index.build_index(dedup=...) so the end-to-end
+    corpus -> dedup -> index pipeline is one call.
+    """
+    from ..functions.hashing import simhash, tfidf_top_keywords
+    from .stats import corpus_stats, doc_lengths, document_frequencies, term_frequencies
+
+    out = dedup_exact(docs, text_col, id_col)
+    if how == "exact":
+        return out
+    if how != "simhash":
+        raise ValueError(f"unknown dedup mode {how!r} (use 'exact' or 'simhash')")
+    named = out if id_col == "doc_id" else out.withColumnRenamed(id_col, "doc_id")
+    tf = term_frequencies(named, text_col=text_col)
+    dft = document_frequencies(tf)
+    stats = corpus_stats(doc_lengths(tf))
+    pairs = simhash_near_pairs(
+        simhash(tfidf_top_keywords(tf, dft, stats, top_n=top_n)),
+        max_hamming=max_hamming,
+    )
+    if id_col != "doc_id":
+        pairs = pairs.withColumnRenamed("doc_id", id_col)
+    return dedup_by_pairs(out, pairs, id_col)
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:

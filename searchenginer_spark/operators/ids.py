@@ -25,11 +25,18 @@ def assign_sequential_ids(
     sort_cols: list[str],
     id_col: str,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = dense 0-based rank over sorted ``sort_cols``.
 
     Keys must be unique for the rank to be well-defined. Deterministic for
     a given input regardless of upstream partitioning.
+
+    ``checkpoint_dir``: when given, the pinned copy uses a RELIABLE
+    checkpoint (written to that filesystem path) instead of
+    ``localCheckpoint()`` — local checkpoints pin partitions to executors
+    and die with them, so on a real multi-executor cluster pass a
+    durable dir (HDFS/object store); local mode defaults to the cheap one.
     """
     from ..deploy import ship_package
 
@@ -41,9 +48,12 @@ def assign_sequential_ids(
     # job-dependent seed, so the counts pass and the assignment pass below
     # would otherwise re-partition differently and corrupt the ids. A
     # checkpoint makes both jobs read the SAME materialized partitions.
-    # (On a real cluster prefer sc.setCheckpointDir + .checkpoint() so the
-    # pinned copy survives executor loss.)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        with_pid = with_pid.checkpoint()
+    else:
+        with_pid = with_pid.localCheckpoint()
     counts = with_pid.groupBy("_pid").count().collect()
     offsets: dict[int, int] = {}
     acc = 0

@@ -97,11 +97,18 @@ def build_index(
     text_col: str = "content",
     max_parts: int | None = None,
     with_positions: bool = False,
+    dedup: str | None = None,
 ) -> dict:
     """Build (or resume) the full index for ``docs(doc_id, <text_col>, ...)``.
 
     ``max_parts`` limits how many pending parts are built this run — used by
     the kill/resume tests to simulate an interrupted build.
+
+    ``dedup``: 'exact' or 'simhash' runs operators.dedup.dedup_docs BEFORE
+    any stats/partitioning, reproducing the reference's dedup-inside-store
+    pipeline (Make_Page/rcc.cpp:146-202) with lowest-doc_id-wins semantics;
+    dropped ids leave gaps, parts stay doc-range-disjoint. Deterministic, so
+    resume runs re-derive the identical deduped set.
 
     Returns a summary dict (n_docs, parts_built, parts_total, wall_s).
     """
@@ -110,6 +117,10 @@ def build_index(
     paths = IndexPaths(root)
     t0 = time.monotonic()
 
+    if dedup is not None:
+        from ..operators.dedup import dedup_docs
+
+        docs = dedup_docs(docs, how=dedup, text_col=text_col)
     docs = docs.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
 
     # -- stage 1: docs + dictionary — written once, reused on resume --------
@@ -202,7 +213,13 @@ def build_index(
                 pend_docs.groupBy("part").agg(
                     F.count(F.lit(1)).alias("n_docs"),
                     # order-independent, overflow-free content fingerprint
-                    F.bit_xor(F.xxhash64("content_sha256")).cast("string").alias("input_sha"),
+                    F.bit_xor(
+                        F.xxhash64(
+                            F.col("content_sha256")
+                            if "content_sha256" in pend_docs.columns
+                            else F.sha2(F.col(text_col), 256)
+                        )
+                    ).cast("string").alias("input_sha"),
                 ),
                 "part",
             )

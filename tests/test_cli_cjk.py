@@ -36,3 +36,46 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli_spark.read.parquet(f"{root}/postings").count() > 0
     cli.main(["query", "--root", root, "--q", "int return", "--k", "5"])
     cli.main(["suggest", "--root", root, "--q", "retrun"])
+
+
+def test_cjk_bigram_retrieval_golden(spark):
+    """Golden hand-segmented fixture (what the reference's jieba MixSegment,
+    include/cppjieba/MixSegment.hpp:46-86, would produce) vs the bigram
+    fallback. The recall guarantee under test: every golden word of length
+    >= 2 appearing contiguously in a doc is covered by that doc's bigram set
+    (all of the word's bigrams present), so conjunctive bigram retrieval
+    finds every doc a word-segmented index would. Precision can be lower
+    (cross-word bigrams may false-match) — documented in COVERAGE.md.
+    """
+    docs = {
+        1: "我们喜欢机器学习",          # golden: 我们 / 喜欢 / 机器 / 学习
+        2: "机器人在工厂工作",          # golden: 机器人 / 在 / 工厂 / 工作
+        3: "学习数据结构与算法",        # golden: 学习 / 数据 / 结构 / 与 / 算法
+    }
+    golden = {
+        1: ["我们", "喜欢", "机器", "学习"],
+        2: ["机器人", "在", "工厂", "工作"],
+        3: ["学习", "数据", "结构", "与", "算法"],
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    toks = {
+        r["doc_id"]: set(r["t"])
+        for r in df.select("doc_id", cjk_tokens("text").alias("t")).collect()
+    }
+
+    def bigrams(w):
+        return [w[i : i + 2] for i in range(len(w) - 1)] if len(w) >= 2 else [w]
+
+    # recall: for every (doc, golden word), the doc's bigram tokens cover it
+    for d, words in golden.items():
+        for w in words:
+            if len(w) == 1:
+                continue  # single-char words are only found inside bigrams —
+                # the known recall gap of the dictionary-free fallback
+            assert set(bigrams(w)) <= toks[d], (d, w)
+
+    # retrieval: conjunctive match on a golden word's bigrams finds exactly
+    # the docs containing the word contiguously
+    for w, want in [("机器", {1, 2}), ("学习", {1, 3}), ("机器人", {2}), ("工厂", {2})]:
+        got = {d for d, ts in toks.items() if set(bigrams(w)) <= ts}
+        assert got == want, (w, got, want)

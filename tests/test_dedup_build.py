@@ -1,0 +1,86 @@
+"""Dedup integrated into the build pipeline (reference dedups inside store,
+Make_Page/rcc.cpp:146-202) + reliable-checkpoint id assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from searchenginer_spark.operators.dedup import dedup_docs, simhash_near_pairs
+from searchenginer_spark.plans.build_index import IndexPaths, build_index
+from searchenginer_spark.sources.corpus import build_docs
+
+
+def _postings_fingerprint(spark, root):
+    df = spark.read.parquet(IndexPaths(root).postings)
+    return sorted(
+        (r["term_id"], r["part"], r["n"], bytes(r["docs"]), bytes(r["scores"]))
+        for r in df.collect()
+    )
+
+
+def test_build_with_exact_dedup_equals_clean_build(spark, tmp_path_factory):
+    """Building over docs ∪ (shifted byte-copies) with dedup='exact' must
+    produce the IDENTICAL index as building over the pre-deduped originals
+    (lowest doc_id wins, so exactly the original surviving ids remain; the
+    synthetic corpus itself contains id%97==1 exact dups, hence 197)."""
+    docs = build_docs(spark, 200, seed=42, num_partitions=4).persist()
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+
+    clean_root = str(tmp_path_factory.mktemp("clean"))
+    dedup_root = str(tmp_path_factory.mktemp("dedup"))
+    build_index(dedup_docs(docs, how="exact", text_col="content"),
+                clean_root, docs_per_part=64)
+    summary = build_index(dup, dedup_root, docs_per_part=64, dedup="exact")
+
+    assert summary["n_docs"] == 197  # 200 shifted copies + 3 in-corpus dups gone
+    assert _postings_fingerprint(spark, clean_root) == _postings_fingerprint(
+        spark, dedup_root
+    )
+    s1 = spark.read.parquet(IndexPaths(clean_root).stats).first()
+    s2 = spark.read.parquet(IndexPaths(dedup_root).stats).first()
+    assert (s1["n_docs"], s1["avgdl"]) == (s2["n_docs"], s2["avgdl"])
+    docs.unpersist()
+
+
+def test_dedup_docs_simhash_drops_near_dups(spark):
+    """simhash mode removes the corpus's injected near-dups (one renamed
+    identifier => hamming<=3 by construction) on top of exact dups."""
+    docs = build_docs(spark, 400, seed=42, num_partitions=4).persist()
+    exact = dedup_docs(docs, how="exact", text_col="content")
+    near = dedup_docs(docs, how="simhash", text_col="content")
+    n_exact, n_near = exact.count(), near.count()
+    assert n_near < n_exact < 400
+    # lowest-id-wins: no surviving doc has a smaller-id near neighbor that
+    # also survived AND was its dedup reason — spot-check via the pair set
+    kept = {r["doc_id"] for r in near.select("doc_id").collect()}
+    from searchenginer_spark.functions.hashing import simhash, tfidf_top_keywords
+    from searchenginer_spark.operators import stats as S
+
+    tf = S.term_frequencies(exact, text_col="content")
+    pairs = simhash_near_pairs(
+        simhash(
+            tfidf_top_keywords(
+                tf, S.document_frequencies(tf), S.corpus_stats(S.doc_lengths(tf))
+            )
+        ),
+        max_hamming=3,
+    )
+    losers = {r["doc_id_2"] for r in pairs.select("doc_id_2").collect()}
+    assert kept.isdisjoint(losers)
+    docs.unpersist()
+
+
+def test_assign_ids_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode must mint the same dense ids as localCheckpoint."""
+    from searchenginer_spark.operators.ids import assign_sequential_ids
+    from searchenginer_spark.sources.corpus import corpus_meta
+
+    meta = corpus_meta(spark, 300)
+    a = assign_sequential_ids(meta, ["repo", "path"], "doc_id", 5)
+    b = assign_sequential_ids(
+        meta, ["repo", "path"], "doc_id", 5, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    rows_a = {(r["repo"], r["path"]): r["doc_id"] for r in a.collect()}
+    rows_b = {(r["repo"], r["path"]): r["doc_id"] for r in b.collect()}
+    assert rows_a == rows_b
+    assert sorted(rows_b.values()) == list(range(300))
