@@ -157,7 +157,15 @@ def main() -> None:
             lambda: minhash_lsh_pairs(ddocs, threshold=0.7).count(),
         )
 
-        dfidx = Bm25DataFrameIndex.build(ddocs, text_col="text", persist=False)
+        # shared tf/dft/stats tables for simhash + the vector path — persist
+        # and materialize as their own phase so the downstream phases time
+        # the OPERATORS, not three repeated corpus tokenizations
+        def _stats_tables():
+            i = Bm25DataFrameIndex.build(ddocs, text_col="text", persist=True)
+            i.tf.count(), i.dft.count()
+            return i
+
+        dfidx = timed("corpus_stats_build", _stats_tables)
 
         def _simhash_pairs():
             kw = tfidf_top_keywords(dfidx.tf, dfidx.dft, dfidx.stats, top_n=20)

@@ -102,14 +102,28 @@ def simhash(keywords: DataFrame) -> DataFrame:
     one hash-aggregate with codegen — this is the vectorized form of
     Simhasher.hpp:51-78.
     """
+    # one md5 + 16 nibble extractions per keyword row, projected BEFORE the
+    # aggregate — the 64 vote expressions below reference the nibble columns
+    # instead of each recomputing md5(term) (subexpression elimination does
+    # not reach across aggregate expressions)
+    pre = keywords.withColumn("_h", F.md5("term")).select(
+        "doc_id",
+        "weight",
+        *[
+            F.conv(F.substring("_h", p + 1, 1), 16, 10).cast("int").alias(f"_n{p}")
+            for p in range(SIMHASH_BITS // 4)
+        ],
+    )
     votes = [
         F.sum(
-            F.when(term_hash_bit("term", b) == 1, F.col("weight"))
-            .otherwise(-F.col("weight"))
+            F.when(
+                F.shiftright(F.col(f"_n{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
+                F.col("weight"),
+            ).otherwise(-F.col("weight"))
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
-    voted = keywords.groupBy("doc_id").agg(*votes)
+    voted = pre.groupBy("doc_id").agg(*votes)
     fp = None
     for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
