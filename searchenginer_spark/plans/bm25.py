@@ -294,9 +294,10 @@ class Bm25CompressedIndex:
     ) -> DataFrame:
         q = tokenize_query(query, pattern)
         tid = self.lookup_terms([t for t, _ in q])
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not q or (mode == "and" and len(tid) < len(q)) or not tid:
-            return empty
+            # built lazily: an empty DataFrame costs ~40 ms of py4j round
+            # trips — never pay it on the hot path
+            return self.spark.createDataFrame([], "doc_id long, score double")
         qtf = {tid[t]: float(c) for t, c in q if t in tid}
         n_terms = len(qtf)
         ids = list(qtf.keys())
@@ -355,9 +356,10 @@ class Bm25CompressedIndex:
             qmeta[qid] = qtf
             for t, c in qtf.items():
                 rows.append((qid, t))
-        empty = self.spark.createDataFrame([], "query_id string, doc_id long, score double")
         if not rows:
-            return empty
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double"
+            )
         qdf = self.spark.createDataFrame(rows, "query_id string, term_id long")
         bmeta = self.spark.sparkContext.broadcast(qmeta)
         n_by_q = {qid: len(qtf) for qid, qtf in qmeta.items()}
@@ -417,12 +419,11 @@ class Bm25CompressedIndex:
         by this path — non-phrase queries never scan it (column pruning).
         """
         toks = re.findall(pattern, phrase.lower())
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not toks:
-            return empty
+            return self.spark.createDataFrame([], "doc_id long, score double")
         tid = self.lookup_terms(sorted(set(toks)))
         if len(tid) < len(set(toks)):
-            return empty
+            return self.spark.createDataFrame([], "doc_id long, score double")
         slots = [tid[t] for t in toks]
         qtf = {tid[t]: float(c) for t, c in tokenize_query(phrase, pattern)}
 
