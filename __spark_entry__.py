@@ -212,6 +212,21 @@ def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_fetch_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k joined back to the source table with per-row content sha256 —
+    the north rule's per-row invariant, cross-checked against DuckDB's own
+    sha256 over the same rows (content fetch analog of
+    srpc/PageSearch/server.pb_skeleton.cc:214-241)."""
+    idx = _index(spark, sf_dir)
+    topk = idx.search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
+    d = _docs(spark, sf_dir)
+    return (
+        F.broadcast(topk)
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "score", F.sha2("text", 256).alias("content_sha256"))
+    )
+
+
 def _q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     return (
@@ -713,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_topk": _q_bm25_batch,
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
+        "bm25_fetch_verified": _q_bm25_fetch_verified,
         "term_df_stats": _q_term_df_stats,
         "doc_stats": _q_doc_stats,
         "doc_lengths_topk": _q_doc_lengths,
@@ -751,6 +767,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_build_doc_stats": f"""
 WITH {_DEDUP_SQL_PRE}{_toks_cte("dd")}
 SELECT n_docs, round(avgdl, 4) AS avgdl FROM st
+""",
+        "bm25_fetch_verified": f"""
+SELECT t.doc_id, t.score, sha256(d.text) AS content_sha256
+FROM ({_bm25_sql(FLAGSHIP_QUERY, "and")}) t JOIN documents d USING (doc_id)
 """,
         "bm25_batch_topk": "\nUNION ALL\n".join(
             f"SELECT '{qid}' AS query_id, * FROM ({_bm25_sql(text, 'and')})"
