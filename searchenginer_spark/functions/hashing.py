@@ -102,24 +102,28 @@ def simhash(keywords: DataFrame) -> DataFrame:
     one hash-aggregate with codegen — this is the vectorized form of
     Simhasher.hpp:51-78.
     """
-    # one md5 + 16 nibble extractions per keyword row, projected BEFORE the
-    # aggregate — the 64 vote expressions below reference the nibble columns
-    # instead of each recomputing md5(term) (subexpression elimination does
-    # not reach across aggregate expressions)
+    # one md5 + TWO base-16 conversions per keyword row, projected BEFORE
+    # the aggregate (subexpression elimination does not reach across
+    # aggregate expressions): hex chars 1-15 pack into a 60-bit long, char
+    # 16 into a nibble; the 64 vote expressions below are then pure long
+    # shift/mask — no string work inside the aggregate. Bit numbering is
+    # identical to term_hash_bit (hex char b//4+1, bit b%4 of the nibble):
+    # char p sits at bits 4*(15-p)..4*(15-p)+3 of the 60-bit value.
     pre = keywords.withColumn("_h", F.md5("term")).select(
         "doc_id",
         "weight",
-        *[
-            F.conv(F.substring("_h", p + 1, 1), 16, 10).cast("int").alias(f"_n{p}")
-            for p in range(SIMHASH_BITS // 4)
-        ],
+        F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring("_h", 16, 1), 16, 10).cast("long").alias("_n16"),
     )
+
+    def _bit(b: int):
+        p, s = b // 4 + 1, b % 4
+        src, off = ("_hi", 4 * (15 - p) + s) if p <= 15 else ("_n16", s)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     votes = [
         F.sum(
-            F.when(
-                F.shiftright(F.col(f"_n{b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
-                F.col("weight"),
-            ).otherwise(-F.col("weight"))
+            F.when(_bit(b) == 1, F.col("weight")).otherwise(-F.col("weight"))
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
