@@ -41,3 +41,24 @@ def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TESTDATA_TABLES:
         load_testdata(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Plain-text corpus scan: one doc per FILE, with its path.
+
+    Reference counterpart: the getline loop over corpus files
+    (/root/reference/Make_dir/MakeDictAndIndex.cpp:96-110). Spark-native
+    form is the built-in text source; ``wholetext`` keeps one row per file
+    (a doc), and the input_file_name column replaces the reference's
+    directory-iteration bookkeeping.
+    """
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("path"), F.col("value").alias("content")
+    )
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan (dictionary files, one term per line)."""
+    return spark.read.text(path).withColumnRenamed("value", "line")

@@ -64,3 +64,22 @@ def test_exact_dup_invariant_holds_across_neardup_chain():
     # near-dups still exist and differ from their base by the rename
     renamed = [i for i in range(1, n) if "renamed_ident" in content[i]]
     assert renamed, "no near-dup renames generated"
+
+
+def test_read_text_corpus_roundtrip(spark, tmp_path):
+    """Plain-text scan: files written per-doc come back as (path, content)
+    rows and index identically to the in-memory docs."""
+    from searchenginer_spark.sources.catalog import read_text_corpus, read_text_lines
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    docs = {"a.txt": "int return value", "b.txt": "def foo\nreturn foo"}
+    for name, content in docs.items():
+        (d / name).write_text(content)
+    got = {
+        r["path"].rsplit("/", 1)[-1]: r["content"]
+        for r in read_text_corpus(spark, str(d)).collect()
+    }
+    assert got == docs
+    lines = {r["line"] for r in read_text_lines(spark, str(d / "b.txt")).collect()}
+    assert lines == {"def foo", "return foo"}
