@@ -141,22 +141,35 @@ def _encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
     doc_off = np.concatenate(([0], np.cumsum(doc_lens)))
     tf_off = np.concatenate(([0], np.cumsum(tf_lens)))
 
+    # block metadata for ALL groups in single vectorized passes (one
+    # reduceat over the whole part instead of one per term — the per-term
+    # Python loop below only slices precomputed lists): block boundaries
+    # never cross term groups because every group starts a new block.
+    bstart_idx = np.flatnonzero(is_block_start)
+    blk_group = np.searchsorted(gstart, bstart_idx, "right") - 1
+    blk_end = np.minimum(bstart_idx + BLOCK, gend[blk_group])
+    abl = did[blk_end - 1].tolist()
+    abm = np.maximum.reduceat(sc, bstart_idx).tolist() if n_all else []
+    ado = (doc_off[bstart_idx] - doc_off[gstart[blk_group]]).tolist()
+    ato = (tf_off[bstart_idx] - tf_off[gstart[blk_group]]).tolist()
+    bof = np.concatenate(
+        ([0], np.cumsum(np.bincount(blk_group, minlength=len(gstart))))
+    ).tolist()
+
     rows = []
-    for s, e in zip(gstart.tolist(), gend.tolist()):
-        n = e - s
-        bstarts = np.arange(s, e, BLOCK)
-        bends = np.minimum(bstarts + BLOCK, e)
+    for gi, (s, e) in enumerate(zip(gstart.tolist(), gend.tolist())):
+        b0, b1 = bof[gi], bof[gi + 1]
         row = (
             int(tid[s]),
             part,
-            n,
+            e - s,
             doc_bytes[doc_off[s] : doc_off[e]].tobytes(),
             tf_bytes[tf_off[s] : tf_off[e]].tobytes(),
             sc[s:e].tobytes(),
-            did[bends - 1].tolist(),
-            np.maximum.reduceat(sc[s:e], bstarts - s).tolist(),
-            (doc_off[bstarts] - doc_off[s]).tolist(),
-            (tf_off[bstarts] - tf_off[s]).tolist(),
+            abl[b0:b1],
+            abm[b0:b1],
+            ado[b0:b1],
+            ato[b0:b1],
         )
         if with_pos:
             row = row + (

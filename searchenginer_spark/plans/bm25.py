@@ -250,6 +250,9 @@ class Bm25CompressedIndex:
     #: term_dicts up to this many rows are collected to the driver once and
     #: probed in-process (kills one Spark job per query). Web-scale dicts
     #: exceed it and fall back to per-query filtered probes.
+    #: Driver memory at the cap: 2M entries x (~100 B str key + 28 B int +
+    #: dict slot) ~= 350-450 MB — sized for the 8 GB driver this engine
+    #: configures (session.py); lower it for smaller drivers.
     DRIVER_DICT_CACHE_MAX = 2_000_000
 
     def __init__(self, spark: SparkSession, postings: DataFrame, term_dict: DataFrame):
