@@ -167,3 +167,34 @@ def vector_search_text(
     return cosine_topk(
         doc_vecs, qvec, k=k, id_col="doc_id", vec_col="vec", round_to=round_to
     )
+
+
+def vector_search_text_lsh(
+    query: str,
+    bucketed_doc_vecs: DataFrame,
+    dft: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    dim: int = DEFAULT_DIM,
+    n_planes: int = 12,
+    seed: int = 42,
+    pattern: str = IDENT_RE,
+) -> DataFrame:
+    """Approximate text-query search: the 100 TB path.
+
+    Same query embedding as :func:`vector_search_text`, but the corpus side
+    is a doc-vector table pre-bucketed with ``ann.srp_buckets`` (written
+    partitioned by ``bucket`` at scale), so the probe reads only the query
+    bucket and its hamming-1 neighbors instead of scanning every vector —
+    the SRP-LSH stand-in for the reference's in-memory FAISS index, with
+    recall traded for bucket pruning.
+    """
+    from .ann import ann_lsh_topk
+
+    terms = [t for t, _ in tokenize_query(query, pattern)]
+    n_docs = stats.select("n_docs").first()["n_docs"]
+    qvec = query_vector(query, lookup_df(dft, terms), n_docs, dim, pattern)
+    return ann_lsh_topk(
+        bucketed_doc_vecs, qvec, k=k, n_planes=n_planes, seed=seed,
+        id_col="doc_id", vec_col="vec",
+    )

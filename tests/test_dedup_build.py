@@ -84,3 +84,23 @@ def test_assign_ids_reliable_checkpoint(spark, tmp_path):
     rows_b = {(r["repo"], r["path"]): r["doc_id"] for r in b.collect()}
     assert rows_a == rows_b
     assert sorted(rows_b.values()) == list(range(300))
+
+
+def test_dedup_build_resume_deterministic(spark, tmp_path_factory):
+    """An interrupted dedup='exact' build resumed later converges to the
+    same bytes as an uninterrupted one (the dedup stage re-derives the
+    identical surviving set on every run)."""
+    docs = build_docs(spark, 300, seed=42, num_partitions=4).persist()
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+
+    full_root = str(tmp_path_factory.mktemp("dfull"))
+    res_root = str(tmp_path_factory.mktemp("dres"))
+    build_index(dup, full_root, docs_per_part=64, dedup="exact")
+    r1 = build_index(dup, res_root, docs_per_part=64, dedup="exact", max_parts=2)
+    assert r1["parts_built"] == 2
+    r2 = build_index(dup, res_root, docs_per_part=64, dedup="exact")
+    assert r2["parts_done_before"] == 2
+    assert _postings_fingerprint(spark, full_root) == _postings_fingerprint(
+        spark, res_root
+    )
+    docs.unpersist()

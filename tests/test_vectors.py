@@ -107,3 +107,33 @@ def test_query_vector_unknown_terms_df_zero():
     # (cut_weight.cpp:31-44) — the vector is non-zero and unit-length
     qv = query_vector("zzz_not_in_corpus", {}, n_docs=100, dim=DIM)
     assert sum(x * x for x in qv) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_vector_search_lsh_recall(spark):
+    """SRP-bucketed text search over CONSTRUCTED doc vectors (the scale
+    path) recalls most of the exact top-k on a realistic corpus."""
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.operators.ann import srp_buckets
+    from searchenginer_spark.operators.vectors import (
+        doc_vectors as dv_op,
+        vector_search_text_lsh,
+    )
+    from searchenginer_spark.sources.corpus import build_docs
+
+    docs = build_docs(spark, 600, seed=42, num_partitions=4).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    i = Bm25DataFrameIndex.build(docs, text_col="text", persist=False)
+    dv = dv_op(i.tf, i.dft, i.stats, dim=16).persist()
+    exact = vector_search_text("int return value", dv, i.dft, i.stats, k=10, dim=16)
+    want = {r["doc_id"] for r in exact.collect()}
+    b = srp_buckets(dv, n_planes=4, seed=42, vec_col="vec").persist()
+    got = {
+        r["doc_id"]
+        for r in vector_search_text_lsh(
+            "int return value", b, i.dft, i.stats, k=10, dim=16, n_planes=4, seed=42
+        ).collect()
+    }
+    assert len(got) == 10
+    assert len(got & want) >= 6  # recall@10 >= 0.6 with 4 planes + hamming-1 probe
