@@ -570,6 +570,63 @@ FROM scored ORDER BY round(cos, 4) DESC, doc_id LIMIT {k}
 """
 
 
+def _embedding_pairs_sql(
+    threshold: float = 0.95, tables: int = 2, planes_per_table: int = 4, seed: int = 7
+) -> str:
+    """Embedding-cosine near-dup over CONSTRUCTED doc vectors: same seeded
+    SRP tables as the Spark side (plane literals), exact-cosine verify."""
+    from searchenginer_spark.operators.ann import _planes
+
+    planes = _planes(_VDIM, tables * planes_per_table, seed)
+
+    def code_expr(t: int) -> str:
+        terms = []
+        for i in range(planes_per_table):
+            p = planes[t * planes_per_table + i]
+            dot = " + ".join(f"({float(p[d])!r} * s{d})" for d in range(_VDIM))
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {t} AS tbl, ({code_expr(t)}) AS code FROM vs"
+        for t in range(tables)
+    )
+    dot_ab = " + ".join(f"a.s{d} * b.s{d}" for d in range(_VDIM))
+    norm_a = "sqrt(" + " + ".join(f"a.s{d}*a.s{d}" for d in range(_VDIM)) + ")"
+    norm_b = "sqrt(" + " + ".join(f"b.s{d}*b.s{d}" for d in range(_VDIM)) + ")"
+    return f"""
+WITH {_TOKS_CTE}, {_DOCVEC_CTES},
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT x.doc_id, y.doc_id AS doc_id_2 FROM bands x JOIN bands y USING (tbl, code)
+  WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_id, c.doc_id_2,
+         CASE WHEN {norm_a} * {norm_b} > 0
+              THEN ({dot_ab}) / ({norm_a} * {norm_b}) ELSE 0.0 END AS cos
+  FROM cand c JOIN vs a ON c.doc_id = a.doc_id JOIN vs b ON c.doc_id_2 = b.doc_id
+)
+SELECT doc_id, doc_id_2, round(cos, 4) AS cos FROM scored WHERE cos >= {threshold}
+"""
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over constructed doc vectors — the
+    doc_vectors -> LSH-candidates -> exact-verify dedup pipeline a training
+    corpus runs (the documents table's injected dups surface as cos≈1)."""
+    from searchenginer_spark.operators.dedup import embedding_cosine_pairs
+
+    idx = _index(spark, sf_dir)
+    dv = doc_vectors(idx.tf, idx.dft, idx.stats, dim=_VDIM)
+    return embedding_cosine_pairs(
+        dv, threshold=0.95, tables=2, planes_per_table=4, seed=7,
+        id_col="doc_id", vec_col="vec", round_to=4,
+    )
+
+
 def _q_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-vector construction (MakePage.cpp:247-398 analog): sampled rows,
     per-component values rounded for cross-engine comparison."""
@@ -745,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "doc_vectors_sample": _q_doc_vectors,
         "vector_search_text": _q_vector_search,
+        "dedup_embedding_pairs": _q_dedup_embedding,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "top_customers_by_revenue": _q_top_customers,
         "events_hourly_agg": _q_events_hourly,
@@ -895,6 +953,7 @@ FROM m
         "ann_lsh_topk": _ann_lsh_sql(),
         "doc_vectors_sample": _doc_vectors_sql(),
         "vector_search_text": _vector_search_sql(VEC_QUERY),
+        "dedup_embedding_pairs": _embedding_pairs_sql(),
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,

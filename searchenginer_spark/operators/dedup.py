@@ -207,6 +207,66 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_cosine_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.95,
+    tables: int = 2,
+    planes_per_table: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    round_to: int | None = None,
+) -> DataFrame:
+    """(id, id_2, cos) near-dup pairs by embedding cosine similarity.
+
+    Candidate generation is ``tables`` independent SRP hash tables (seeded
+    hyperplane sign codes, the classic multi-table LSH family): a pair is a
+    candidate iff it collides in ANY table — per-table collision prob for
+    angle θ is (1-θ/π)^planes_per_table, so exact/near-duplicate vectors
+    (cos -> 1) are recalled with prob -> 1 while the bulk of random pairs
+    never meets. Never an all-pairs join; the only all-pairs work is within
+    equal-code buckets. Exact cosine then verifies >= threshold.
+
+    Same band-join shape as minhash_lsh_pairs: only (id, table, 8-byte
+    code) rides the self-join; vectors are re-joined per surviving pair.
+    """
+    from .ann import _dot, _norm, _planes, srp_code
+
+    dim = len(vecs.select(vec_col).first()[0])
+    planes = _planes(dim, tables * planes_per_table, seed)
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[
+            srp_code(v, planes[t * planes_per_table : (t + 1) * planes_per_table])
+            for t in range(tables)
+        ]
+    )
+    src = vecs.persist()
+    banded = src.select(F.col(id_col).alias("_id"), F.posexplode(codes).alias("tbl", "code"))
+    other = banded.select(F.col("_id").alias("_id2"), "tbl", "code")
+    pairs = (
+        banded.join(other, ["tbl", "code"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select("_id", "_id2")
+        .distinct()
+    )
+    a = src.select(F.col(id_col).alias("_id"), v.alias("_va"))
+    b = src.select(F.col(id_col).alias("_id2"), v.alias("_vb"))
+    denom = _norm(F.col("_va")) * _norm(F.col("_vb"))
+    cos = F.when(denom > 0, _dot(F.col("_va"), F.col("_vb")) / denom).otherwise(F.lit(0.0))
+    out_cos = F.round(cos, round_to) if round_to is not None else cos
+    return (
+        pairs.join(a, "_id")
+        .join(b, "_id2")
+        .filter(cos >= threshold)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_id2").alias(f"{id_col}_2"),
+            out_cos.alias("cos"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -116,3 +116,40 @@ def test_ngram_jaccard_exact(docs):
     assert len(pairs) >= 1
     assert all(p["jaccard"] <= 1.0 + 1e-12 for p in pairs)
     assert any(p["jaccard"] > 0.999 for p in pairs)  # exact dups
+
+
+def test_embedding_cosine_pairs_find_injected_dups(spark):
+    """doc_vectors of byte-identical docs are identical -> cos=1 pairs; the
+    SRP-table candidate generator recalls them all (identical vectors share
+    every code), never via an all-pairs join."""
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.operators.dedup import embedding_cosine_pairs
+    from searchenginer_spark.operators.vectors import doc_vectors
+    from searchenginer_spark.plans.bm25_dataframe import Bm25DataFrameIndex
+    from searchenginer_spark.sources.corpus import build_docs
+
+    docs = build_docs(spark, 400, seed=42, num_partitions=4).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    i = Bm25DataFrameIndex.build(docs, text_col="text", persist=False)
+    dv = doc_vectors(i.tf, i.dft, i.stats, dim=16)
+    pairs = embedding_cosine_pairs(
+        dv, threshold=0.9999, tables=2, planes_per_table=4, seed=7,
+        id_col="doc_id", vec_col="vec", round_to=4,
+    )
+    got = {(r["doc_id"], r["doc_id_2"]) for r in pairs.collect()}
+    # expected: every pair of byte-identical docs (doc_ids are minted by
+    # (repo, path) rank, so derive the pairs from actual content equality)
+    by_sha: dict = {}
+    for r in docs.select("doc_id", F.sha2("text", 256).alias("h")).collect():
+        by_sha.setdefault(r["h"], []).append(r["doc_id"])
+    expected = {
+        (a, b)
+        for ids in by_sha.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert expected, "fixture should contain injected dups"
+    assert expected <= got  # every injected exact dup recalled at cos≈1
