@@ -300,6 +300,28 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp")).orderBy("doc_id")
 
 
+def _q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data prep composition: exact dedup ->
+    quality filter (Gopher/C4-shaped score >= 0.75) -> per-language doc and
+    token accounting. One oracle-checked query proving the ops compose."""
+    from searchenginer_spark.operators.dedup import dedup_exact
+
+    docs = dedup_exact(_union_docs(spark, sf_dir), "text")
+    t = F.col("text")
+    return (
+        docs.filter(TS.quality_score(t) >= 0.75)
+        .select(
+            TS.lang_id(t).alias("pred_lang"),
+            TS.bpe_ish_token_count(t).alias("n_bpe"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -786,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
         "bm25_fetch_verified": _q_bm25_fetch_verified,
+        "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "term_df_stats": _q_term_df_stats,
         "doc_stats": _q_doc_stats,
         "doc_lengths_topk": _q_doc_lengths,
@@ -829,6 +852,50 @@ SELECT n_docs, round(avgdl, 4) AS avgdl FROM st
         "bm25_fetch_verified": f"""
 SELECT t.doc_id, t.score, sha256(d.text) AS content_sha256
 FROM ({_bm25_sql(FLAGSHIP_QUERY, "and")}) t JOIN documents d USING (doc_id)
+""",
+        # dedup -> quality filter -> per-language token accounting; the
+        # quality/lang formulas are verbatim the quality_scores/lang_id
+        # oracles (proven identical to the Spark column math)
+        "corpus_prep_pipeline": "WITH " + _DEDUP_SQL_PRE + """
+b AS (
+  SELECT doc_id, text,
+    CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+    len(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}]', '', 'g')) AS n_punct,
+    len(regexp_extract_all(text,
+        '(?i)\\b(the|and|of|to|is|in|that|it|a|an|was|for|on|with|as)\\b')) AS n_stop,
+    len(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+    len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS s_de,
+    len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|in|that|it)\\b')) AS s_en,
+    len(regexp_extract_all(text, '(?i)\\b(el|la|los|es|una|que|por|con)\\b')) AS s_es,
+    len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une|que|pas)\\b')) AS s_fr,
+    len(regexp_extract_all(text, '(?i)\\b(de|shi|le|zai|you|wo|ta|men)\\b')) AS s_zh
+  FROM dd
+),
+m AS (
+  SELECT *,
+    CASE WHEN length(text) > 0 THEN n_punct / length(text) ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN n_ws > 0 THEN n_nonspace / n_ws ELSE 0.0 END AS mean_word_len
+  FROM b
+),
+q AS (
+  SELECT *,
+    ((CASE WHEN n_ws BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM m
+)
+SELECT pred_lang, count(*) AS n_docs, sum(n_bpe)::BIGINT AS n_tokens
+FROM q WHERE quality >= 0.75 GROUP BY 1
 """,
         "bm25_batch_topk": "\nUNION ALL\n".join(
             f"SELECT '{qid}' AS query_id, * FROM ({_bm25_sql(text, 'and')})"
