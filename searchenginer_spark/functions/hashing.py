@@ -190,8 +190,16 @@ def minhash_signatures(
     )
 
 
-def token_shingles(tokens_df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct token n-grams from (doc_id, toks array)."""
+def token_shingles(tokens_df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) token n-grams from (doc_id, toks array).
+
+    ``distinct=True`` gives set semantics (required by exact Jaccard).
+    MinHash callers pass ``distinct=False``: min over a multiset equals min
+    over its set, so the signatures are IDENTICAL while the (doc_id,
+    string)-keyed distinct — a full shuffle of every shingle string — is
+    skipped entirely; the only shuffle left in the signature pipeline is
+    the 64-longs-per-doc partial-aggregated min.
+    """
     toks = F.col("toks")
     shingles = F.when(
         F.size(toks) >= n,
@@ -200,7 +208,8 @@ def token_shingles(tokens_df: DataFrame, n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return tokens_df.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    out = tokens_df.select("doc_id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def rolling_fingerprints(

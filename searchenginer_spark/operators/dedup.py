@@ -158,7 +158,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    sigs = minhash_signatures(token_shingles(toks, n=shingle_n), num_hashes).persist()
+    # distinct=False: min over a multiset == min over its set, so skipping
+    # the shingle-string distinct changes nothing downstream but removes
+    # the widest shuffle of the pipeline
+    sigs = minhash_signatures(
+        token_shingles(toks, n=shingle_n, distinct=False), num_hashes
+    ).persist()
 
     # band value = the 4 raw minhash values, concatenated; hashed to 8 bytes
     # for the shuffle. (The DuckDB oracle joins on the raw concatenation —
