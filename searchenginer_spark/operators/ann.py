@@ -133,7 +133,10 @@ def srp_buckets(
 ) -> DataFrame:
     """embeddings + ``bucket`` column (2^n_planes buckets). Precompute once,
     write partitioned/bucketed by ``bucket`` for probe-time pruning."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    first = embeddings.select(vec_col).first()
+    if first is None or first[0] is None:  # empty input: nothing to bucket
+        return embeddings.withColumn("bucket", F.lit(0).cast("long"))
+    dim = len(first[0])
     planes = _planes(dim, n_planes, seed)
     return embeddings.withColumn(
         "bucket", srp_code(F.col(vec_col).cast("array<double>"), planes)

@@ -26,6 +26,25 @@ from ..functions.hashing import minhash_signatures, simhash_bands, token_shingle
 from ..functions.tokenize import tokens
 
 
+def _attach_intermediates(result: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    """Record persisted intermediates on the result for later release.
+
+    Operators that persist a shared subtree (minhash signatures, the vector
+    table) cannot unpersist before returning — the lazy result still reads
+    them. The caller owns the lifecycle: after materializing the result,
+    call :func:`release_intermediates` (job-scoped runs may skip it; the
+    session teardown reclaims everything)."""
+    result._sg_intermediates = handles
+    return result
+
+
+def release_intermediates(df: DataFrame) -> None:
+    """Unpersist intermediates attached by dedup operators (idempotent)."""
+    for h in getattr(df, "_sg_intermediates", ()):  # noqa: B004 — plain attr
+        h.unpersist()
+    df._sg_intermediates = ()
+
+
 def exact_duplicates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -91,7 +110,11 @@ def dedup_docs(
         max_hamming=max_hamming,
     )
     if id_col != "doc_id":
-        pairs = pairs.withColumnRenamed("doc_id", id_col)
+        # pair frames carry (doc_id, doc_id_2); rename BOTH for the caller's
+        # id column so dedup_by_pairs keys line up
+        pairs = pairs.withColumnRenamed("doc_id", id_col).withColumnRenamed(
+            "doc_id_2", f"{id_col}_2"
+        )
     return dedup_by_pairs(out, pairs, id_col)
 
 
@@ -128,9 +151,13 @@ def simhash_near_pairs(
 
 
 def dedup_by_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Drop every doc that has a similar neighbor with a smaller id."""
-    losers = pairs.select(F.col("doc_id_2").alias(id_col)).distinct()
-    return docs.join(losers, id_col, "left_anti")
+    """Drop every doc that has a similar neighbor with a smaller id.
+
+    ``pairs`` must carry (``id_col``, ``id_col + '_2'``) with id < id_2. The
+    loser set is tiny relative to the corpus — broadcast the anti-join so the
+    docs table is probed, never shuffled."""
+    losers = pairs.select(F.col(f"{id_col}_2").alias(id_col)).distinct()
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
 
 
 def minhash_lsh_pairs(
@@ -154,7 +181,8 @@ def minhash_lsh_pairs(
     through the explode); signatures ride exactly two joins keyed by the
     (small) surviving-pair set. ``sigs`` is persisted because three
     downstream subtrees consume it — at warehouse scale it would be a
-    materialized signature table.
+    materialized signature table. The persisted handle is attached to the
+    result; call :func:`release_intermediates` after materializing.
     """
     rows_per_band = num_hashes // bands
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
@@ -201,7 +229,7 @@ def minhash_lsh_pairs(
         )
         / F.lit(float(num_hashes))
     )
-    return (
+    out = (
         pairs.join(sigs, "doc_id")
         .join(
             sigs.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig_2")),
@@ -210,6 +238,7 @@ def minhash_lsh_pairs(
         .select("doc_id", "doc_id_2", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+    return _attach_intermediates(out, [sigs])
 
 
 def embedding_cosine_pairs(
@@ -234,10 +263,19 @@ def embedding_cosine_pairs(
 
     Same band-join shape as minhash_lsh_pairs: only (id, table, 8-byte
     code) rides the self-join; vectors are re-joined per surviving pair.
+    The persisted source handle is attached to the result; call
+    :func:`release_intermediates` after materializing.
     """
     from .ann import _dot, _norm, _planes, srp_code
 
-    dim = len(vecs.select(vec_col).first()[0])
+    first = vecs.select(vec_col).first()
+    if first is None or first[0] is None:
+        # empty input: no pairs (never TypeError on first()[0])
+        id_type = vecs.schema[id_col].dataType.simpleString()
+        return vecs.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, {id_col}_2 {id_type}, cos double"
+        )
+    dim = len(first[0])
     planes = _planes(dim, tables * planes_per_table, seed)
     v = F.col(vec_col).cast("array<double>")
     codes = F.array(
@@ -260,7 +298,7 @@ def embedding_cosine_pairs(
     denom = _norm(F.col("_va")) * _norm(F.col("_vb"))
     cos = F.when(denom > 0, _dot(F.col("_va"), F.col("_vb")) / denom).otherwise(F.lit(0.0))
     out_cos = F.round(cos, round_to) if round_to is not None else cos
-    return (
+    out = (
         pairs.join(a, "_id")
         .join(b, "_id2")
         .filter(cos >= threshold)
@@ -270,6 +308,7 @@ def embedding_cosine_pairs(
             out_cos.alias("cos"),
         )
     )
+    return _attach_intermediates(out, [src])
 
 
 def ngram_jaccard_pairs(

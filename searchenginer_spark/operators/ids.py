@@ -37,6 +37,15 @@ def assign_sequential_ids(
     ``localCheckpoint()`` — local checkpoints pin partitions to executors
     and die with them, so on a real multi-executor cluster pass a
     durable dir (HDFS/object store); local mode defaults to the cheap one.
+
+    Two caller-owned caveats of the reliable mode:
+      * it calls ``sparkContext.setCheckpointDir`` — a SESSION-GLOBAL
+        setting (last caller wins); concurrent id-minting runs in one
+        session should share a single directory.
+      * the checkpoint files back the returned DataFrame's lineage, so they
+        cannot be auto-deleted here; delete ``checkpoint_dir`` (or enable
+        ``spark.cleaner.referenceTracking.cleanCheckpoints``) once the
+        result has been written/persisted, or runs accumulate files.
     """
     from ..deploy import ship_package
 

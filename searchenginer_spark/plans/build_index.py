@@ -113,7 +113,6 @@ def build_index(
     Returns a summary dict (n_docs, parts_built, parts_total, wall_s).
     """
     spark = docs.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     paths = IndexPaths(root)
     t0 = time.monotonic()
 
@@ -194,7 +193,11 @@ def build_index(
         pend_dl = S.doc_lengths(pend_tf)
         t1 = time.monotonic()
         postings = build_postings(pend_tf, pend_dl, term_dict, stats, docs_per_part)
-        postings.write.mode("overwrite").partitionBy("part").parquet(paths.postings)
+        # dynamic overwrite per-write: a resume must replace ONLY the pending
+        # parts' partitions, never clobber parts committed by earlier runs
+        postings.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("part").parquet(paths.postings)
         wall_ms = int((time.monotonic() - t1) * 1000)
 
         # lineage + throughput metrics per part (from the written data)

@@ -80,7 +80,6 @@ def incremental_index(
         if batch.isEmpty():
             return
         bspark = batch.sparkSession
-        bspark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         new_docs = batch.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
         new_docs.write.mode("append").partitionBy("part").parquet(paths.docs)
 
@@ -114,10 +113,15 @@ def incremental_index(
                 part_stats(
                     S.doc_lengths(S.term_frequencies(others, text_col=text_col)),
                     docs_per_part,
-                ).write.mode("overwrite").partitionBy("part").parquet(paths.stats_parts)
-        part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
-            "part"
-        ).parquet(paths.stats_parts)
+                ).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("part").parquet(paths.stats_parts)
+        # per-write dynamic overwrite (replaces only the touched parts'
+        # partitions) — a writer option, never a session-conf mutation that
+        # would silently change unrelated writes' overwrite semantics
+        part_stats(dl, docs_per_part).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("part").parquet(paths.stats_parts)
         sp = bspark.read.parquet(paths.stats_parts)
         sp.agg(
             F.sum("n_docs").alias("n_docs"),
@@ -126,7 +130,9 @@ def incremental_index(
         stats = bspark.read.parquet(paths.stats)
 
         postings = build_postings(tf, dl, term_dict, stats, docs_per_part)
-        postings.write.mode("overwrite").partitionBy("part").parquet(paths.postings)
+        postings.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("part").parquet(paths.postings)
         tf.unpersist()
 
     stream = (

@@ -104,7 +104,11 @@ def test_banding_pigeonhole_property(spark):
 
 
 def test_minhash_lsh_finds_near_dups(docs):
-    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    from searchenginer_spark.operators.dedup import release_intermediates
+
+    df = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = df.collect()
+    release_intermediates(df)
     assert len(pairs) >= 1
     assert all(0 <= p["est_jaccard"] <= 1 for p in pairs)
     # exact dups estimate at 1.0
@@ -116,6 +120,58 @@ def test_ngram_jaccard_exact(docs):
     assert len(pairs) >= 1
     assert all(p["jaccard"] <= 1.0 + 1e-12 for p in pairs)
     assert any(p["jaccard"] > 0.999 for p in pairs)  # exact dups
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_minhash_release_intermediates_no_leak(spark, docs):
+    from searchenginer_spark.operators.dedup import release_intermediates
+
+    docs.count()  # materialize the fixture's own cache first
+    sub = docs.filter(F.col("doc_id") < 150)  # unique plan: no CacheManager
+    before = _n_persistent(spark)  # plan-dedup against other tests' caches
+    pairs = minhash_lsh_pairs(sub, threshold=0.5)
+    pairs.count()  # materialize (sigs persisted during the job)
+    release_intermediates(pairs)
+    assert _n_persistent(spark) == before  # no cached RDD left behind
+    release_intermediates(pairs)  # idempotent
+
+
+def test_embedding_pairs_empty_input_and_release(spark):
+    from searchenginer_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        release_intermediates,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, vec array<double>")
+    out = embedding_cosine_pairs(empty, id_col="vec_id", vec_col="vec")
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "vec_id_2", "cos"]
+
+    before = _n_persistent(spark)
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, vec array<double>",
+    )
+    pairs = embedding_cosine_pairs(vecs, id_col="vec_id", vec_col="vec")
+    got = {(r["vec_id"], r["vec_id_2"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    release_intermediates(pairs)
+    assert _n_persistent(spark) == before
+
+
+def test_dedup_docs_custom_id_col(spark, docs):
+    """simhash dedup with a non-default id column: both pair columns rename."""
+    from searchenginer_spark.operators.dedup import dedup_docs
+
+    renamed = docs.withColumnRenamed("doc_id", "file_id")
+    kept = dedup_docs(renamed, how="simhash", text_col="text", id_col="file_id")
+    default = dedup_docs(docs, how="simhash", text_col="text")
+    assert {r["file_id"] for r in kept.select("file_id").collect()} == {
+        r["doc_id"] for r in default.select("doc_id").collect()
+    }
 
 
 def test_embedding_cosine_pairs_find_injected_dups(spark):
