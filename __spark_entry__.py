@@ -40,6 +40,8 @@ from searchenginer_spark.plans.bm25_dataframe import Bm25DataFrameIndex, tokeniz
 
 IDENT_SQL_RE = "[A-Za-z_][A-Za-z0-9_]*"
 
+from searchenginer_spark.operators.dict import DEFAULT_STOPWORDS as _STOPWORDS  # noqa: E402
+
 _IDX_CACHE: dict[tuple[int, str], Bm25DataFrameIndex] = {}
 
 
@@ -87,21 +89,38 @@ dft AS (SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1)
 _TOKS_CTE = _toks_cte()
 
 
-def _bm25_sql(query: str, mode: str, k: int = 10, pre: str = "", src: str = "documents") -> str:
+def _bm25_sql(
+    query: str,
+    mode: str,
+    k: int = 10,
+    pre: str = "",
+    src: str = "documents",
+    stop: tuple[str, ...] | None = None,
+) -> str:
     terms = tokenize_query(query)
     values = ", ".join(f"('{t}', {c})" for t, c in terms)
     m_filter = f"WHERE m = {len(terms)}" if mode == "and" else ""
+    # stopwords are removed at DICT time (build_index stopwords=...): df/cf
+    # rows vanish but dl/avgdl/n_docs still count every token
+    if stop is not None:
+        inlist = ", ".join(f"'{w}'" for w in stop)
+        dict_cte = f"dfk AS (SELECT * FROM dft WHERE term NOT IN ({inlist})),"
+        dict_src = "dfk"
+    else:
+        dict_cte = ""
+        dict_src = "dft"
     return f"""
 WITH {pre}{_toks_cte(src)},
+{dict_cte}
 q(term, qtf) AS (VALUES {values}),
 scored AS (
   SELECT tf.doc_id,
          sum(q.qtf
-             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * ln(((SELECT n_docs FROM st) - {dict_src}.df + 0.5) / ({dict_src}.df + 0.5) + 1.0)
              * tf.tf * 2.2
              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score,
          count(*) AS m
-  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  FROM tf JOIN q USING (term) JOIN {dict_src} USING (term) JOIN dl USING (doc_id)
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score
@@ -200,6 +219,54 @@ def _q_dedup_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = spark.read.parquet(IndexPaths(root).stats)
     return st.select("n_docs", F.round("avgdl", 4).alias("avgdl"))
+
+
+# ------------------------------------------------ stopworded-build pipeline
+
+_STOP_IDX_CACHE: dict[tuple[int, str], object] = {}
+STOPWORD_QUERY = "the data query merge"
+
+
+def _stop_index(spark: SparkSession, sf_dir: str):
+    """Index built with the default stopword table: stopworded terms never
+    enter term_dict/postings (dict-write-time removal,
+    Make_dir/MakeDictAndIndex.cpp:118-125); dl/avgdl still count them."""
+    import tempfile
+
+    from searchenginer_spark.operators.dict import stopwords_df
+    from searchenginer_spark.plans.build_index import build_index, open_index
+
+    key = (id(spark), sf_dir)
+    if key not in _STOP_IDX_CACHE:
+        root = tempfile.mkdtemp(prefix="sg_stop_idx_")
+        build_index(
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            root,
+            text_col="text",
+            docs_per_part=128,
+            stopwords=stopwords_df(spark),
+        )
+        _STOP_IDX_CACHE[key] = open_index(spark, root)
+    return _STOP_IDX_CACHE[key]
+
+
+def _q_bm25_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-mode BM25 where the query leads with a stopword: 'the' must
+    contribute nothing (it has no dict entry / postings)."""
+    return _stop_index(spark, sf_dir).search(
+        STOPWORD_QUERY, k=10, mode="or", round_to=4
+    )
+
+
+def _q_stopword_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 df terms OF THE STOPWORDED DICT — proves stopworded terms left
+    term_dict (they would otherwise dominate this ranking)."""
+    idx = _stop_index(spark, sf_dir)
+    return (
+        idx.term_dict.orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
 
 
 _BATCH_QUERIES = {"q1": "query data", "q2": "spark merge window", "q3": "the fast"}
@@ -807,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_topk": _q_bm25_batch,
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
+        "bm25_stopword_topk": _q_bm25_stopword,
+        "stopword_dict_topdf": _q_stopword_dict,
         "bm25_fetch_verified": _q_bm25_fetch_verified,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "term_df_stats": _q_term_df_stats,
@@ -845,6 +914,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compressed_or_topk": _bm25_sql("spark merge window", "or"),
         "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
+        "bm25_stopword_topk": _bm25_sql(STOPWORD_QUERY, "or", stop=_STOPWORDS),
+        "stopword_dict_topdf": f"""
+WITH {_TOKS_CTE}
+SELECT term, df, cf FROM dft
+WHERE term NOT IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})
+ORDER BY df DESC, term LIMIT 50
+""",
         "dedup_build_doc_stats": f"""
 WITH {_DEDUP_SQL_PRE}{_toks_cte("dd")}
 SELECT n_docs, round(avgdl, 4) AS avgdl FROM st

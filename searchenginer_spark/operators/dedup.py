@@ -93,29 +93,69 @@ def dedup_docs(
     Wired into plans.build_index.build_index(dedup=...) so the end-to-end
     corpus -> dedup -> index pipeline is one call.
     """
+    out, _tf, handles = dedup_docs_and_tf(
+        docs, how, text_col, id_col, max_hamming=max_hamming, top_n=top_n
+    )
+    for h in handles:
+        # plain dedup callers don't reuse the tf table — drop the cache marks
+        # so the result stays a lazy uncached plan (no block-manager residue)
+        h.unpersist()
+    return out
+
+
+def dedup_docs_and_tf(
+    docs: DataFrame,
+    how: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    top_n: int = 20,
+    with_positions: bool = False,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """(deduped docs, tf over the deduped docs, persisted handles) — fused
+    dedup + term-frequency stage sharing ONE tokenize pass.
+
+    Tokenize+tf is the widest stage of the build DAG (PLANS.md §3); the
+    ``dedup='simhash'`` pipeline needs tf twice — for the TF-IDF-keyword
+    simhash fingerprints AND for the index's term stats. This helper computes
+    it once over the exact-deduped corpus, persists it, mints the simhash
+    loser set from it, and returns the survivor-filtered view for the index
+    stats, so the end-to-end dedup build tokenizes the corpus exactly once.
+
+    The returned tf carries (doc_id, term, tf[, positions]) regardless of
+    ``id_col`` (pair/tf frames are keyed on doc_id internally). The caller
+    must unpersist every handle in ``handles`` after its last tf-derived
+    action (build_index does this at return).
+    """
     from ..functions.hashing import simhash, tfidf_top_keywords
     from .stats import corpus_stats, doc_lengths, document_frequencies, term_frequencies
 
     out = dedup_exact(docs, text_col, id_col)
-    if how == "exact":
-        return out
-    if how != "simhash":
+    if how not in ("exact", "simhash"):
         raise ValueError(f"unknown dedup mode {how!r} (use 'exact' or 'simhash')")
     named = out if id_col == "doc_id" else out.withColumnRenamed(id_col, "doc_id")
-    tf = term_frequencies(named, text_col=text_col)
+    tf = term_frequencies(
+        named, text_col=text_col, with_positions=with_positions
+    ).persist()
+    if how == "exact":
+        return out, tf, [tf]
     dft = document_frequencies(tf)
     stats = corpus_stats(doc_lengths(tf))
     pairs = simhash_near_pairs(
         simhash(tfidf_top_keywords(tf, dft, stats, top_n=top_n)),
         max_hamming=max_hamming,
     )
+    # losers are tiny and consumed by every downstream tf/docs action —
+    # persist so the banded self-join runs once, not once per consumer
+    losers = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct().persist()
+    kept_tf = tf.join(F.broadcast(losers), "doc_id", "left_anti")
     if id_col != "doc_id":
         # pair frames carry (doc_id, doc_id_2); rename BOTH for the caller's
         # id column so dedup_by_pairs keys line up
         pairs = pairs.withColumnRenamed("doc_id", id_col).withColumnRenamed(
             "doc_id_2", f"{id_col}_2"
         )
-    return dedup_by_pairs(out, pairs, id_col)
+    return dedup_by_pairs(out, pairs, id_col), kept_tf, [tf, losers]
 
 
 def simhash_near_pairs(

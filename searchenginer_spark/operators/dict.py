@@ -12,10 +12,24 @@ index file gave (min/max parquet stats or partition pruning on prefix).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ids import assign_sequential_ids
+
+#: default English stopword set — the same function-word list
+#: functions/textstats.py scores against, so one list drives both quality
+#: scoring and dict-time stopword removal (reference ships its stopword file
+#: next to the dict, Make_dir/MakeDictAndIndex.cpp:80-94).
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "is", "in", "that", "it",
+    "a", "an", "was", "for", "on", "with", "as",
+)
+
+
+def stopwords_df(spark: SparkSession, words: tuple[str, ...] = DEFAULT_STOPWORDS) -> DataFrame:
+    """One-column (term) stopword table for build_term_dict/build_index."""
+    return spark.createDataFrame([(w,) for w in words], "term string")
 
 
 def build_term_dict(

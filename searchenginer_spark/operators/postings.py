@@ -57,11 +57,16 @@ POSTING_COLS = [
     "block_last", "block_max", "block_doc_off", "block_tf_off",
 ]
 
-#: positions variant: one extra binary column — concat over postings of
-#: varbyte(delta(token positions)); per-posting slicing derives from the tf
-#: counts (posting i holds tf_i values). Kept as the LAST column so plans
-#: that don't need positions prune it at the parquet scan (SURVEY §7.4.4).
-POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", positions binary"
+#: positions variant: two extra columns — ``positions`` concats over postings
+#: varbyte(delta(token positions)) with the delta restarting at every
+#: POSTING (first value absolute), so any block boundary decodes
+#: independently; per-posting slicing derives from the tf counts (posting i
+#: holds tf_i values). ``block_pos_off`` stores each block's byte offset
+#: inside ``positions`` (same skip-pointer pattern as block_doc_off), so
+#: phrase queries decode ONLY the blocks holding conjunctive candidates.
+#: ``positions`` is kept as the LAST column so plans that don't need
+#: positions prune it at the parquet scan (SURVEY §7.4.4).
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", block_pos_off array<long>, positions binary"
 
 
 def scored_postings(
@@ -152,6 +157,8 @@ def _encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
     abm = np.maximum.reduceat(sc, bstart_idx).tolist() if n_all else []
     ado = (doc_off[bstart_idx] - doc_off[gstart[blk_group]]).tolist()
     ato = (tf_off[bstart_idx] - tf_off[gstart[blk_group]]).tolist()
+    if with_pos:
+        apo = (posting_pos_off[bstart_idx] - posting_pos_off[gstart[blk_group]]).tolist()
     bof = np.concatenate(
         ([0], np.cumsum(np.bincount(blk_group, minlength=len(gstart))))
     ).tolist()
@@ -173,10 +180,11 @@ def _encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
         )
         if with_pos:
             row = row + (
+                apo[b0:b1],
                 pos_bytes[posting_pos_off[s] : posting_pos_end[e - 1]].tobytes(),
             )
         rows.append(row)
-    cols = POSTING_COLS + (["positions"] if with_pos else [])
+    cols = POSTING_COLS + (["block_pos_off", "positions"] if with_pos else [])
     return pd.DataFrame(rows, columns=cols)
 
 
@@ -270,6 +278,51 @@ def decode_positions_flat(
     base[nz] = cs[starts[nz]] - flat[starts[nz]]
     out_flat = (cs - np.repeat(base, counts)).astype(np.int64)
     return out_flat, starts, counts
+
+
+def decode_positions_blocks(
+    positions: bytes,
+    tfs: bytes,
+    block_pos_off: np.ndarray,
+    block_tf_off: np.ndarray,
+    n: int,
+    needed: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ONLY ``needed`` blocks' positions (and their tfs).
+
+    The positions delta stream restarts at every posting (first value
+    absolute), so a block slice decodes independently; per-posting split
+    points inside the block come from the block's tf slice. Returns
+    ``(flat, starts, counts, posting_idx)``: posting ``posting_idx[i]``
+    (GLOBAL index into the row's posting order — the scores-array index)
+    has sorted absolute positions ``flat[starts[i] : starts[i]+counts[i]]``.
+    This is the phrase path's skip-pointer read: a hot term's position blob
+    is never fully decoded when the conjunctive candidate set is small.
+    """
+    pbuf = np.frombuffer(positions, dtype=np.uint8)
+    tbuf = np.frombuffer(tfs, dtype=np.uint8)
+    poffs = np.asarray(block_pos_off, dtype=np.int64)
+    toffs = np.asarray(block_tf_off, dtype=np.int64)
+    flat_parts, count_parts, idx_parts = [], [], []
+    for b in needed.tolist():
+        thi = toffs[b + 1] if b + 1 < len(toffs) else len(tbuf)
+        cnt = varbyte_decode(tbuf[toffs[b] : thi]).astype(np.int64)
+        phi = poffs[b + 1] if b + 1 < len(poffs) else len(pbuf)
+        deltas = varbyte_decode(pbuf[poffs[b] : phi])
+        sl = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        cs = np.cumsum(deltas, dtype=np.uint64)
+        base = np.zeros(len(cnt), dtype=np.uint64)
+        nz = cnt > 0
+        base[nz] = cs[sl[nz]] - deltas[sl[nz]]
+        flat_parts.append((cs - np.repeat(base, cnt)).astype(np.int64))
+        count_parts.append(cnt)
+        idx_parts.append(np.arange(b * BLOCK, b * BLOCK + len(cnt), dtype=np.int64))
+    if not flat_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy(), e.copy()
+    counts = np.concatenate(count_parts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.concatenate(flat_parts), starts, counts, np.concatenate(idx_parts)
 
 
 def decode_positions(positions: bytes, tfs: np.ndarray) -> list[np.ndarray]:

@@ -39,8 +39,10 @@ import re
 
 from ..functions.tokenize import IDENT_RE
 from ..operators.postings import (
+    BLOCK,
     decode_blocks,
     decode_doc_ids,
+    decode_positions_blocks,
     decode_positions_flat,
     decode_scores,
     decode_tfs,
@@ -195,36 +197,75 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
     survives iff its key appears in every slot's sorted key array, so the
     adjacency check is len(slots)-1 sorted-membership passes over flat
     arrays. A hot phrase with thousands of candidates costs the same numpy
-    passes as a rare one.
+    passes as a rare one. Reads are skip-pointer-bounded end to end: doc ids
+    of non-driver terms AND every term's positions decode per-block
+    (block_doc_off / block_pos_off), so a hot term's blobs are never fully
+    decoded when the conjunctive candidate set is small.
 
     Returns top-k (doc_ids, scores) where score is the BM25 sum over the
     phrase's distinct terms (qtf weights included)."""
     by_tid = {g["term_id"]: g for g in groups}
     if any(t not in by_tid for t in slots):
         return [], []
-    distinct = list(dict.fromkeys(slots))
-    docs_by_tid = {}
-    pos_by_tid = {}
-    score_by_tid = {}
-    for t in distinct:
-        g = by_tid[t]
-        docs_by_tid[t] = decode_doc_ids(g["docs"], g["n"])
-        pos_by_tid[t] = decode_positions_flat(g["positions"], decode_tfs(g["tfs"]))
-        score_by_tid[t] = decode_scores(g["scores"])
-    # conjunctive candidates
-    cand = docs_by_tid[distinct[0]]
+    # conjunctive intersection with block skip-decode, rarest term first —
+    # identical read pattern to _score_part_and: non-driver terms decode
+    # ONLY blocks whose block_last range can contain surviving candidates
+    distinct = sorted(dict.fromkeys(slots), key=lambda t: by_tid[t]["n"])
+    drv = by_tid[distinct[0]]
+    cand = decode_doc_ids(drv["docs"], drv["n"])
+    decoded = {distinct[0]: (cand, np.arange(cand.size, dtype=np.int64))}
     for t in distinct[1:]:
-        cand = cand[np.isin(cand, docs_by_tid[t], assume_unique=True)]
+        if cand.size == 0:
+            return [], []
+        g = by_tid[t]
+        block_last = np.asarray(g["block_last"], dtype=np.int64)
+        bidx = np.unique(np.searchsorted(block_last, cand))
+        bidx = bidx[bidx < len(block_last)]
+        ids, pos = decode_blocks(
+            g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
+        )
+        decoded[t] = (ids, pos)
+        if ids.size == 0:
+            return [], []
+        loc = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
+        cand = cand[ids[loc] == cand]
     if cand.size == 0:
         return [], []
-    # posting index of every candidate within each term's posting list
-    idxs = {t: np.searchsorted(docs_by_tid[t], cand) for t in distinct}
+    # GLOBAL posting index of every candidate within each term's posting row
+    # (the scores-array index); each term's decoded ids are a superset of the
+    # final candidate set, so a sorted searchsorted lookup is exact
+    idxs = {}
+    for t in distinct:
+        ids, pos = decoded[t]
+        idxs[t] = pos[np.searchsorted(ids, cand)]
+    # positions: decode ONLY the blocks containing candidate postings via
+    # block_pos_off skip pointers (full decode for legacy rows without them)
+    pos_data = {}
+    for t in distinct:
+        g = by_tid[t]
+        bpo = g.get("block_pos_off")
+        if bpo is not None:
+            flat, starts, counts, posting_idx = decode_positions_blocks(
+                g["positions"],
+                g["tfs"],
+                np.asarray(bpo, dtype=np.int64),
+                np.asarray(g["block_tf_off"], dtype=np.int64),
+                g["n"],
+                np.unique(idxs[t] // BLOCK),
+            )
+            rows_t = np.searchsorted(posting_idx, idxs[t])
+        else:
+            flat, starts, counts = decode_positions_flat(
+                g["positions"], decode_tfs(g["tfs"])
+            )
+            rows_t = idxs[t]
+        pos_data[t] = (flat, starts, counts, rows_t)
     # keys are strictly increasing per slot: owner asc, positions asc within
     offset = len(slots)  # keeps pos - slot_i strictly positive
     keys = None
     for i, t in enumerate(slots):
-        flat, starts, counts = pos_by_tid[t]
-        vals, owner = _gather_runs(flat, starts, counts, idxs[t])
+        flat, starts, counts, rows_t = pos_data[t]
+        vals, owner = _gather_runs(flat, starts, counts, rows_t)
         keys_i = (owner << 32) | (vals - i + offset)
         keys = keys_i if keys is None else keys[_member_sorted(keys, keys_i)]
         if keys.size == 0:
@@ -233,7 +274,7 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
     out_ids = cand[surv]
     out_scores = np.zeros(surv.size, dtype=np.float64)
     for t in distinct:
-        out_scores += qtf[t] * score_by_tid[t][idxs[t][surv]]
+        out_scores += qtf[t] * decode_scores(by_tid[t]["scores"])[idxs[t][surv]]
     if round_to is not None:
         out_scores = np.round(out_scores, round_to)
     if out_ids.size > k:

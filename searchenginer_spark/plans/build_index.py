@@ -98,11 +98,19 @@ def build_index(
     max_parts: int | None = None,
     with_positions: bool = False,
     dedup: str | None = None,
+    stopwords: DataFrame | None = None,
 ) -> dict:
     """Build (or resume) the full index for ``docs(doc_id, <text_col>, ...)``.
 
     ``max_parts`` limits how many pending parts are built this run — used by
     the kill/resume tests to simulate an interrupted build.
+
+    ``stopwords``: optional (term) table removed at dict-write time (the
+    reference applies its stopword set when writing the dictionary,
+    Make_dir/MakeDictAndIndex.cpp:118-125): stopworded terms never enter
+    term_dict, and — because postings join tf through term_dict — never get
+    posting rows either. dl/avgdl still count every token (doc length is a
+    property of the document, not the dictionary).
 
     ``dedup``: 'exact' or 'simhash' runs operators.dedup.dedup_docs BEFORE
     any stats/partitioning, reproducing the reference's dedup-inside-store
@@ -116,10 +124,16 @@ def build_index(
     paths = IndexPaths(root)
     t0 = time.monotonic()
 
+    dedup_tf = None
+    dedup_handles: list[DataFrame] = []
     if dedup is not None:
-        from ..operators.dedup import dedup_docs
+        from ..operators.dedup import dedup_docs_and_tf
 
-        docs = dedup_docs(docs, how=dedup, text_col=text_col)
+        # fused stage: the dedup fingerprints and the index stats share ONE
+        # tokenize+tf pass (the widest stage of the DAG) instead of two
+        docs, dedup_tf, dedup_handles = dedup_docs_and_tf(
+            docs, how=dedup, text_col=text_col, with_positions=with_positions
+        )
     docs = docs.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
 
     # -- stage 1: docs + dictionary — written once, reused on resume --------
@@ -144,16 +158,21 @@ def build_index(
         writer.start()
 
     tf = None
+    owns_tf = False
     if not (_table_ready(spark, paths.term_dict) and _table_ready(spark, paths.stats)):
         # stats read the in-memory input directly — identical rows to what
         # the writer thread is persisting (both derive from `docs`)
-        tf = S.term_frequencies(
-            docs, text_col=text_col, with_positions=with_positions
-        ).persist()
+        if dedup_tf is not None:
+            tf = dedup_tf  # survivor-filtered view over the dedup stage's tf
+        else:
+            tf = S.term_frequencies(
+                docs, text_col=text_col, with_positions=with_positions
+            ).persist()
+            owns_tf = True
         dl = S.doc_lengths(tf)
-        build_term_dict(S.document_frequencies(tf)).write.mode("overwrite").parquet(
-            paths.term_dict
-        )
+        build_term_dict(S.document_frequencies(tf), stopwords=stopwords).write.mode(
+            "overwrite"
+        ).parquet(paths.term_dict)
         S.corpus_stats(dl).write.mode("overwrite").parquet(paths.stats)
         part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
             "part"
@@ -243,8 +262,10 @@ def build_index(
         metrics.write.mode("append").parquet(paths.metrics)
         built = len(pending)
 
-    if tf is not None:
+    if tf is not None and owns_tf:
         tf.unpersist()
+    for h in dedup_handles:
+        h.unpersist()
     return {
         "n_docs": docs.count(),
         "parts_total": len(all_parts),

@@ -73,6 +73,61 @@ def test_positions_roundtrip(pindex):
         assert np.all(np.diff(p) > 0)  # strictly increasing within a doc
 
 
+@pytest.fixture(scope="module")
+def multiblock(spark):
+    """Positions index where hot terms span MANY 128-posting blocks (one
+    giant part), exercising the block_pos_off skip-decode path."""
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.sources.corpus import build_docs
+
+    docs = build_docs(spark, 600, seed=7, num_partitions=4).select(
+        "doc_id", F.col("content").alias("text")
+    ).persist()
+    tf = S.term_frequencies(docs, text_col="text", with_positions=True)
+    dl = S.doc_lengths(tf)
+    term_dict = build_term_dict(S.document_frequencies(tf)).persist()
+    postings = build_postings(
+        tf, dl, term_dict, S.corpus_stats(dl), docs_per_part=1 << 16
+    ).persist()
+    pydocs = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    return Bm25CompressedIndex(spark, postings, term_dict), pydocs
+
+
+def test_decode_positions_blocks_matches_full(multiblock):
+    from searchenginer_spark.operators.postings import (
+        BLOCK,
+        decode_positions_blocks,
+        decode_positions_flat,
+    )
+
+    idx, _ = multiblock
+    row = idx.postings.filter(idx.postings.n > 3 * BLOCK).first()
+    assert row is not None, "fixture needs a >3-block hot term"
+    tfs = decode_tfs(row["tfs"])
+    flat_full, starts_full, counts_full = decode_positions_flat(row["positions"], tfs)
+    nblocks = len(row["block_pos_off"])
+    # every strided subset of blocks decodes to the full decode's values
+    for needed in (np.array([0]), np.array([nblocks - 1]), np.arange(0, nblocks, 2)):
+        flat, starts, counts, pidx = decode_positions_blocks(
+            row["positions"], row["tfs"],
+            np.asarray(row["block_pos_off"]), np.asarray(row["block_tf_off"]),
+            row["n"], needed,
+        )
+        for local, g in enumerate(pidx.tolist()):
+            a = flat[starts[local] : starts[local] + counts[local]]
+            b = flat_full[starts_full[g] : starts_full[g] + counts_full[g]]
+            assert np.array_equal(a, b), (g, needed)
+
+
+@pytest.mark.parametrize("phrase", ["int return", "def id42", "return return"])
+def test_phrase_multiblock_matches_oracle(multiblock, phrase):
+    idx, pydocs = multiblock
+    got = {r["doc_id"] for r in idx.search_phrase(phrase, k=100000).collect()}
+    want = _phrase_docs_oracle(pydocs, phrase)
+    assert got == want, phrase
+
+
 def test_non_phrase_path_ignores_positions(pindex, docs_sf0001):
     # AND search on a positions-enabled index still works and matches the
     # positions-free engine
