@@ -269,6 +269,46 @@ def _q_stopword_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- incremental fold + compaction pipeline
+
+_COMPACT_IDX_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _compact_index(spark: SparkSession, sf_dir: str):
+    """base build (first half) -> Structured-Streaming incremental fold
+    (second half) -> compact_indexes repair. The compacted index must be
+    query-identical to a full rebuild over all docs — compaction is the
+    consolidation that clears the incremental path's BM25 idf staleness
+    (streaming/incremental.py semantics)."""
+    import tempfile
+
+    from searchenginer_spark.plans.build_index import (
+        build_index,
+        compact_indexes,
+        open_index,
+    )
+    from searchenginer_spark.streaming.incremental import incremental_index
+
+    key = (id(spark), sf_dir)
+    if key not in _COMPACT_IDX_CACHE:
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        mid = d.agg(F.max("doc_id")).first()[0] // 2
+        root = tempfile.mkdtemp(prefix="sg_cmp_base_")
+        inbox = tempfile.mkdtemp(prefix="sg_cmp_inbox_")
+        ckpt = tempfile.mkdtemp(prefix="sg_cmp_ckpt_")
+        out_root = tempfile.mkdtemp(prefix="sg_cmp_out_")
+        build_index(d.filter(F.col("doc_id") <= mid), root, text_col="text", docs_per_part=128)
+        d.filter(F.col("doc_id") > mid).write.mode("overwrite").parquet(inbox)
+        incremental_index(spark, inbox, root, ckpt, docs_per_part=128, text_col="text")
+        compact_indexes(spark, [root], out_root, docs_per_part=128, text_col="text")
+        _COMPACT_IDX_CACHE[key] = open_index(spark, out_root)
+    return _COMPACT_IDX_CACHE[key]
+
+
+def _q_bm25_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _compact_index(spark, sf_dir).search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
+
+
 _BATCH_QUERIES = {"q1": "query data", "q2": "spark merge window", "q3": "the fast"}
 
 
@@ -751,6 +791,55 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, round_to=4)
 
 
+#: IVF fixture root: the ann_ivf_topk query MATERIALIZES its seeded-KMeans
+#: list assignments + probed flag here, and the oracle re-derives the top-k
+#: from that parquet in SQL (exact cosine inside the probed lists). The
+#: centroids are data-trained, so unlike the SRP planes they cannot be
+#: embedded as literals in ANSI SQL — the assignment table is the fixture.
+_IVF_FIXTURE_ROOT = "/tmp/sg_fixtures"
+
+
+def _ivf_fixture_path(sf_dir: str) -> str:
+    import os
+
+    return f"{_IVF_FIXTURE_ROOT}/ann_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (FAISS IVF shape, server.pb_skeleton.cc:288-302 analog):
+    seeded-KMeans coarse quantizer, probe the nprobe nearest lists, exact
+    cosine inside. List assignments + probed flags are written as a parquet
+    fixture so the DuckDB oracle value-checks the probed-candidate top-k."""
+    import numpy as np
+
+    from searchenginer_spark.operators.ann import ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, assigned = ivf_build(emb, n_lists=8, seed=42)
+    qvec = np.asarray(_query_vec(spark, sf_dir), dtype=np.float64)
+    d2 = ((centroids - qvec) ** 2).sum(axis=1)
+    probes = np.argsort(d2)[:2].tolist()
+    assigned.select(
+        "vec_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        F.col("list_id").isin(probes).alias("probed"),
+    ).write.mode("overwrite").parquet(_ivf_fixture_path(sf_dir))
+    return ivf_topk(assigned, centroids, qvec.tolist(), k=10, nprobe=2, round_to=4)
+
+
+def _ann_ivf_sql(sf_dir: str = "/root/testdata/sf0.01", k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT vec_id FROM read_parquet('{_ivf_fixture_path(sf_dir)}/*.parquet') WHERE probed)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) AS cos
+FROM embeddings e JOIN cand USING (vec_id)
+ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) DESC,
+         vec_id
+LIMIT {k}
+"""
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN; the oracle recomputes the same seeded
     hyperplanes/buckets in SQL, so even the approximation is value-checked."""
@@ -876,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_build_doc_stats": _q_dedup_build_stats,
         "bm25_stopword_topk": _q_bm25_stopword,
         "stopword_dict_topdf": _q_stopword_dict,
+        "bm25_compacted_topk": _q_bm25_compact,
         "bm25_fetch_verified": _q_bm25_fetch_verified,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "term_df_stats": _q_term_df_stats,
@@ -892,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "doc_vectors_sample": _q_doc_vectors,
         "vector_search_text": _q_vector_search,
         "dedup_embedding_pairs": _q_dedup_embedding,
@@ -915,6 +1006,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
         "bm25_stopword_topk": _bm25_sql(STOPWORD_QUERY, "or", stop=_STOPWORDS),
+        # incremental fold + compaction must equal the FULL-REBUILD oracle
+        "bm25_compacted_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "stopword_dict_topdf": f"""
 WITH {_TOKS_CTE}
 SELECT term, df, cf FROM dft
@@ -1094,6 +1187,7 @@ FROM m
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_fingerprints": _doc_fingerprints_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "doc_vectors_sample": _doc_vectors_sql(),
         "vector_search_text": _vector_search_sql(VEC_QUERY),
         "dedup_embedding_pairs": _embedding_pairs_sql(),

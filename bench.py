@@ -109,13 +109,31 @@ def main() -> None:
         }
         lat = []
         for name, (q, mode) in bm25_queries.items():
-            t = time.monotonic()
-            idx.search(q, k=10, mode=mode).collect()
-            dt = time.monotonic() - t
-            timings[name] = round(dt, 3)
-            lat.append(dt)
+            runs = []
+            for _ in range(3):
+                t = time.monotonic()
+                idx.search(q, k=10, mode=mode).collect()
+                runs.append(time.monotonic() - t)
+            # first run stays the phase number (comparable with r01/r02
+            # single-shot protocol); median-of-3 disarms run-to-run jitter
+            timings[name] = round(runs[0], 3)
+            extras[f"{name}_med3_ms"] = round(1000 * sorted(runs)[1], 1)
+            lat.append(runs[0])
         lat.sort()
         extras["bm25_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+
+        # warm-query serving loop: repeated single queries on one session —
+        # evidences how much of the single-query floor amortizes when the
+        # session, dict cache, and python workers stay warm (PLANS.md §6)
+        n_loop = 20
+        qlist = list(bm25_queries.values())
+        t = time.monotonic()
+        for i in range(n_loop):
+            q, mode = qlist[i % len(qlist)]
+            idx.search(q, k=10, mode=mode).collect()
+        dt = time.monotonic() - t
+        timings["bm25_warm_loop"] = round(dt, 3)
+        extras["warm_loop_qps"] = round(n_loop / dt, 2)
 
         # batched throughput: 100 queries in one Spark job
         batch = {
@@ -150,12 +168,29 @@ def main() -> None:
         pidx = timed("phrase_index_build", _phrase_index)
         timed("phrase_hot", lambda: pidx.search_phrase("int return", k=10).collect())
 
-        # ---- dedup over the synthetic corpus -------------------------------
-        ddocs = docs.select("doc_id", F.col("content").alias("text"))
+        # ---- dedup-integrated build (corpus -> simhash dedup -> index) -----
+        # single fused tokenize pass (dedup_docs_and_tf): wall should sit at
+        # ~index_build + the banded pair join, NOT at 2x tokenize
         timed(
-            "dedup_minhash_lsh",
-            lambda: minhash_lsh_pairs(ddocs, threshold=0.7).count(),
+            "dedup_simhash_build",
+            lambda: build_index(
+                docs, root + "_dd", docs_per_part=max(256, n_corpus // 64),
+                dedup="simhash",
+            ),
         )
+
+        # ---- dedup over the synthetic corpus -------------------------------
+        from searchenginer_spark.operators.dedup import release_intermediates
+
+        ddocs = docs.select("doc_id", F.col("content").alias("text"))
+
+        def _minhash():
+            pairs = minhash_lsh_pairs(ddocs, threshold=0.7)
+            n = pairs.count()
+            release_intermediates(pairs)
+            return n
+
+        timed("dedup_minhash_lsh", _minhash)
 
         # shared tf/dft/stats tables for simhash + the vector path — persist
         # and materialize as their own phase so the downstream phases time
@@ -192,6 +227,7 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(root + "_warm", ignore_errors=True)
+        shutil.rmtree(root + "_dd", ignore_errors=True)
 
     # ---- generic operators at the sf dir -----------------------------------
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

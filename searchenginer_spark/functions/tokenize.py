@@ -44,13 +44,29 @@ def explode_tokens(
     id_col: str = "doc_id",
     pattern: str = IDENT_RE,
     with_positions: bool = False,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """(id_col, term[, pos]) — one row per token occurrence.
 
     ``pos`` is the 0-based token ordinal (the reference records occurrence
     order implicitly by accumulation order, Make_Page/MakePage.cpp:111-137).
+
+    ``tokenizer`` selects the token source: None (default) = JVM regex
+    ``pattern``; 'cjk_bigram' = identifier runs + CJK bigrams (JVM);
+    'jieba' = real dictionary segmentation via the jieba package (Arrow
+    pandas UDF) — plug-in parity with the reference's cppjieba MixSegment
+    on clusters where jieba is installed; raises ImportError otherwise.
     """
-    toks = tokens(text_col, pattern)
+    if tokenizer is None:
+        toks = tokens(text_col, pattern)
+    elif tokenizer == "cjk_bigram":
+        toks = cjk_tokens(text_col)
+    elif tokenizer == "jieba":
+        toks = jieba_tokens_pandas_udf()(F.col(text_col))
+    else:
+        raise ValueError(
+            f"unknown tokenizer {tokenizer!r} (None, 'cjk_bigram', or 'jieba')"
+        )
     if with_positions:
         return df.select(id_col, F.posexplode(toks).alias("pos", "term"))
     return df.select(id_col, F.explode(toks).alias("term"))
@@ -94,6 +110,40 @@ def cjk_tokens(col: Column | str) -> Column:
         return F.when(is_cjk & (n >= 2), bigrams).otherwise(F.array(run))
 
     return F.flatten(F.transform(runs, expand))
+
+
+def jieba_tokens_pandas_udf():
+    """Dictionary CJK segmentation via jieba — the plug-in parity path for
+    the reference's cppjieba MixSegment (dict-trie DAG + HMM,
+    /root/reference/include/cppjieba/MixSegment.hpp:46-86).
+
+    jieba is not installable in every environment (this sandbox included);
+    where it is absent this factory raises ImportError with a clear message
+    and ``cjk_tokens`` (bigram fallback) remains the default CJK path.
+    Semantics: lowercase, jieba accurate mode with HMM, keep only tokens
+    containing at least one word character (drops whitespace/punctuation).
+    """
+    try:
+        import jieba
+    except ImportError as e:  # pragma: no cover - exercised where jieba absent
+        raise ImportError(
+            "tokenizer='jieba' requires the jieba package (pip install jieba); "
+            "without it use the default identifier tokenizer or the "
+            "'cjk_bigram' fallback"
+        ) from e
+
+    jieba.initialize()  # driver-side warm check; workers re-import lazily
+
+    @pandas_udf("array<string>")
+    def _jb(text: pd.Series) -> pd.Series:
+        import jieba as _j
+
+        word = re.compile(r"\w", re.UNICODE)
+        return text.fillna("").map(
+            lambda s: [t for t in _j.cut(s.lower(), HMM=True) if word.search(t)]
+        )
+
+    return _jb
 
 
 def codepoints_pandas_udf():

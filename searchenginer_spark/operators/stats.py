@@ -25,12 +25,17 @@ def term_frequencies(
     id_col: str = "doc_id",
     pattern: str = IDENT_RE,
     with_positions: bool = False,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf[, positions]) — per-document term frequency.
 
     Reference: Make_Page/MakePage.cpp:111-137 (wordCount[doc][word]++).
+
+    ``tokenizer='jieba'`` swaps in real dictionary CJK segmentation on
+    clusters with jieba installed (functions.tokenize.jieba_tokens_pandas_udf)
+    with no other code changes; 'cjk_bigram' is the dependency-free fallback.
     """
-    toks = explode_tokens(docs, text_col, id_col, pattern, with_positions)
+    toks = explode_tokens(docs, text_col, id_col, pattern, with_positions, tokenizer)
     aggs = [F.count(F.lit(1)).alias("tf")]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))

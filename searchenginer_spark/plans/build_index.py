@@ -282,6 +282,7 @@ def compact_indexes(
     out_root: str,
     docs_per_part: int = 1 << 16,
     with_positions: bool = False,
+    text_col: str = "content",
 ) -> dict:
     """Compact several indexes (e.g. a base + incremental deltas) into one.
 
@@ -296,7 +297,11 @@ def compact_indexes(
         d = spark.read.parquet(IndexPaths(r).docs).drop("part")
         docs = d if docs is None else docs.unionByName(d)
     return build_index(
-        docs, out_root, docs_per_part=docs_per_part, with_positions=with_positions
+        docs,
+        out_root,
+        docs_per_part=docs_per_part,
+        with_positions=with_positions,
+        text_col=text_col,
     )
 
 

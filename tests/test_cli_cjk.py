@@ -1,5 +1,8 @@
 from __future__ import annotations
 
+import importlib.util
+
+import pytest
 from pyspark.sql import functions as F
 
 from searchenginer_spark.functions.tokenize import cjk_tokens
@@ -36,6 +39,40 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli_spark.read.parquet(f"{root}/postings").count() > 0
     cli.main(["query", "--root", root, "--q", "int return", "--k", "5"])
     cli.main(["suggest", "--root", root, "--q", "retrun"])
+
+
+_HAS_JIEBA = importlib.util.find_spec("jieba") is not None
+
+
+@pytest.mark.skipif(_HAS_JIEBA, reason="jieba installed — error path n/a")
+def test_jieba_tokenizer_clear_error_without_jieba(spark):
+    """tokenizer='jieba' must fail LOUDLY and actionably where jieba is
+    absent (this sandbox), never silently fall back to another tokenizer."""
+    from searchenginer_spark.operators.stats import term_frequencies
+
+    docs = spark.createDataFrame([(1, "我们喜欢机器学习")], "doc_id long, text string")
+    with pytest.raises(ImportError, match="jieba"):
+        term_frequencies(docs, tokenizer="jieba").collect()
+
+
+@pytest.mark.skipif(not _HAS_JIEBA, reason="jieba not installed in this env")
+def test_jieba_tokenizer_segments_words(spark):
+    """On a cluster WITH jieba: real dictionary segmentation drives
+    term_frequencies with no other code change (cppjieba MixSegment parity,
+    include/cppjieba/MixSegment.hpp:46-86)."""
+    from searchenginer_spark.operators.stats import term_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "我们喜欢机器学习"), (2, "机器人在工厂工作")], "doc_id long, text string"
+    )
+    tf = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_frequencies(docs, tokenizer="jieba").collect()
+    }
+    # dictionary segmentation yields whole words, not bigrams
+    assert (1, "机器学习") in tf or ((1, "机器") in tf and (1, "学习") in tf)
+    assert (2, "机器人") in tf
+    assert all(len(t) <= 4 for (_, t) in tf)
 
 
 def test_cjk_bigram_retrieval_golden(spark):
