@@ -72,12 +72,19 @@ def _cindex(spark: SparkSession, sf_dir: str) -> Bm25CompressedIndex:
 
 # ---------------------------------------------------------------- oracle SQL
 
-def _toks_cte(src: str = "documents") -> str:
-    """tf/dl/st/dft CTE chain over any docs source (table or prior CTE)."""
+def _toks_cte(src: str = "documents", stop: tuple[str, ...] | None = None) -> str:
+    """tf/dl/st/dft CTE chain over any docs source (table or prior CTE).
+
+    ``stop`` filters the token stream itself (analyzer-style, matching
+    build_index(stopwords=...)): tf/dl/avgdl/df all describe the remaining
+    tokens."""
+    where = (
+        f"WHERE lower(u.t) NOT IN ({', '.join(repr(w) for w in stop)})" if stop else ""
+    )
     return f"""
 toks AS (
   SELECT doc_id, lower(u.t) AS term
-  FROM {src}, unnest(regexp_extract_all(text, '{IDENT_SQL_RE}')) AS u(t)
+  FROM {src}, unnest(regexp_extract_all(text, '{IDENT_SQL_RE}')) AS u(t) {where}
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
@@ -100,27 +107,20 @@ def _bm25_sql(
     terms = tokenize_query(query)
     values = ", ".join(f"('{t}', {c})" for t, c in terms)
     m_filter = f"WHERE m = {len(terms)}" if mode == "and" else ""
-    # stopwords are removed at DICT time (build_index stopwords=...): df/cf
-    # rows vanish but dl/avgdl/n_docs still count every token
-    if stop is not None:
-        inlist = ", ".join(f"'{w}'" for w in stop)
-        dict_cte = f"dfk AS (SELECT * FROM dft WHERE term NOT IN ({inlist})),"
-        dict_src = "dfk"
-    else:
-        dict_cte = ""
-        dict_src = "dft"
+    # ``stop`` = analyzer-style stopword removal (build_index stopwords=...):
+    # the token stream itself is filtered, so tf/dl/avgdl/df consistently
+    # describe the remaining tokens and stop query terms simply never match
     return f"""
-WITH {pre}{_toks_cte(src)},
-{dict_cte}
+WITH {pre}{_toks_cte(src, stop)},
 q(term, qtf) AS (VALUES {values}),
 scored AS (
   SELECT tf.doc_id,
          sum(q.qtf
-             * ln(((SELECT n_docs FROM st) - {dict_src}.df + 0.5) / ({dict_src}.df + 0.5) + 1.0)
+             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
              * tf.tf * 2.2
              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score,
          count(*) AS m
-  FROM tf JOIN q USING (term) JOIN {dict_src} USING (term) JOIN dl USING (doc_id)
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.codec import varbyte_decode, varbyte_encode_raw
-from ..plans.bm25_dataframe import bm25_idf, bm25_tf_norm
+from ..plans.bm25_dataframe import B, K1
 
 BLOCK = 128
 
@@ -69,42 +69,35 @@ POSTING_COLS = [
 POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", block_pos_off array<long>, positions binary"
 
 
-def scored_postings(
-    tf: DataFrame, dl: DataFrame, term_dict: DataFrame, stats: DataFrame
-) -> DataFrame:
-    """(term_id, doc_id, tf[, positions], score) — per-posting BM25 impact,
-    JVM column math."""
-    extra = ["positions"] if "positions" in tf.columns else []
-    return (
-        tf.join(term_dict.select("term", "term_id", "df"), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term_id",
-            "doc_id",
-            "tf",
-            *extra,
-            (
-                bm25_idf(F.col("n_docs"), F.col("df"))
-                * bm25_tf_norm(F.col("tf"), F.col("dl"), F.col("avgdl"))
-            ).alias("score"),
-        )
-    )
-
-
-def _encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_part(pdf: pd.DataFrame, n_docs: float, avgdl: float) -> pd.DataFrame:
     """Encode every term's postings for ONE doc-range part.
 
     One Python invocation per part; everything inside is numpy-vectorized
     across the entire part (varbyte of all terms' postings in one call,
-    sliced per term by byte offsets)."""
+    sliced per term by byte offsets).
+
+    Doc length and the BM25 impact are computed HERE, part-locally:
+    ``part = doc_id // docs_per_part``, so this part holds every
+    dictionary-term row of its docs and dl is a groupby over the part's own
+    rows — no doc_id-keyed dl join (a full extra shuffle of the widest
+    table in the DAG) ever happens. n_docs/avgdl arrive as two closed-over
+    scalars."""
     part = int(pdf["part"].iloc[0])
     tid_raw = pdf["term_id"].to_numpy()
-    order = np.lexsort((pdf["doc_id"].to_numpy(), tid_raw))
+    did_raw = pdf["doc_id"].to_numpy().astype(np.int64)
+    tf_raw = pdf["tf"].to_numpy().astype(np.int64)
+    dfv = pdf["df"].to_numpy().astype(np.float64)
+    # part-local doc lengths over the dict-filtered token stream
+    _, inv = np.unique(did_raw, return_inverse=True)
+    dlv = np.bincount(inv, weights=tf_raw)[inv]
+    idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+    sc_raw = idf * tf_raw * (K1 + 1.0) / (tf_raw + K1 * (1.0 - B + B * dlv / avgdl))
+
+    order = np.lexsort((did_raw, tid_raw))
     tid = tid_raw[order]
-    did = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    tfv = pdf["tf"].to_numpy()[order].astype(np.uint64)
-    sc = pdf["score"].to_numpy()[order].astype(np.float64)
+    did = did_raw[order]
+    tfv = tf_raw[order].astype(np.uint64)
+    sc = sc_raw[order]
     n_all = len(tid)
 
     with_pos = "positions" in pdf.columns
@@ -197,19 +190,38 @@ def build_postings(
 ) -> DataFrame:
     """postings(term_id, part, ...) from the stats tables.
 
-    One shuffle (groupBy part), one Arrow pass per part. Output rows are
-    naturally sorted by term_id within each part (lexsort in the encoder),
-    which — after write with sortWithinPartitions('term_id') — gives
-    parquet min/max row-group pruning on term_id probes.
+    ONE shuffle total: tf rows pick up (term_id, df) from the term_dict
+    join (broadcast below the threshold, term-keyed shuffle join above it),
+    then hash-exchange once on ``part`` into the Arrow encoder. Doc length
+    and the per-posting BM25 impact are computed inside the encoder
+    (part-local, see :func:`_encode_part`) — the previous design's
+    doc_id-keyed dl join re-shuffled the entire tf table a second time,
+    which measured as the non-scaling stage of the build. n_docs/avgdl are
+    two scalars collected once from ``stats`` and closed over.
+
+    ``dl`` is accepted for signature stability but never joined.
+
+    Output rows are naturally sorted by term_id within each part (lexsort
+    in the encoder), which gives parquet min/max row-group pruning on
+    term_id probes.
     """
     from ..deploy import ship_package
 
     ship_package(tf.sparkSession)
-    sp = scored_postings(tf, dl, term_dict, stats).withColumn(
-        "part", (F.col("doc_id") / F.lit(docs_per_part)).cast("int")
+    row = stats.first()
+    n_docs, avgdl = float(row["n_docs"]), float(row["avgdl"])
+    extra = ["positions"] if "positions" in tf.columns else []
+    sp = (
+        tf.join(term_dict.select("term", "term_id", "df"), "term")
+        .select("term_id", "doc_id", "tf", "df", *extra)
+        .withColumn("part", (F.col("doc_id") / F.lit(docs_per_part)).cast("int"))
     )
-    schema = POSTINGS_POS_SCHEMA if "positions" in tf.columns else POSTINGS_SCHEMA
-    return sp.groupBy("part").applyInPandas(_encode_part, schema=schema)
+    schema = POSTINGS_POS_SCHEMA if extra else POSTINGS_SCHEMA
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_part(pdf, n_docs, avgdl)
+
+    return sp.groupBy("part").applyInPandas(encode, schema=schema)
 
 
 # ------------------------------------------------------------------- decode

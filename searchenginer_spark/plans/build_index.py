@@ -105,12 +105,13 @@ def build_index(
     ``max_parts`` limits how many pending parts are built this run — used by
     the kill/resume tests to simulate an interrupted build.
 
-    ``stopwords``: optional (term) table removed at dict-write time (the
-    reference applies its stopword set when writing the dictionary,
+    ``stopwords``: optional (term) table removed from the token stream
+    before any statistic (analyzer-style, like Lucene's StopFilter; the
+    reference applies its stopword set at dictionary-write time,
     Make_dir/MakeDictAndIndex.cpp:118-125): stopworded terms never enter
-    term_dict, and — because postings join tf through term_dict — never get
-    posting rows either. dl/avgdl still count every token (doc length is a
-    property of the document, not the dictionary).
+    term_dict or postings, and dl/avgdl/df consistently count only the
+    remaining tokens — the dl used in per-posting impacts and the stored
+    avgdl always describe the same token stream.
 
     ``dedup``: 'exact' or 'simhash' runs operators.dedup.dedup_docs BEFORE
     any stats/partitioning, reproducing the reference's dedup-inside-store
@@ -135,6 +136,11 @@ def build_index(
             docs, how=dedup, text_col=text_col, with_positions=with_positions
         )
     docs = docs.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
+
+    def drop_stop(t: DataFrame) -> DataFrame:
+        if stopwords is None:
+            return t
+        return t.join(F.broadcast(stopwords.select("term")), "term", "left_anti")
 
     # -- stage 1: docs + dictionary — written once, reused on resume --------
     # (pure functions of the immutable input; _SUCCESS marker gates reuse)
@@ -163,20 +169,26 @@ def build_index(
         # stats read the in-memory input directly — identical rows to what
         # the writer thread is persisting (both derive from `docs`)
         if dedup_tf is not None:
-            tf = dedup_tf  # survivor-filtered view over the dedup stage's tf
+            tf = drop_stop(dedup_tf)  # survivor-filtered view of the dedup tf
         else:
-            tf = S.term_frequencies(
-                docs, text_col=text_col, with_positions=with_positions
+            tf = drop_stop(
+                S.term_frequencies(docs, text_col=text_col, with_positions=with_positions)
             ).persist()
             owns_tf = True
         dl = S.doc_lengths(tf)
-        build_term_dict(S.document_frequencies(tf), stopwords=stopwords).write.mode(
+        build_term_dict(S.document_frequencies(tf)).write.mode(
             "overwrite"
         ).parquet(paths.term_dict)
-        S.corpus_stats(dl).write.mode("overwrite").parquet(paths.stats)
         part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
             "part"
         ).parquet(paths.stats_parts)
+        # global stats aggregate the tiny per-part table instead of re-running
+        # a full dl pass; sum_dl/n_docs are exact integers, so avgdl is
+        # bit-identical to avg(dl) over the rows
+        spark.read.parquet(paths.stats_parts).agg(
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+        ).write.mode("overwrite").parquet(paths.stats)
     if writer is not None:
         writer.join()
         if _werr:
@@ -194,15 +206,16 @@ def build_index(
         pending = pending[:max_parts]
 
     built = 0
-    n_docs_total = -1
     if pending:
         build_id = uuid.uuid4().hex[:12]
         pend_docs = docs.filter(F.col("part").isin(pending))
         if tf is None:
             # resume: recompute tf for pending parts only (df/avgdl are
             # already frozen in term_dict/stats from the first run)
-            pend_tf = S.term_frequencies(
-                pend_docs, text_col=text_col, with_positions=with_positions
+            pend_tf = drop_stop(
+                S.term_frequencies(
+                    pend_docs, text_col=text_col, with_positions=with_positions
+                )
             )
         else:
             # part is a pure function of doc_id — filter beats a semi-join
@@ -211,7 +224,12 @@ def build_index(
             )
         pend_dl = S.doc_lengths(pend_tf)
         t1 = time.monotonic()
-        postings = build_postings(pend_tf, pend_dl, term_dict, stats, docs_per_part)
+        # cache the encoded rows once: the write below and the metrics
+        # aggregation both consume them, so the written parquet is never
+        # re-read from disk just to count its own bytes
+        postings = build_postings(
+            pend_tf, pend_dl, term_dict, stats, docs_per_part
+        ).persist()
         # dynamic overwrite per-write: a resume must replace ONLY the pending
         # parts' partitions, never clobber parts committed by earlier runs
         postings.write.mode("overwrite").option(
@@ -219,10 +237,9 @@ def build_index(
         ).partitionBy("part").parquet(paths.postings)
         wall_ms = int((time.monotonic() - t1) * 1000)
 
-        # lineage + throughput metrics per part (from the written data)
-        written = spark.read.parquet(paths.postings).filter(F.col("part").isin(pending))
+        # lineage + throughput metrics per part (from the cached encode)
         per_part = (
-            written.groupBy("part")
+            postings.groupBy("part")
             .agg(
                 F.sum("n").alias("n_postings"),
                 (
@@ -260,14 +277,18 @@ def build_index(
             F.lit(wall_ms).cast("long").alias("wall_ms"),
         )
         metrics.write.mode("append").parquet(paths.metrics)
+        postings.unpersist()
         built = len(pending)
 
     if tf is not None and owns_tf:
         tf.unpersist()
     for h in dedup_handles:
         h.unpersist()
+    # n_docs from the 1-row stats table (docs with >=1 indexed token) —
+    # never a full re-scan of the docs table just for the summary dict
+    n_docs_total = int(spark.read.parquet(paths.stats).first()["n_docs"])
     return {
-        "n_docs": docs.count(),
+        "n_docs": n_docs_total,
         "parts_total": len(all_parts),
         "parts_built": built,
         "parts_done_before": len(done),

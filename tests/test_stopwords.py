@@ -40,10 +40,13 @@ def test_stopword_query_contributes_nothing(stop_index):
     ]
 
 
-def test_doc_lengths_still_count_stopwords(spark, docs_sf0001, stop_index):
+def test_doc_lengths_are_analyzer_consistent(spark, docs_sf0001, stop_index):
+    """Analyzer semantics (Lucene StopFilter analog): stopwords leave the
+    token stream entirely, so the stored avgdl — and the dl inside every
+    per-posting impact — count only non-stop tokens."""
     _, root = stop_index
-    # avgdl is a property of the documents (all tokens), not the dictionary
     tf = S.term_frequencies(docs_sf0001.select("doc_id", "text"), text_col="text")
+    tf = tf.filter(~F.col("term").isin(list(DEFAULT_STOPWORDS)))
     expected = S.corpus_stats(S.doc_lengths(tf)).first()
     got = spark.read.parquet(IndexPaths(root).stats).first()
     assert got["n_docs"] == expected["n_docs"]
