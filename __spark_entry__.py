@@ -103,10 +103,19 @@ def _bm25_sql(
     pre: str = "",
     src: str = "documents",
     stop: tuple[str, ...] | None = None,
+    exclude: tuple[str, ...] | None = None,
 ) -> str:
     terms = tokenize_query(query)
     values = ", ".join(f"('{t}', {c})" for t, c in terms)
-    m_filter = f"WHERE m = {len(terms)}" if mode == "and" else ""
+    conds = []
+    if mode == "and":
+        conds.append(f"m = {len(terms)}")
+    if exclude:
+        inl = ", ".join(f"'{t}'" for t in sorted(exclude))
+        conds.append(
+            f"doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({inl}))"
+        )
+    m_filter = ("WHERE " + " AND ".join(conds)) if conds else ""
     # ``stop`` = analyzer-style stopword removal (build_index stopwords=...):
     # the token stream itself is filtered, so tf/dl/avgdl/df consistently
     # describe the remaining tokens and stop query terms simply never match
@@ -154,6 +163,22 @@ def _q_bm25_repeated_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _index(spark, sf_dir).search("the the fast", k=10, mode="and", round_to=4)
 
 
+def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean NOT: conjunctive query with an excluded term, dropped before
+    per-part top-k truncation (exact under exclusion)."""
+    return _cindex(spark, sf_dir).search(
+        FLAGSHIP_QUERY, k=10, mode="and", round_to=4, exclude=["merge"]
+    )
+
+
+def _q_bm25_not_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive query with exclusion (MaxScore tau seed disabled for
+    exactness under NOT)."""
+    return _cindex(spark, sf_dir).search(
+        "spark merge window", k=10, mode="or", round_to=4, exclude=["fast"]
+    )
+
+
 def _q_bm25_compressed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same flagship query through the compressed block-max index — checked
     against the identical SQL oracle as the DataFrame path."""
@@ -182,6 +207,32 @@ def _cindex_prod(spark: SparkSession, sf_dir: str) -> Bm25CompressedIndex:
 
 def _q_bm25_compressed_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cindex_prod(spark, sf_dir).search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
+
+
+def _q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-expansion query ('quer*'): dict expansion via the first-char
+    prefix column, disjunctive scoring with qtf=1 per expansion."""
+    return _cindex(spark, sf_dir).search_prefix("quer", k=10, round_to=4)
+
+
+def _bm25_prefix_sql(prefix: str, k: int = 10) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+q AS (SELECT term, 1 AS qtf FROM dft WHERE term LIKE '{prefix}%'),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf
+             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT {k}
+"""
 
 
 # ------------------------------------------- dedup-integrated build pipeline
@@ -332,6 +383,44 @@ def _q_bm25_fetch_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.select("doc_id", "text"), "doc_id")
         .select("doc_id", "score", F.sha2("text", 256).alias("content_sha256"))
     )
+
+
+def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-page assembly: top-k + first-match snippet/highlight columns
+    (MakePage.cpp page-record analog; JVM locate/least/substr only)."""
+    from searchenginer_spark.operators.snippets import snippets
+
+    idx = _index(spark, sf_dir)
+    topk = idx.search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
+    return snippets(topk, _docs(spark, sf_dir),
+                    [t for t, _ in tokenize_query(FLAGSHIP_QUERY)], width=80, lead=20)
+
+
+def _snippets_sql(query: str, width: int = 80, lead: int = 20) -> str:
+    terms = sorted({t for t, _ in tokenize_query(query)})
+    locs = ", ".join(
+        f"CASE WHEN strpos(lower(text), '{t}') = 0 THEN 2147483647 "
+        f"ELSE strpos(lower(text), '{t}') END AS l{i}"
+        for i, t in enumerate(terms)
+    )
+    p = "least(" + ", ".join(f"l{i}" for i in range(len(terms))) + ")" if len(terms) > 1 else "l0"
+    mt = "CASE WHEN p = 2147483647 THEN '' " + " ".join(
+        f"WHEN l{i} = p THEN '{t}'" for i, t in enumerate(terms)
+    ) + " ELSE '' END"
+    return f"""
+WITH hits AS ({_bm25_sql(query, "and")}),
+j AS (
+  SELECT h.doc_id, h.score, d.text, {locs}
+  FROM hits h JOIN documents d USING (doc_id)
+),
+m AS (SELECT *, {p} AS p FROM j)
+SELECT doc_id, score,
+       CASE WHEN p = 2147483647 THEN 0 ELSE p END AS pos,
+       {mt} AS match_term,
+       CASE WHEN p = 2147483647 THEN substr(text, 1, {width})
+            ELSE substr(text, greatest(1, p - {lead}), {width}) END AS snippet
+FROM m
+"""
 
 
 def _q_term_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,9 +1046,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_bm25_and,
         "bm25_or_topk": _q_bm25_or,
         "bm25_repeated_term": _q_bm25_repeated_term,
+        "bm25_not_topk": _q_bm25_not,
+        "bm25_not_or_topk": _q_bm25_not_or,
         "bm25_compressed_and_topk": _q_bm25_compressed_and,
         "bm25_compressed_or_topk": _q_bm25_compressed_or,
         "bm25_compressed_prod_geometry": _q_bm25_compressed_prod,
+        "bm25_prefix_topk": _q_bm25_prefix,
         "bm25_batch_topk": _q_bm25_batch,
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
@@ -967,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_dict_topdf": _q_stopword_dict,
         "bm25_compacted_topk": _q_bm25_compact,
         "bm25_fetch_verified": _q_bm25_fetch_verified,
+        "search_snippets": _q_search_snippets,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
         "term_df_stats": _q_term_df_stats,
         "doc_stats": _q_doc_stats,
@@ -1001,9 +1094,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_or_topk": _bm25_sql("spark merge window", "or"),
         "bm25_repeated_term": _bm25_sql("the the fast", "and"),
+        "bm25_not_topk": _bm25_sql(FLAGSHIP_QUERY, "and", exclude=("merge",)),
+        "bm25_not_or_topk": _bm25_sql("spark merge window", "or", exclude=("fast",)),
         "bm25_compressed_and_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_compressed_or_topk": _bm25_sql("spark merge window", "or"),
         "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
+        "bm25_prefix_topk": _bm25_prefix_sql("quer"),
         "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
         "bm25_stopword_topk": _bm25_sql(STOPWORD_QUERY, "or", stop=_STOPWORDS),
         # incremental fold + compaction must equal the FULL-REBUILD oracle
@@ -1022,6 +1118,7 @@ SELECT n_docs, round(avgdl, 4) AS avgdl FROM st
 SELECT t.doc_id, t.score, sha256(d.text) AS content_sha256
 FROM ({_bm25_sql(FLAGSHIP_QUERY, "and")}) t JOIN documents d USING (doc_id)
 """,
+        "search_snippets": _snippets_sql(FLAGSHIP_QUERY),
         # dedup -> quality filter -> per-language token accounting; the
         # quality/lang formulas are verbatim the quality_scores/lang_id
         # oracles (proven identical to the Spark column math)

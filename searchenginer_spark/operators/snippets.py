@@ -1,0 +1,80 @@
+"""Result-page snippet generation: first-match context windows.
+
+The reference assembles result pages from doc title/content slices
+(/root/reference/Make_Page/MakePage.cpp page records;
+srpc/PageSearch/server.pb_skeleton.cc:214-241 returns content for the hit
+list). The Spark form: join the k-row hit list to the docs table
+(broadcast, like fetch_docs) and compute the snippet as pure JVM column
+math — ``locate``/``least``/``substring`` — so the operator stays inside
+whole-stage codegen and is exactly reproducible in ANSI SQL
+(strpos/least/substr), i.e. oracle-checkable.
+
+Semantics (deterministic, engine-neutral):
+  * match position = the smallest 1-based char offset of ANY query term in
+    lower(text) (0 means no term occurs — possible for OR-mode hits).
+  * match_term = the lexicographically first term whose offset equals the
+    match position ('' when no match).
+  * snippet = ``width`` chars of the ORIGINAL text starting ``lead`` chars
+    before the match (clamped to the text start).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: "term absent" marker for the position min — larger than any real offset
+SENTINEL = 2_147_483_647
+
+
+def _masked_locate(term: str, lowered: Column) -> Column:
+    loc = F.locate(term, lowered)
+    return F.when(loc == 0, F.lit(SENTINEL)).otherwise(loc)
+
+
+def first_match_position(text: Column, terms: list[str]) -> Column:
+    """Smallest 1-based offset of any term in lower(text); SENTINEL if none."""
+    lowered = F.lower(text)
+    locs = [_masked_locate(t, lowered) for t in terms]
+    return locs[0] if len(locs) == 1 else F.least(*locs)
+
+
+def snippets(
+    hits: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    width: int = 80,
+    lead: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """hits(doc_id, score) -> (doc_id, score, pos, match_term, snippet).
+
+    The k-row hit side is broadcast, so the docs table is probed, never
+    shuffled — same join shape as Bm25CompressedIndex.fetch_docs.
+    """
+    terms = sorted(set(terms))
+    t = F.col(text_col)
+    lowered = F.lower(t)
+    pos = first_match_position(t, terms)
+    match_term = F.lit("")
+    for term in reversed(terms):
+        match_term = F.when(_masked_locate(term, lowered) == pos, F.lit(term)).otherwise(
+            match_term
+        )
+    match_term = F.when(pos == SENTINEL, F.lit("")).otherwise(match_term)
+    start = F.greatest(F.lit(1), pos - F.lit(lead))
+    return (
+        F.broadcast(hits)
+        .join(docs.select(id_col, text_col), id_col)
+        .select(
+            id_col,
+            "score",
+            F.when(pos == SENTINEL, F.lit(0)).otherwise(pos).alias("pos"),
+            match_term.alias("match_term"),
+            F.when(pos == SENTINEL, t.substr(F.lit(1), F.lit(width)))
+            .otherwise(t.substr(start, F.lit(width)))
+            .alias("snippet"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )

@@ -50,12 +50,36 @@ from ..operators.postings import (
 from .bm25_dataframe import tokenize_query
 
 
-def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None):
+def _drop_excluded(cand: np.ndarray, scores: np.ndarray, neg: list):
+    """Remove candidates appearing in any NEGATIVE term's postings.
+
+    Runs BEFORE per-part top-k truncation (exactness: an excluded doc must
+    never occupy a top-k slot another doc should get). Negative terms use
+    the same block skip-decode as conjunctive probes — only blocks that can
+    contain surviving candidates are touched."""
+    for g in neg:
+        if cand.size == 0:
+            break
+        block_last = np.asarray(g["block_last"], dtype=np.int64)
+        bidx = np.unique(np.searchsorted(block_last, cand))
+        bidx = bidx[bidx < len(block_last)]
+        ids, _ = decode_blocks(
+            g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
+        )
+        keep = ~_member_sorted(cand, ids)
+        cand, scores = cand[keep], scores[keep]
+    return cand, scores
+
+
+def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None, neg=()):
     """Conjunctive scoring for one part. groups: list of posting rows.
 
     When ``round_to`` is set, per-part top-k truncation happens on the
     ROUNDED score (doc_id tie-break) — the same key the global merge sorts
     by — so a rounded near-tie can never be pruned below a doc it ties with.
+
+    ``neg``: posting rows of excluded (NOT) terms; matching docs are dropped
+    before truncation.
     """
     if len(groups) < n_terms:
         return [], []
@@ -82,6 +106,10 @@ def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None
             return [], []
         sc = decode_scores(g["scores"])
         cand_score = cand_score[member] + sc[pos[loc_c[member]]] * qtf[g["term_id"]]
+    if neg:
+        cand, cand_score = _drop_excluded(cand, cand_score, neg)
+        if cand.size == 0:
+            return [], []
     if round_to is not None:
         cand_score = np.round(cand_score, round_to)
     if cand.size > k:
@@ -92,13 +120,18 @@ def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None
     return cand[order].tolist(), cand_score[order].tolist()
 
 
-def _score_part_or(groups: list, qtf: dict, k: int, round_to=None):
+def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=()):
     """Disjunctive MaxScore scoring for one part.
 
     With ``round_to`` set, the MaxScore threshold tau gets a one-ulp-of-the-
     rounding slack (10^-round_to) so a doc whose unrounded score is below
     tau but whose ROUNDED score ties the kth result is never pruned, and the
     final per-part truncation uses the rounded key (global-merge key).
+
+    ``neg``: posting rows of excluded (NOT) terms. Exclusion disables the
+    tau seed (a seed drawn from scores of docs that may later be excluded
+    could over-prune legitimate results) — plain full-union scoring, then
+    the excluded docs drop before truncation. Correctness over pruning.
     """
     uppers = np.array(
         [qtf[g["term_id"]] * max(g["block_max"]) for g in groups], dtype=np.float64
@@ -110,7 +143,7 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None):
     # tau seed: top-k of the single highest-impact term
     g0 = groups[0]
     s0 = decode_scores(g0["scores"]) * qtf[g0["term_id"]]
-    if s0.size >= k:
+    if s0.size >= k and not neg:
         tau = np.partition(s0, s0.size - k)[s0.size - k]
         if round_to is not None:
             tau -= 10.0 ** (-round_to)
@@ -150,6 +183,10 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None):
         sc = decode_scores(g["scores"])
         score[member] += sc[pos[loc_c[member]]] * qtf[g["term_id"]]
 
+    if neg:
+        cand, score = _drop_excluded(cand, score, neg)
+        if cand.size == 0:
+            return [], []
     if round_to is not None:
         score = np.round(score, round_to)
     if cand.size > k:
@@ -335,7 +372,13 @@ class Bm25CompressedIndex:
         mode: str = "and",
         pattern: str = IDENT_RE,
         round_to: int | None = None,
+        exclude: list[str] | None = None,
     ) -> DataFrame:
+        """BM25 top-k; ``exclude`` = boolean-NOT terms — a doc containing any
+        of them never appears in the result (dropped inside each part BEFORE
+        top-k truncation, so the k results are exactly the best survivors).
+        Excluded terms absent from the dictionary, or that also appear in the
+        positive query, are no-ops."""
         q = tokenize_query(query, pattern)
         tid = self.lookup_terms([t for t, _ in q])
         if not q or (mode == "and" and len(tid) < len(q)) or not tid:
@@ -345,15 +388,82 @@ class Bm25CompressedIndex:
         qtf = {tid[t]: float(c) for t, c in q if t in tid}
         n_terms = len(qtf)
         ids = list(qtf.keys())
+        exc_terms = sorted({t.lower() for t in (exclude or [])} - {t for t, _ in q})
+        exc_ids = set(self.lookup_terms(exc_terms).values()) - set(ids)
+
+        cand = self.postings.filter(F.col("term_id").isin(ids + list(exc_ids)))
+
+        def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            groups = [g for g in rows if g["term_id"] not in exc_ids]
+            neg = [g for g in rows if g["term_id"] in exc_ids]
+            if mode == "and":
+                docs, scores = _score_part_and(groups, qtf, n_terms, k, round_to, neg)
+            else:
+                docs, scores = _score_part_or(groups, qtf, k, round_to, neg) if groups else ([], [])
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        scored = cand.groupBy("part").applyInPandas(
+            score_part, schema="doc_id long, score double"
+        )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        round_to: int | None = None,
+        max_expansions: int = 1 << 20,
+    ) -> DataFrame:
+        """Prefix query ``prefix*`` — the code-search staple.
+
+        Expands against term_dict (the ``prefix`` first-char column gives
+        parquet row-group pruning, the Spark analog of the reference's
+        first-character dict index, Make_dir/MakeDictAndIndex.cpp:203-209)
+        and scores the expansion set disjunctively with qtf=1 per matched
+        term. ``max_expansions`` caps runaway one-letter prefixes by df
+        rank (highest-df expansions kept; deterministic df-desc/term tie).
+        """
+        prefix = prefix.lower()
+        if not prefix:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        cache = self._maybe_cache_dict()
+        if cache is not None:
+            matched = sorted(t for t in cache if t.startswith(prefix))
+            if len(matched) > max_expansions:
+                dfs = {
+                    r["term"]: r["df"]
+                    for r in self.term_dict.filter(
+                        F.col("term").isin(matched)
+                    ).select("term", "df").collect()
+                }
+                matched = sorted(matched, key=lambda t: (-dfs[t], t))[:max_expansions]
+            ids = [cache[t] for t in matched]
+        else:
+            rows = (
+                self.term_dict.filter(
+                    (F.col("prefix") == prefix[0])
+                    & F.col("term").startswith(prefix)
+                )
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansions)
+                .select("term_id")
+                .collect()
+            )
+            ids = [r["term_id"] for r in rows]
+        if not ids:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qtf = {t: 1.0 for t in ids}
 
         cand = self.postings.filter(F.col("term_id").isin(ids))
 
         def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
-            groups = pdf.to_dict("records")
-            if mode == "and":
-                docs, scores = _score_part_and(groups, qtf, n_terms, k, round_to)
-            else:
-                docs, scores = _score_part_or(groups, qtf, k, round_to)
+            docs, scores = _score_part_or(pdf.to_dict("records"), qtf, k, round_to)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         scored = cand.groupBy("part").applyInPandas(

@@ -48,6 +48,58 @@ def test_rank_identical_to_dataframe_engine(engines, query, mode):
         assert abs(g - w) < 1e-9
 
 
+@pytest.mark.parametrize("query,mode,excl", [
+    ("spark query", "and", ["merge"]),
+    ("spark query group", "or", ["fast", "zzz_absent"]),
+    ("data", "and", ["data"]),  # exclusion overlapping the query is a no-op
+])
+def test_search_exclude_matches_bruteforce(engines, docs_sf0001, query, mode, excl, spark):
+    from pyspark.sql import functions as F
+
+    m1, comp = engines
+    # brute-force reference: unexcluded top-100, drop docs containing any
+    # excluded term, take 10
+    base = m1.search(query, k=100, mode=mode).collect()
+    eff_excl = [t for t in excl if t not in query.split()]
+    bad = {
+        r["doc_id"]
+        for r in docs_sf0001.filter(
+            F.arrays_overlap(
+                F.split(F.lower("text"), "[^a-z0-9_]+"), F.array(*[F.lit(t) for t in eff_excl])
+            )
+        ).collect()
+    } if eff_excl else set()
+    want = [(r["doc_id"], round(r["score"], 4)) for r in base if r["doc_id"] not in bad][:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in comp.search(query, k=10, mode=mode, round_to=4, exclude=excl).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], (query, mode, excl)
+
+
+def test_search_prefix_matches_or_expansion(engines, spark):
+    from pyspark.sql import functions as F
+
+    m1, comp = engines
+    terms = sorted(
+        r["term"]
+        for r in m1.dft.filter(F.col("term").startswith("quer")).select("term").collect()
+    )
+    assert terms, "fixture vocab needs quer* terms"
+    want = [
+        (r["doc_id"], r["score"])
+        for r in m1.search(" ".join(terms), k=10, mode="or", round_to=4).collect()
+    ]
+    got = [(r["doc_id"], r["score"]) for r in comp.search_prefix("quer", k=10, round_to=4).collect()]
+    assert got == want
+    # big-dict fallback path (no driver cache): identical result
+    comp2 = Bm25CompressedIndex(spark, comp.postings, comp.term_dict)
+    comp2._dict_cache_checked = True  # simulate dict > cache cap
+    got2 = [(r["doc_id"], r["score"]) for r in comp2.search_prefix("quer", k=10, round_to=4).collect()]
+    assert got2 == want
+    assert comp.search_prefix("zzzz_nothing", k=10).count() == 0
+
+
 def test_posting_row_layout(engines):
     m1, _ = engines
     # single part covering all 500 docs -> hot terms give multi-block rows
