@@ -66,7 +66,9 @@ def _cindex(spark: SparkSession, sf_dir: str) -> Bm25CompressedIndex:
         m1 = _index(spark, sf_dir)
         term_dict = build_term_dict(m1.dft).persist()
         postings = build_postings(m1.tf, m1.dl, term_dict, m1.stats, docs_per_part=128)
-        _CIDX_CACHE[key] = Bm25CompressedIndex(spark, postings.persist(), term_dict)
+        _CIDX_CACHE[key] = Bm25CompressedIndex(
+            spark, postings.persist(), term_dict, docs_per_part=128
+        )
     return _CIDX_CACHE[key]
 
 
@@ -104,6 +106,7 @@ def _bm25_sql(
     src: str = "documents",
     stop: tuple[str, ...] | None = None,
     exclude: tuple[str, ...] | None = None,
+    allow_pred: str | None = None,
 ) -> str:
     terms = tokenize_query(query)
     values = ", ".join(f"('{t}', {c})" for t, c in terms)
@@ -115,6 +118,8 @@ def _bm25_sql(
         conds.append(
             f"doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({inl}))"
         )
+    if allow_pred:
+        conds.append(f"doc_id IN (SELECT doc_id FROM {src} WHERE {allow_pred})")
     m_filter = ("WHERE " + " AND ".join(conds)) if conds else ""
     # ``stop`` = analyzer-style stopword removal (build_index stopwords=...):
     # the token stream itself is filtered, so tf/dl/avgdl/df consistently
@@ -207,6 +212,16 @@ def _cindex_prod(spark: SparkSession, sf_dir: str) -> Bm25CompressedIndex:
 
 def _q_bm25_compressed_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cindex_prod(spark, sf_dir).search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
+
+
+def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: BM25 top-k restricted to lang='de' docs via the
+    cogrouped allowed-id filter (exact: filter applies inside each part
+    before top-k truncation, never as a lossy post-filter)."""
+    allowed = _docs(spark, sf_dir).filter(F.col("lang") == "de").select("doc_id")
+    return _cindex(spark, sf_dir).search_filtered(
+        "data value", allowed, k=10, mode="or", round_to=4
+    )
 
 
 def _q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compressed_or_topk": _q_bm25_compressed_or,
         "bm25_compressed_prod_geometry": _q_bm25_compressed_prod,
         "bm25_prefix_topk": _q_bm25_prefix,
+        "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_batch_topk": _q_bm25_batch,
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
@@ -1100,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compressed_or_topk": _bm25_sql("spark merge window", "or"),
         "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_prefix_topk": _bm25_prefix_sql("quer"),
+        "bm25_filtered_topk": _bm25_sql("data value", "or", allow_pred="lang = 'de'"),
         "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
         "bm25_stopword_topk": _bm25_sql(STOPWORD_QUERY, "or", stop=_STOPWORDS),
         # incremental fold + compaction must equal the FULL-REBUILD oracle

@@ -71,7 +71,9 @@ def _drop_excluded(cand: np.ndarray, scores: np.ndarray, neg: list):
     return cand, scores
 
 
-def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None, neg=()):
+def _score_part_and(
+    groups: list, qtf: dict, n_terms: int, k: int, round_to=None, neg=(), allow=None
+):
     """Conjunctive scoring for one part. groups: list of posting rows.
 
     When ``round_to`` is set, per-part top-k truncation happens on the
@@ -79,7 +81,9 @@ def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None
     by — so a rounded near-tie can never be pruned below a doc it ties with.
 
     ``neg``: posting rows of excluded (NOT) terms; matching docs are dropped
-    before truncation.
+    before truncation. ``allow``: sorted array of permitted doc ids
+    (metadata filter) — applied at the driver-term step so every downstream
+    block probe shrinks.
     """
     if len(groups) < n_terms:
         return [], []
@@ -87,6 +91,9 @@ def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None
     drv = groups[0]
     cand = decode_doc_ids(drv["docs"], drv["n"])
     cand_score = decode_scores(drv["scores"]) * qtf[drv["term_id"]]
+    if allow is not None:
+        mask = _member_sorted(cand, allow)
+        cand, cand_score = cand[mask], cand_score[mask]
     for g in groups[1:]:
         if cand.size == 0:
             return [], []
@@ -120,7 +127,7 @@ def _score_part_and(groups: list, qtf: dict, n_terms: int, k: int, round_to=None
     return cand[order].tolist(), cand_score[order].tolist()
 
 
-def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=()):
+def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=(), allow=None):
     """Disjunctive MaxScore scoring for one part.
 
     With ``round_to`` set, the MaxScore threshold tau gets a one-ulp-of-the-
@@ -128,10 +135,11 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=()):
     tau but whose ROUNDED score ties the kth result is never pruned, and the
     final per-part truncation uses the rounded key (global-merge key).
 
-    ``neg``: posting rows of excluded (NOT) terms. Exclusion disables the
-    tau seed (a seed drawn from scores of docs that may later be excluded
-    could over-prune legitimate results) — plain full-union scoring, then
-    the excluded docs drop before truncation. Correctness over pruning.
+    ``neg``: posting rows of excluded (NOT) terms. ``allow``: sorted array
+    of permitted doc ids (metadata filter). Either one disables the tau
+    seed (a seed drawn from scores of docs that may later be dropped could
+    over-prune legitimate results) — plain full-union scoring, then the
+    dropped docs leave before truncation. Correctness over pruning.
     """
     uppers = np.array(
         [qtf[g["term_id"]] * max(g["block_max"]) for g in groups], dtype=np.float64
@@ -143,7 +151,7 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=()):
     # tau seed: top-k of the single highest-impact term
     g0 = groups[0]
     s0 = decode_scores(g0["scores"]) * qtf[g0["term_id"]]
-    if s0.size >= k and not neg:
+    if s0.size >= k and not neg and allow is None:
         tau = np.partition(s0, s0.size - k)[s0.size - k]
         if round_to is not None:
             tau -= 10.0 ** (-round_to)
@@ -166,6 +174,11 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=()):
     cand, inv = np.unique(np.concatenate(ids_all), return_inverse=True)
     score = np.zeros(cand.size, dtype=np.float64)
     np.add.at(score, inv, np.concatenate(sc_all))
+    if allow is not None:
+        mask = _member_sorted(cand, allow)
+        cand, score = cand[mask], score[mask]
+        if cand.size == 0:
+            return [], []
 
     # non-essential terms: probe only at existing candidates, block-sliced
     for g in groups[ess_end:]:
@@ -333,13 +346,23 @@ class Bm25CompressedIndex:
     #: configures (session.py); lower it for smaller drivers.
     DRIVER_DICT_CACHE_MAX = 2_000_000
 
-    def __init__(self, spark: SparkSession, postings: DataFrame, term_dict: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        postings: DataFrame,
+        term_dict: DataFrame,
+        docs_per_part: int | None = None,
+    ):
         from ..deploy import ship_package
 
         ship_package(spark)  # scoring closures import this package on workers
         self.spark = spark
         self.postings = postings
         self.term_dict = term_dict
+        #: index geometry (doc-range part size) — needed by search_filtered
+        #: to bucket an allowed-id set identically to the build; open_index
+        #: loads it from the index's meta table
+        self.docs_per_part = docs_per_part
         self._dict_cache: dict[str, int] | None = None
         self._dict_cache_checked = False
 
@@ -405,6 +428,84 @@ class Bm25CompressedIndex:
 
         scored = cand.groupBy("part").applyInPandas(
             score_part, schema="doc_id long, score double"
+        )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_filtered(
+        self,
+        query: str,
+        allowed: DataFrame,
+        k: int = 10,
+        mode: str = "and",
+        pattern: str = IDENT_RE,
+        round_to: int | None = None,
+        docs_per_part: int | None = None,
+    ) -> DataFrame:
+        """Faceted/metadata-filtered BM25 top-k: only docs in ``allowed``
+        (any DataFrame with a doc_id column — e.g. ``docs.filter(lang='en')
+        .select('doc_id')``) may appear, and the k results are exactly the
+        best ALLOWED docs (the filter applies inside each part BEFORE top-k
+        truncation, never as a lossy post-filter on an unfiltered top-k).
+
+        Shuffle shape: the allowed set is bucketed by the SAME doc-range
+        ``part`` key as the postings and cogrouped
+        (``groupby(part).cogroup``), so each Arrow call receives exactly its
+        part's postings AND its part's allowed ids — the filter never
+        broadcasts globally and scales with the corpus. ``docs_per_part``
+        must match the index geometry; defaults to inferring it from the
+        max doc-range of part 0 is impossible, so pass it when the index
+        was built with a non-default size — it is read from the postings'
+        block metadata here (max block_last of part p < (p+1)*size).
+
+        MaxScore's tau seed is disabled in OR mode (a seed drawn from
+        potentially-filtered docs could over-prune); AND intersects the
+        allowed set at the driver-term step, which SHRINKS downstream block
+        probes rather than adding work.
+        """
+        q = tokenize_query(query, pattern)
+        tid = self.lookup_terms([t for t, _ in q])
+        if not q or (mode == "and" and len(tid) < len(q)) or not tid:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qtf = {tid[t]: float(c) for t, c in q if t in tid}
+        n_terms = len(qtf)
+        ids = list(qtf.keys())
+        dpp = docs_per_part or self.docs_per_part
+        if dpp is None:
+            raise ValueError(
+                "search_filtered needs the index geometry: open the index "
+                "via open_index (reads the meta table) or pass docs_per_part="
+            )
+
+        cand = self.postings.filter(F.col("term_id").isin(ids))
+        allow = allowed.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id") / F.lit(dpp)).cast("int").alias("part"),
+        )
+
+        def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            allow_ids = np.sort(right["doc_id"].to_numpy().astype(np.int64))
+            groups = left.to_dict("records")
+            if mode == "and":
+                docs, scores = _score_part_and(
+                    groups, qtf, n_terms, k, round_to, allow=allow_ids
+                )
+            else:
+                docs, scores = _score_part_or(
+                    groups, qtf, k, round_to, allow=allow_ids
+                )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        scored = (
+            cand.groupby("part")
+            .cogroup(allow.groupby("part"))
+            .applyInPandas(score_cogroup, schema="doc_id long, score double")
         )
         score = F.round("score", round_to) if round_to is not None else F.col("score")
         return (

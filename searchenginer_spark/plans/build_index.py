@@ -54,6 +54,10 @@ class IndexPaths:
         self.stats_parts = f"{root}/stats_parts"
         self.postings = f"{root}/postings"
         self.metrics = f"{root}/metrics"
+        #: 1-row build geometry (docs_per_part, with_positions) — consumers
+        #: that must bucket doc ids identically to the build (e.g.
+        #: search_filtered's cogroup) read it via open_index
+        self.meta = f"{root}/meta"
 
 
 def _done_parts(spark: SparkSession, paths: IndexPaths) -> set[int]:
@@ -182,6 +186,10 @@ def build_index(
         part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
             "part"
         ).parquet(paths.stats_parts)
+        spark.createDataFrame(
+            [(int(docs_per_part), bool(with_positions))],
+            "docs_per_part int, with_positions boolean",
+        ).write.mode("overwrite").parquet(paths.meta)
         # global stats aggregate the tiny per-part table instead of re-running
         # a full dl pass; sum_dl/n_docs are exact integers, so avgdl is
         # bit-identical to avg(dl) over the rows
@@ -328,8 +336,12 @@ def compact_indexes(
 
 def open_index(spark: SparkSession, root: str) -> Bm25CompressedIndex:
     paths = IndexPaths(root)
+    dpp = None
+    if _table_ready(spark, paths.meta):
+        dpp = int(spark.read.parquet(paths.meta).first()["docs_per_part"])
     return Bm25CompressedIndex(
         spark,
         spark.read.parquet(paths.postings),
         spark.read.parquet(paths.term_dict),
+        docs_per_part=dpp,
     )

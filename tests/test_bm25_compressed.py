@@ -59,7 +59,7 @@ def test_search_exclude_matches_bruteforce(engines, docs_sf0001, query, mode, ex
     m1, comp = engines
     # brute-force reference: unexcluded top-100, drop docs containing any
     # excluded term, take 10
-    base = m1.search(query, k=100, mode=mode).collect()
+    base = m1.search(query, k=100, mode=mode, round_to=4).collect()
     eff_excl = [t for t in excl if t not in query.split()]
     bad = {
         r["doc_id"]
@@ -69,7 +69,7 @@ def test_search_exclude_matches_bruteforce(engines, docs_sf0001, query, mode, ex
             )
         ).collect()
     } if eff_excl else set()
-    want = [(r["doc_id"], round(r["score"], 4)) for r in base if r["doc_id"] not in bad][:10]
+    want = [(r["doc_id"], r["score"]) for r in base if r["doc_id"] not in bad][:10]
     got = [
         (r["doc_id"], r["score"])
         for r in comp.search(query, k=10, mode=mode, round_to=4, exclude=excl).collect()
@@ -98,6 +98,42 @@ def test_search_prefix_matches_or_expansion(engines, spark):
     got2 = [(r["doc_id"], r["score"]) for r in comp2.search_prefix("quer", k=10, round_to=4).collect()]
     assert got2 == want
     assert comp.search_prefix("zzzz_nothing", k=10).count() == 0
+
+
+def test_search_filtered_matches_bruteforce(engines, docs_sf0001):
+    from pyspark.sql import functions as F
+
+    m1, comp = engines
+    allowed = docs_sf0001.filter((F.col("doc_id") % 3) == 0).select("doc_id")
+    allow_set = {r["doc_id"] for r in allowed.collect()}
+    for query, mode in [("spark query", "and"), ("spark query group", "or")]:
+        base = m1.search(query, k=1000, mode=mode, round_to=4).collect()
+        want = [(r["doc_id"], r["score"]) for r in base if r["doc_id"] in allow_set][:10]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in comp.search_filtered(
+                query, allowed, k=10, mode=mode, round_to=4, docs_per_part=128
+            ).collect()
+        ]
+        assert got == want, (query, mode)
+    empty = docs_sf0001.filter(F.col("doc_id") < 0).select("doc_id")
+    assert comp.search_filtered("spark query", empty, k=10, docs_per_part=128).count() == 0
+    with pytest.raises(ValueError, match="docs_per_part"):
+        comp.search_filtered("spark query", allowed, k=10)  # no geometry
+
+
+def test_open_index_carries_geometry(spark, docs_sf0001, tmp_path):
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.plans.build_index import build_index, open_index
+
+    root = str(tmp_path / "fidx")
+    build_index(docs_sf0001.select("doc_id", "text"), root, text_col="text", docs_per_part=128)
+    idx = open_index(spark, root)
+    assert idx.docs_per_part == 128  # meta table round-trips the geometry
+    allowed = docs_sf0001.filter((F.col("doc_id") % 2) == 0).select("doc_id")
+    got = {r["doc_id"] for r in idx.search_filtered("data", allowed, k=10).collect()}
+    assert got and all(d % 2 == 0 for d in got)
 
 
 def test_posting_row_layout(engines):
