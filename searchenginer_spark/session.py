@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # commit file moves inside the tasks (v2) instead of a serial
+        # driver-side rename pass per partition dir (v1) — the build writes
+        # hundreds of partitioned files and the v1 rename loop is pure
+        # serial share (Amdahl) at every cluster size; cloud deployments use
+        # a cloud-native committer for the same reason
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
