@@ -250,6 +250,85 @@ LIMIT {k}
 """
 
 
+def _q_bm25_query_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed query-string grammar (functions/queryparse + search_query):
+    MUST + prefix expansion + boolean NOT + bare term compiled into ONE
+    exact per-part pass. 'spark' collides with the 's*' expansion — the
+    explicit atom wins (expansion skipped, qtf stays the explicit count)."""
+    return _cindex(spark, sf_dir).search_query(
+        "+spark s* -merge data", k=10, round_to=4
+    )
+
+
+def _q_bm25_query_phrase_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed grammar over a positions-enabled index: exact phrase + bare
+    term + metadata facet ('"merge part" data lang:de') — phrase survivors
+    intersect the facet's allowed-id set inside each part (never a lossy
+    post-filter)."""
+    from searchenginer_spark.operators import stats as S
+
+    d = _docs(spark, sf_dir)
+    tf = S.term_frequencies(d, text_col="text", with_positions=True)
+    dl = S.doc_lengths(tf)
+    dft = S.document_frequencies(tf)
+    st = S.corpus_stats(dl)
+    td = build_term_dict(dft)
+    postings = build_postings(tf, dl, td, st, docs_per_part=128)
+    idx = Bm25CompressedIndex(spark, postings, td, docs_per_part=128)
+    return idx.search_query('"merge part" data lang:de', k=10, round_to=4, docs=d)
+
+
+_BM25_SCORED_CTE = """
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf
+             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+"""
+
+_BM25_QUERY_COMPOSED_SQL = f"""
+WITH {_TOKS_CTE},
+q AS (
+  SELECT term, 1 AS qtf FROM (VALUES ('spark'), ('data')) AS v(term)
+  UNION ALL
+  SELECT term, 1 AS qtf FROM dft
+  WHERE term LIKE 's%' AND term NOT IN ('spark', 'data', 'merge')
+),
+{_BM25_SCORED_CTE}
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 10
+"""
+
+_BM25_QUERY_PHRASE_FACET_SQL = f"""
+WITH {_TOKS_CTE},
+ph AS (
+  SELECT doc_id
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks
+        FROM documents)
+  WHERE list_contains(
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+    'merge part')
+),
+q(term, qtf) AS (VALUES ('merge', 1), ('part', 1), ('data', 1)),
+{_BM25_SCORED_CTE}
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM ph)
+  AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 10
+"""
+
+
 # ------------------------------------------- dedup-integrated build pipeline
 
 _DEDUP_IDX_CACHE: dict[tuple[int, str], tuple] = {}
@@ -1068,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compressed_prod_geometry": _q_bm25_compressed_prod,
         "bm25_prefix_topk": _q_bm25_prefix,
         "bm25_filtered_topk": _q_bm25_filtered,
+        "bm25_query_composed": _q_bm25_query_composed,
+        "bm25_query_phrase_facet": _q_bm25_query_phrase_facet,
         "bm25_batch_topk": _q_bm25_batch,
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
@@ -1117,6 +1198,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_prefix_topk": _bm25_prefix_sql("quer"),
         "bm25_filtered_topk": _bm25_sql("data value", "or", allow_pred="lang = 'de'"),
+        "bm25_query_composed": _BM25_QUERY_COMPOSED_SQL,
+        "bm25_query_phrase_facet": _BM25_QUERY_PHRASE_FACET_SQL,
         "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
         "bm25_stopword_topk": _bm25_sql(STOPWORD_QUERY, "or", stop=_STOPWORDS),
         # incremental fold + compaction must equal the FULL-REBUILD oracle

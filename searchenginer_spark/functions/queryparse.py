@@ -1,0 +1,74 @@
+"""Lucene-lite query-string parser for the composed search surface.
+
+The reference accepts a raw user query string at its search RPCs and
+tokenizes/weights it server-side (srpc/PageSearch/server.pb_skeleton.cc:
+154-170 via cut_weight); this module is the user-facing grammar on top of
+the same engine, compiled by ``Bm25CompressedIndex.search_query`` into ONE
+exact per-part scoring pass (never a lossy post-filter chain):
+
+    data +value -merge quer* "exact phrase" lang:de
+
+  bare term    scored; required in mode='and', optional in mode='or'
+  +term        required (MUST) in either mode
+  -term        boolean NOT: docs containing it never appear
+  term*        prefix expansion (SHOULD: adds score, never required)
+  "a b"        exact phrase (required; terms adjacent and in order)
+  field:value  metadata facet (equality against the docs table)
+
+Parsing is pure Python on a <1 KB string — driver-side by design, like
+query tokenization (plans/bm25_dataframe.tokenize_query).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+
+
+@dataclass
+class QuerySpec:
+    should: list[str] = field(default_factory=list)  # bare terms
+    must: list[str] = field(default_factory=list)  # +terms
+    exclude: list[str] = field(default_factory=list)  # -terms
+    phrases: list[str] = field(default_factory=list)  # "..." spans
+    prefixes: list[str] = field(default_factory=list)  # term*
+    facets: dict[str, str] = field(default_factory=dict)  # field:value
+
+    @property
+    def has_positive(self) -> bool:
+        return bool(self.should or self.must or self.phrases or self.prefixes)
+
+
+def parse_query(query: str) -> QuerySpec:
+    """Parse a query string into a QuerySpec. Raises ValueError on clauses
+    the engine cannot execute exactly (negated phrases/prefixes/facets) —
+    failing loudly beats silently returning wrong results."""
+    spec = QuerySpec()
+    for m in _CLAUSE_RE.finditer(query):
+        sign, raw, quoted = m.group(1), m.group(2), m.group(3)
+        if quoted is not None:
+            if sign == "-":
+                raise ValueError(f'negated phrase not supported: -"{quoted}"')
+            if quoted.strip():
+                spec.phrases.append(quoted)
+            continue
+        if raw.endswith("*") and len(raw) > 1:
+            if sign == "-":
+                raise ValueError(f"negated prefix not supported: -{raw}")
+            spec.prefixes.append(raw[:-1].lower())
+            continue
+        if ":" in raw[1:-1]:  # field:value (':' not at either edge)
+            if sign == "-":
+                raise ValueError(f"negated facet not supported: -{raw}")
+            k, v = raw.split(":", 1)
+            spec.facets[k] = v
+            continue
+        if sign == "-":
+            spec.exclude.append(raw.lower())
+        elif sign == "+":
+            spec.must.append(raw.lower())
+        else:
+            spec.should.append(raw.lower())
+    return spec

@@ -182,19 +182,7 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=(), allow
 
     # non-essential terms: probe only at existing candidates, block-sliced
     for g in groups[ess_end:]:
-        block_last = np.asarray(g["block_last"], dtype=np.int64)
-        bidx = np.unique(np.searchsorted(block_last, cand))
-        bidx = bidx[bidx < len(block_last)]
-        ids, pos = decode_blocks(
-            g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
-        )
-        if ids.size == 0:
-            continue
-        loc = np.searchsorted(ids, cand)
-        loc_c = np.minimum(loc, len(ids) - 1)
-        member = ids[loc_c] == cand
-        sc = decode_scores(g["scores"])
-        score[member] += sc[pos[loc_c[member]]] * qtf[g["term_id"]]
+        score += qtf[g["term_id"]] * _probe_scores(g, cand)
 
     if neg:
         cand, score = _drop_excluded(cand, score, neg)
@@ -236,10 +224,31 @@ def _gather_runs(
     return flat[starts[rows][owner] + within], owner
 
 
-def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_to=None):
-    """Exact-phrase scoring for one part: conjunctive intersection, then
+def _probe_scores(g: dict, cand: np.ndarray) -> np.ndarray:
+    """Impact scores of posting row ``g`` at SORTED candidate doc ids
+    (0.0 where the doc is absent), decoding ONLY the blocks whose
+    block_last range can contain a candidate — the shared skip-decode
+    probe under OR non-essential terms and boolean SHOULD clauses."""
+    out = np.zeros(cand.size, dtype=np.float64)
+    block_last = np.asarray(g["block_last"], dtype=np.int64)
+    bidx = np.unique(np.searchsorted(block_last, cand))
+    bidx = bidx[bidx < len(block_last)]
+    ids, pos = decode_blocks(
+        g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
+    )
+    if ids.size == 0:
+        return out
+    loc = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
+    member = ids[loc] == cand
+    sc = decode_scores(g["scores"])
+    out[member] = sc[pos[loc[member]]]
+    return out
+
+
+def _phrase_match(by_tid: dict, slots: list[int]):
+    """Exact-phrase matching for one part: conjunctive intersection, then
     positional adjacency verification (slot i's term must appear at
-    position p+i for some p). groups must carry the `positions` column.
+    position p+i for some p). Rows must carry the `positions` column.
 
     Fully vectorized across ALL candidate docs at once (no per-candidate
     Python loop — SURVEY §7.4.3): each slot's positions become composite
@@ -252,11 +261,12 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
     (block_doc_off / block_pos_off), so a hot term's blobs are never fully
     decoded when the conjunctive candidate set is small.
 
-    Returns top-k (doc_ids, scores) where score is the BM25 sum over the
-    phrase's distinct terms (qtf weights included)."""
-    by_tid = {g["term_id"]: g for g in groups}
+    Returns (cand, idxs): sorted surviving doc ids, and for each distinct
+    term the posting-row index of every survivor (for score gathering
+    without a second decode). (empty, {}) when nothing matches."""
+    empty = np.empty(0, dtype=np.int64)
     if any(t not in by_tid for t in slots):
-        return [], []
+        return empty, {}
     # conjunctive intersection with block skip-decode, rarest term first —
     # identical read pattern to _score_part_and: non-driver terms decode
     # ONLY blocks whose block_last range can contain surviving candidates
@@ -266,7 +276,7 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
     decoded = {distinct[0]: (cand, np.arange(cand.size, dtype=np.int64))}
     for t in distinct[1:]:
         if cand.size == 0:
-            return [], []
+            return empty, {}
         g = by_tid[t]
         block_last = np.asarray(g["block_last"], dtype=np.int64)
         bidx = np.unique(np.searchsorted(block_last, cand))
@@ -276,11 +286,11 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
         )
         decoded[t] = (ids, pos)
         if ids.size == 0:
-            return [], []
+            return empty, {}
         loc = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
         cand = cand[ids[loc] == cand]
     if cand.size == 0:
-        return [], []
+        return empty, {}
     # GLOBAL posting index of every candidate within each term's posting row
     # (the scores-array index); each term's decoded ids are a superset of the
     # final candidate set, so a sorted searchsorted lookup is exact
@@ -319,12 +329,22 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
         keys_i = (owner << 32) | (vals - i + offset)
         keys = keys_i if keys is None else keys[_member_sorted(keys, keys_i)]
         if keys.size == 0:
-            return [], []
+            return empty, {}
     surv = np.unique(keys >> 32)  # candidate rows with >=1 phrase start
-    out_ids = cand[surv]
-    out_scores = np.zeros(surv.size, dtype=np.float64)
-    for t in distinct:
-        out_scores += qtf[t] * decode_scores(by_tid[t]["scores"])[idxs[t][surv]]
+    return cand[surv], {t: idxs[t][surv] for t in distinct}
+
+
+def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_to=None):
+    """Exact-phrase top-k for one part: _phrase_match survivors scored as the
+    BM25 sum over the phrase's distinct terms (qtf weights included), using
+    the posting indices the match already resolved — no second decode."""
+    by_tid = {g["term_id"]: g for g in groups}
+    out_ids, idxs = _phrase_match(by_tid, slots)
+    if out_ids.size == 0:
+        return [], []
+    out_scores = np.zeros(out_ids.size, dtype=np.float64)
+    for t, rows in idxs.items():
+        out_scores += qtf[t] * decode_scores(by_tid[t]["scores"])[rows]
     if round_to is not None:
         out_scores = np.round(out_scores, round_to)
     if out_ids.size > k:
@@ -333,6 +353,94 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
     else:
         order = np.lexsort((out_ids, -out_scores))
     return out_ids[order].tolist(), out_scores[order].tolist()
+
+
+def _score_part_bool(
+    groups: list,
+    must: list[int],
+    should: list[int],
+    qtf: dict,
+    k: int,
+    phrases: tuple = (),
+    round_to=None,
+    neg=(),
+    allow=None,
+):
+    """Composed boolean scoring for one part (the search_query engine):
+
+      must     conjunctive term_ids — every one must match (rarest-first
+               galloping intersection with block skip-decode)
+      phrases  tuples of slot term_ids — each must match exactly (adjacent,
+               in order); survivors tighten the allow set
+      should   additive term_ids — probed at the surviving candidates only
+               (block-sliced), contributing score where present
+      neg      posting rows of excluded terms (dropped pre-truncation)
+      allow    sorted permitted doc ids (metadata facet), or None
+
+    Score = sum over every distinct positive atom present (must + phrase
+    terms + should), each weighted by qtf — must/phrase terms are scored by
+    the same skip-decode probe as should terms, so no contribution is ever
+    double-counted when a term plays several roles.
+
+    Candidate generation: must-intersection if any must terms; else the
+    phrase-survivor set; else a pure disjunction (delegated to
+    _score_part_or, MaxScore pruning intact)."""
+    by_tid = {g["term_id"]: g for g in groups}
+    if any(t not in by_tid for t in must):
+        return [], []
+    for slots in phrases:
+        surv, _ = _phrase_match(by_tid, list(slots))
+        if surv.size == 0:
+            return [], []
+        allow = surv if allow is None else allow[_member_sorted(allow, surv)]
+        if allow.size == 0:
+            return [], []
+
+    if must:
+        order = sorted(must, key=lambda t: by_tid[t]["n"])
+        drv = by_tid[order[0]]
+        cand = decode_doc_ids(drv["docs"], drv["n"])
+        if allow is not None:
+            cand = cand[_member_sorted(cand, allow)]
+        for t in order[1:]:
+            if cand.size == 0:
+                return [], []
+            g = by_tid[t]
+            block_last = np.asarray(g["block_last"], dtype=np.int64)
+            bidx = np.unique(np.searchsorted(block_last, cand))
+            bidx = bidx[bidx < len(block_last)]
+            ids, _pos = decode_blocks(
+                g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
+            )
+            cand = cand[_member_sorted(cand, ids)]
+    elif phrases:
+        cand = allow  # ⊆ phrase survivors: every candidate matches the phrase
+    else:
+        sh = [by_tid[t] for t in should if t in by_tid]
+        if not sh:
+            return [], []
+        return _score_part_or(sh, qtf, k, round_to, neg, allow)
+    if cand.size == 0:
+        return [], []
+
+    phrase_terms = [t for slots in phrases for t in slots]
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in dict.fromkeys([*must, *phrase_terms, *should]):
+        g = by_tid.get(t)
+        if g is not None:
+            score += qtf[t] * _probe_scores(g, cand)
+    if neg:
+        cand, score = _drop_excluded(cand, score, neg)
+        if cand.size == 0:
+            return [], []
+    if round_to is not None:
+        score = np.round(score, round_to)
+    if cand.size > k:
+        top = np.argpartition(-score, k - 1)[:k]
+        order = top[np.lexsort((cand[top], -score[top]))]
+    else:
+        order = np.lexsort((cand, -score))
+    return cand[order].tolist(), score[order].tolist()
 
 
 class Bm25CompressedIndex:
@@ -514,6 +622,37 @@ class Bm25CompressedIndex:
             .limit(k)
         )
 
+    def _expand_prefix(self, prefix: str, max_expansions: int) -> list[int]:
+        """term_ids of dictionary terms starting with ``prefix``, capped by
+        df rank (highest-df kept; deterministic df-desc/term tie). Uses the
+        driver dict cache when present, else a first-char-pruned dict probe
+        (the Spark analog of the reference's first-character index,
+        Make_dir/MakeDictAndIndex.cpp:203-209)."""
+        if not prefix:
+            return []
+        cache = self._maybe_cache_dict()
+        if cache is not None:
+            matched = sorted(t for t in cache if t.startswith(prefix))
+            if len(matched) > max_expansions:
+                dfs = {
+                    r["term"]: r["df"]
+                    for r in self.term_dict.filter(
+                        F.col("term").isin(matched)
+                    ).select("term", "df").collect()
+                }
+                matched = sorted(matched, key=lambda t: (-dfs[t], t))[:max_expansions]
+            return [cache[t] for t in matched]
+        rows = (
+            self.term_dict.filter(
+                (F.col("prefix") == prefix[0]) & F.col("term").startswith(prefix)
+            )
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term_id")
+            .collect()
+        )
+        return [r["term_id"] for r in rows]
+
     def search_prefix(
         self,
         prefix: str,
@@ -530,33 +669,7 @@ class Bm25CompressedIndex:
         term. ``max_expansions`` caps runaway one-letter prefixes by df
         rank (highest-df expansions kept; deterministic df-desc/term tie).
         """
-        prefix = prefix.lower()
-        if not prefix:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        cache = self._maybe_cache_dict()
-        if cache is not None:
-            matched = sorted(t for t in cache if t.startswith(prefix))
-            if len(matched) > max_expansions:
-                dfs = {
-                    r["term"]: r["df"]
-                    for r in self.term_dict.filter(
-                        F.col("term").isin(matched)
-                    ).select("term", "df").collect()
-                }
-                matched = sorted(matched, key=lambda t: (-dfs[t], t))[:max_expansions]
-            ids = [cache[t] for t in matched]
-        else:
-            rows = (
-                self.term_dict.filter(
-                    (F.col("prefix") == prefix[0])
-                    & F.col("term").startswith(prefix)
-                )
-                .orderBy(F.desc("df"), F.asc("term"))
-                .limit(max_expansions)
-                .select("term_id")
-                .collect()
-            )
-            ids = [r["term_id"] for r in rows]
+        ids = self._expand_prefix(prefix.lower(), max_expansions)
         if not ids:
             return self.spark.createDataFrame([], "doc_id long, score double")
         qtf = {t: 1.0 for t in ids}
@@ -570,6 +683,136 @@ class Bm25CompressedIndex:
         scored = cand.groupBy("part").applyInPandas(
             score_part, schema="doc_id long, score double"
         )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_query(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        docs: DataFrame | None = None,
+        pattern: str = IDENT_RE,
+        round_to: int | None = None,
+        max_expansions: int = 1024,
+        docs_per_part: int | None = None,
+    ) -> DataFrame:
+        """Composed query-string search — the user-facing grammar compiled
+        into ONE exact per-part pass (functions/queryparse.py; the Spark
+        surface of the reference's raw-query RPC entry point,
+        srpc/PageSearch/server.pb_skeleton.cc:154-170):
+
+            data +value -merge quer* "exact phrase" lang:de
+
+        Semantics: ``+term`` and every ``"phrase"`` are required; bare terms
+        are required in mode='and', scored-if-present in mode='or';
+        ``-term`` docs never appear (dropped pre-truncation); ``pre*``
+        expansions add score but are never required (SHOULD, qtf=1, capped
+        by df rank; an expansion colliding with an explicit or excluded
+        atom is skipped — explicit wins); ``field:value`` facets filter by
+        equality against ``docs`` via the same part-bucketed cogroup as
+        search_filtered (exact: never a lossy post-filter). Phrase clauses
+        need a positions-enabled index. Score = BM25 sum over the distinct
+        positive atoms present, qtf = each atom's occurrence count across
+        the whole query string.
+        """
+        from ..functions.queryparse import parse_query
+
+        spec = parse_query(query)
+        empty = lambda: self.spark.createDataFrame([], "doc_id long, score double")  # noqa: E731
+        if not spec.has_positive:
+            return empty()
+
+        def toks(words: list[str]) -> list[str]:
+            out: list[str] = []
+            for w in words:
+                out.extend(re.findall(pattern, w.lower()))
+            return out
+
+        must_raw = toks(spec.must) + (toks(spec.should) if mode == "and" else [])
+        should_raw = toks(spec.should) if mode != "and" else []
+        phrase_toks = [p for p in (re.findall(pattern, s.lower()) for s in spec.phrases) if p]
+        exc_raw = sorted(set(toks(spec.exclude)))
+
+        positive = must_raw + should_raw + [t for p in phrase_toks for t in p]
+        tid = self.lookup_terms(sorted(set(positive) | set(exc_raw)))
+        # a missing required atom (must term or phrase term) -> no results
+        if any(t not in tid for t in must_raw) or any(
+            t not in tid for p in phrase_toks for t in p
+        ):
+            return empty()
+
+        from collections import Counter
+
+        qtf = {tid[t]: float(c) for t, c in Counter(positive).items() if t in tid}
+        must_ids = list(dict.fromkeys(tid[t] for t in must_raw))
+        should_ids = [
+            tid[t]
+            for t in dict.fromkeys(should_raw)
+            if t in tid and tid[t] not in set(must_ids)
+        ]
+        slots = tuple(tuple(tid[t] for t in p) for p in phrase_toks)
+        exc_ids = {tid[t] for t in exc_raw if t in tid} - set(qtf)
+        for pre in spec.prefixes:
+            for t in self._expand_prefix(pre, max_expansions):
+                if t not in qtf and t not in exc_ids:
+                    qtf[t] = 1.0
+                    should_ids.append(t)
+        if not qtf:
+            return empty()
+
+        cand = self.postings.filter(F.col("term_id").isin(list(qtf) + list(exc_ids)))
+
+        def score_rows(rows: list[dict], allow_ids=None) -> pd.DataFrame:
+            pos_rows = [g for g in rows if g["term_id"] not in exc_ids]
+            neg = [g for g in rows if g["term_id"] in exc_ids]
+            d, s = _score_part_bool(
+                pos_rows, must_ids, should_ids, qtf, k, slots, round_to, neg, allow_ids
+            )
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        if spec.facets:
+            if docs is None:
+                raise ValueError(
+                    "facet clauses need the docs table: search_query(..., docs=...)"
+                )
+            dpp = docs_per_part or self.docs_per_part
+            if dpp is None:
+                raise ValueError(
+                    "facet clauses need the index geometry: open the index via "
+                    "open_index (reads the meta table) or pass docs_per_part="
+                )
+            allowed = docs
+            for col, val in spec.facets.items():
+                allowed = allowed.filter(F.col(col).cast("string") == val)
+            allow_df = allowed.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                (F.col("doc_id") / F.lit(dpp)).cast("int").alias("part"),
+            )
+
+            def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if len(left) == 0 or len(right) == 0:
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                allow_ids = np.sort(right["doc_id"].to_numpy().astype(np.int64))
+                return score_rows(left.to_dict("records"), allow_ids)
+
+            scored = (
+                cand.groupby("part")
+                .cogroup(allow_df.groupby("part"))
+                .applyInPandas(score_cogroup, schema="doc_id long, score double")
+            )
+        else:
+
+            def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_rows(pdf.to_dict("records"))
+
+            scored = cand.groupBy("part").applyInPandas(
+                score_part, schema="doc_id long, score double"
+            )
         score = F.round("score", round_to) if round_to is not None else F.col("score")
         return (
             scored.select("doc_id", score.alias("score"))

@@ -61,6 +61,10 @@ class IndexPaths:
 
 
 def _done_parts(spark: SparkSession, paths: IndexPaths) -> set[int]:
+    # cheap fs.exists first: the common fresh-build case must not pay a
+    # driver-side AnalysisException round trip just to learn "no metrics yet"
+    if not _dir_exists(spark, paths.metrics):
+        return set()
     try:
         rows = (
             spark.read.parquet(paths.metrics)
@@ -72,6 +76,31 @@ def _done_parts(spark: SparkSession, paths: IndexPaths) -> set[int]:
         return {r["partition_id"] for r in rows}
     except Exception:
         return set()
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _list_parts(spark: SparkSession, docs_path: str) -> list[int] | None:
+    """Partition values of a part=N-partitioned table from ONE filesystem
+    listing — no Spark job. Returns None if the layout isn't recognized
+    (caller falls back to a distinct() scan)."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(docs_path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        parts = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("part="):
+                parts.append(int(name.split("=", 1)[1]))
+        return sorted(parts) if parts else None
+    except Exception:
+        return None
 
 
 def part_stats(dl: DataFrame, docs_per_part: int) -> DataFrame:
@@ -128,6 +157,12 @@ def build_index(
     spark = docs.sparkSession
     paths = IndexPaths(root)
     t0 = time.monotonic()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, since: float) -> float:
+        now = time.monotonic()
+        phases[name] = round(now - since, 3)
+        return now
 
     dedup_tf = None
     dedup_handles: list[DataFrame] = []
@@ -167,6 +202,7 @@ def build_index(
         writer = threading.Thread(target=_write_docs)
         writer.start()
 
+    tcur = _mark("setup", t0)
     tf = None
     owns_tf = False
     if not (_table_ready(spark, paths.term_dict) and _table_ready(spark, paths.stats)):
@@ -180,35 +216,64 @@ def build_index(
             ).persist()
             owns_tf = True
         dl = S.doc_lengths(tf)
+
+        # the stats chain (per-part stats -> global stats -> meta) is three
+        # tiny writes whose job-scheduling + commit overhead is pure serial
+        # share if run back-to-back; overlap it with the big dict job below —
+        # both threads consume the same persisted tf (per-partition cache
+        # locks make the concurrent fill race-free)
+        import threading
+
+        _serr: list[BaseException] = []
+
+        def _write_stats():
+            try:
+                part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
+                    "part"
+                ).parquet(paths.stats_parts)
+                # global stats aggregate the tiny per-part table instead of
+                # re-running a full dl pass; sum_dl/n_docs are exact integers,
+                # so avgdl is bit-identical to avg(dl) over the rows
+                spark.read.parquet(paths.stats_parts).agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+                ).write.mode("overwrite").parquet(paths.stats)
+                spark.createDataFrame(
+                    [(int(docs_per_part), bool(with_positions))],
+                    "docs_per_part int, with_positions boolean",
+                ).write.mode("overwrite").parquet(paths.meta)
+            except BaseException as e:  # surfaced after join()
+                _serr.append(e)
+
+        stats_writer = threading.Thread(target=_write_stats)
+        stats_writer.start()
         build_term_dict(S.document_frequencies(tf)).write.mode(
             "overwrite"
         ).parquet(paths.term_dict)
-        part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
-            "part"
-        ).parquet(paths.stats_parts)
-        spark.createDataFrame(
-            [(int(docs_per_part), bool(with_positions))],
-            "docs_per_part int, with_positions boolean",
-        ).write.mode("overwrite").parquet(paths.meta)
-        # global stats aggregate the tiny per-part table instead of re-running
-        # a full dl pass; sum_dl/n_docs are exact integers, so avgdl is
-        # bit-identical to avg(dl) over the rows
-        spark.read.parquet(paths.stats_parts).agg(
-            F.sum("n_docs").alias("n_docs"),
-            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
-        ).write.mode("overwrite").parquet(paths.stats)
+        tcur = _mark("dict", tcur)
+        stats_writer.join()
+        if _serr:
+            raise _serr[0]
+        tcur = _mark("stats", tcur)
     if writer is not None:
         writer.join()
         if _werr:
             raise _werr[0]
+    tcur = _mark("docs_write_wait", tcur)
     docs = spark.read.parquet(paths.docs)
     term_dict = spark.read.parquet(paths.term_dict)
     stats = spark.read.parquet(paths.stats)
 
     # -- stage 2: postings for pending parts only ---------------------------
-    # partition-column listing only; no data scan
-    all_parts = sorted(r["part"] for r in docs.select("part").distinct().collect())
+    # one fs listing of the part=N dirs — no Spark job, no data scan
+    listed = _list_parts(spark, paths.docs)
+    all_parts = (
+        listed
+        if listed is not None
+        else sorted(r["part"] for r in docs.select("part").distinct().collect())
+    )
     done = _done_parts(spark, paths)
+    tcur = _mark("listing", tcur)
     pending = [p for p in all_parts if p not in done]
     if max_parts is not None:
         pending = pending[:max_parts]
@@ -244,6 +309,7 @@ def build_index(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("part").parquet(paths.postings)
         wall_ms = int((time.monotonic() - t1) * 1000)
+        tcur = _mark("encode", tcur)
 
         # lineage + throughput metrics per part (from the cached encode)
         per_part = (
@@ -287,6 +353,7 @@ def build_index(
         metrics.write.mode("append").parquet(paths.metrics)
         postings.unpersist()
         built = len(pending)
+        tcur = _mark("metrics", tcur)
 
     if tf is not None and owns_tf:
         tf.unpersist()
@@ -295,12 +362,14 @@ def build_index(
     # n_docs from the 1-row stats table (docs with >=1 indexed token) —
     # never a full re-scan of the docs table just for the summary dict
     n_docs_total = int(spark.read.parquet(paths.stats).first()["n_docs"])
+    _mark("summary", tcur)
     return {
         "n_docs": n_docs_total,
         "parts_total": len(all_parts),
         "parts_built": built,
         "parts_done_before": len(done),
         "wall_s": time.monotonic() - t0,
+        "phases": phases,
         "root": root,
     }
 

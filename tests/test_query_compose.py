@@ -1,0 +1,192 @@
+"""Composed query-string surface (functions/queryparse + search_query).
+
+Every grammar clause is checked two ways: (1) parser unit tests (pure
+Python), (2) engine parity — each single-clause query must reproduce the
+dedicated primitive (search / search_phrase / search_prefix /
+search_filtered) exactly, and composed queries must match a brute-force
+Python oracle over the corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from searchenginer_spark.functions.queryparse import QuerySpec, parse_query
+from searchenginer_spark.operators import stats as S
+from searchenginer_spark.operators.dict import build_term_dict
+from searchenginer_spark.operators.postings import build_postings
+from searchenginer_spark.plans.bm25 import Bm25CompressedIndex
+from searchenginer_spark.plans.bm25_dataframe import IDENT_RE
+
+
+# ------------------------------------------------------------------ parser
+
+
+def test_parse_all_clause_kinds():
+    spec = parse_query('data +value -merge quer* "exact phrase" lang:de')
+    assert spec.should == ["data"]
+    assert spec.must == ["value"]
+    assert spec.exclude == ["merge"]
+    assert spec.prefixes == ["quer"]
+    assert spec.phrases == ["exact phrase"]
+    assert spec.facets == {"lang": "de"}
+    assert spec.has_positive
+
+
+def test_parse_edge_cases():
+    assert parse_query("") == QuerySpec()
+    assert not parse_query("-only -negative").has_positive
+    # bare '*' is a term, not a prefix; ':' at an edge is not a facet
+    assert parse_query("*").should == ["*"]
+    assert parse_query(":x x:").should == [":x", "x:"]
+    # empty phrase is dropped; repeated terms all kept (qtf accumulates)
+    spec = parse_query('"" data data +data')
+    assert spec.phrases == []
+    assert spec.should == ["data", "data"] and spec.must == ["data"]
+
+
+@pytest.mark.parametrize("bad", ['-"a b"', "-pre*", "-lang:de"])
+def test_parse_rejects_unexecutable_negations(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+# ------------------------------------------------------------------ engine
+
+
+@pytest.fixture(scope="module")
+def qindex(spark, docs_sf0001):
+    """Positions-enabled compressed index with known geometry, so ALL
+    clause kinds (phrase, facet) are executable."""
+    tf = S.term_frequencies(docs_sf0001, text_col="text", with_positions=True).persist()
+    dl = S.doc_lengths(tf)
+    dft = S.document_frequencies(tf)
+    stats = S.corpus_stats(dl)
+    term_dict = build_term_dict(dft).persist()
+    postings = build_postings(tf, dl, term_dict, stats, docs_per_part=128).persist()
+    return Bm25CompressedIndex(spark, postings, term_dict, docs_per_part=128)
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _assert_same(got, want, label=""):
+    assert [d for d, _ in got] == [d for d, _ in want], label
+    for (_, g), (_, w) in zip(got, want):
+        assert abs(g - w) < 1e-9, label
+
+
+@pytest.mark.parametrize(
+    "query,mode,primitive",
+    [
+        ("spark query", "and", lambda ix, k: ix.search("spark query", k=k, mode="and")),
+        (
+            "spark merge window",
+            "or",
+            lambda ix, k: ix.search("spark merge window", k=k, mode="or"),
+        ),
+        # +terms are MUST in either mode == the and-mode primitive
+        ("+spark +query", "or", lambda ix, k: ix.search("spark query", k=k, mode="and")),
+        (
+            "spark query -merge",
+            "and",
+            lambda ix, k: ix.search("spark query", k=k, mode="and", exclude=["merge"]),
+        ),
+        ('"merge part"', "or", lambda ix, k: ix.search_phrase("merge part", k=k)),
+        ("quer*", "or", lambda ix, k: ix.search_prefix("quer", k=k)),
+    ],
+)
+def test_single_clause_parity_with_primitives(qindex, query, mode, primitive):
+    got = _rows(qindex.search_query(query, k=10, mode=mode))
+    want = _rows(primitive(qindex, 10))
+    _assert_same(got, want, query)
+
+
+def test_facet_parity_with_search_filtered(qindex, docs_sf0001):
+    from pyspark.sql import functions as F
+
+    allowed = docs_sf0001.filter(F.col("lang") == "de").select("doc_id")
+    want = _rows(qindex.search_filtered("data value", allowed, k=10, mode="or"))
+    got = _rows(qindex.search_query("data value lang:de", k=10, mode="or", docs=docs_sf0001))
+    _assert_same(got, want)
+
+
+def test_phrase_plus_term_is_filtered_disjunction(qindex, docs_sf0001):
+    """'"merge part" data' == OR-score {merge, part, data} restricted to the
+    phrase survivors (phrase docs contain merge and part by definition)."""
+    surv = qindex.search_phrase("merge part", k=1 << 30).select("doc_id")
+    want = _rows(qindex.search_filtered("merge part data", surv, k=10, mode="or"))
+    got = _rows(qindex.search_query('"merge part" data', k=10))
+    _assert_same(got, want)
+
+
+def _bm25_oracle(pydocs):
+    """Per-(doc, term) BM25 weights, brute-force in Python."""
+    import math
+    from collections import Counter
+
+    rx = re.compile(IDENT_RE)
+    toks = {d: rx.findall((t or "").lower()) for d, t in pydocs}
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    def w(d, t):
+        f = tf[d].get(t, 0)
+        if not f:
+            return 0.0
+        idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        return idf * f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * len(toks[d]) / avgdl))
+    return toks, tf, df, w
+
+
+@pytest.fixture(scope="module")
+def pydocs(docs_sf0001):
+    return [(r["doc_id"], r["text"]) for r in docs_sf0001.select("doc_id", "text").collect()]
+
+
+def test_composed_query_matches_python_oracle(qindex, pydocs):
+    """'+data value* -merge spark': must + prefix-expansion + NOT + bare,
+    brute-forced in Python (expansions score qtf=1, never required;
+    explicit atoms win collisions)."""
+    toks, tf, df, w = _bm25_oracle(pydocs)
+    expansions = sorted(t for t in df if t.startswith("value"))
+    want = []
+    for d in toks:
+        if not tf[d].get("data") or tf[d].get("merge"):
+            continue
+        score = w(d, "data") + w(d, "spark") + sum(w(d, t) for t in expansions)
+        want.append((d, round(score, 6)))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    got = _rows(qindex.search_query("+data value* -merge spark", k=10, round_to=6))
+    _assert_same(got, want[:10])
+
+
+def test_must_term_in_phrase_not_double_counted(qindex, pydocs):
+    """'+merge "merge part"' — merge plays two roles but is one scoring atom
+    with qtf=2 (its occurrence count across the query string)."""
+    toks, tf, df, w = _bm25_oracle(pydocs)
+    rx = re.compile(IDENT_RE)
+    phrase = ["merge", "part"]
+    want = []
+    for d, ts in toks.items():
+        hit = any(ts[i : i + 2] == phrase for i in range(len(ts) - 1))
+        if hit and tf[d].get("merge"):
+            want.append((d, round(2.0 * w(d, "merge") + w(d, "part"), 6)))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    got = _rows(qindex.search_query('+merge "merge part"', k=10, round_to=6))
+    _assert_same(got, want[:10])
+
+
+def test_missing_required_atom_returns_empty(qindex):
+    assert qindex.search_query("+zzz_not_here data").count() == 0
+    assert qindex.search_query('"zzz_not_here data"').count() == 0
+    assert qindex.search_query("-data").count() == 0  # no positive atom
+
+
+def test_facet_requires_docs_table(qindex):
+    with pytest.raises(ValueError):
+        qindex.search_query("data lang:de")
