@@ -221,9 +221,13 @@ def build_index(
         # tiny writes whose job-scheduling + commit overhead is pure serial
         # share if run back-to-back; overlap it with the big dict job below —
         # both threads consume the same persisted tf (per-partition cache
-        # locks make the concurrent fill race-free)
+        # locks make the concurrent fill race-free). Only worth it when the
+        # executor has spare slots for the tiny jobs' tasks to slip into:
+        # on a <4-slot session concurrency is zero-sum and the time-slicing
+        # measurably slows the wide dict stage, so run sequentially there.
         import threading
 
+        overlap = spark.sparkContext.defaultParallelism >= 4
         _serr: list[BaseException] = []
 
         def _write_stats():
@@ -245,13 +249,17 @@ def build_index(
             except BaseException as e:  # surfaced after join()
                 _serr.append(e)
 
-        stats_writer = threading.Thread(target=_write_stats)
-        stats_writer.start()
+        stats_writer = threading.Thread(target=_write_stats) if overlap else None
+        if stats_writer is not None:
+            stats_writer.start()
         build_term_dict(S.document_frequencies(tf)).write.mode(
             "overwrite"
         ).parquet(paths.term_dict)
         tcur = _mark("dict", tcur)
-        stats_writer.join()
+        if stats_writer is not None:
+            stats_writer.join()
+        else:
+            _write_stats()
         if _serr:
             raise _serr[0]
         tcur = _mark("stats", tcur)

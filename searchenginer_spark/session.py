@@ -43,11 +43,11 @@ def get_spark(
         # serial share (Amdahl) at every cluster size; cloud deployments use
         # a cloud-native committer for the same reason
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        # the build overlaps its small metadata writes (stats/meta) with the
-        # big dict/encode jobs on daemon threads; FAIR lets those tiny jobs'
-        # tasks interleave instead of queueing behind a job that holds every
-        # slot (FIFO starves them for the length of the big stage)
-        .config("spark.scheduler.mode", "FAIR")
+        # scheduler stays FIFO (the default): the build's overlapped
+        # metadata jobs are tiny and their tasks slip into free slots fine
+        # (measured wait ~1.5 s at local[8]); FAIR time-slicing was measured
+        # to cost 15-20 s on a 2-slot executor's wide dict stage with no
+        # benefit at any width
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
