@@ -6,6 +6,8 @@ Commands:
   gen-corpus  --n 100000 --out /path            synthetic corpus table
   build-index --corpus /path --root /idx        (resumable; re-run to resume)
   query       --root /idx --q "int return" --k 10 --mode and
+  search      --root /idx --q 'data +value -merge quer* "a b"~3 lang:de'
+              (composed grammar, functions/queryparse; --docs for facets)
   suggest     --root /idx --q "retrun"
   bench       (same as bench.py)
 
@@ -42,6 +44,14 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["and", "or"], default="and")
+
+    c = sub.add_parser("search")
+    c.add_argument("--root", required=True)
+    c.add_argument("--q", required=True,
+                   help='composed grammar: data +must -not pre* "phrase" "a b"~3 field:value')
+    c.add_argument("--k", type=int, default=10)
+    c.add_argument("--mode", choices=["and", "or"], default="or")
+    c.add_argument("--docs", help="docs parquet path, required for field:value facets")
 
     s = sub.add_parser("suggest")
     s.add_argument("--root", required=True)
@@ -81,6 +91,14 @@ def main(argv: list[str] | None = None) -> None:
 
         idx = open_index(spark, args.root)
         rows = idx.search(args.q, k=args.k, mode=args.mode).collect()
+        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+
+    elif args.cmd == "search":
+        from .plans.build_index import open_index
+
+        idx = open_index(spark, args.root)
+        docs = spark.read.parquet(args.docs) if args.docs else None
+        rows = idx.search_query(args.q, k=args.k, mode=args.mode, docs=docs).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
 
     elif args.cmd == "suggest":

@@ -13,6 +13,8 @@ exact per-part scoring pass (never a lossy post-filter chain):
   -term        boolean NOT: docs containing it never appear
   term*        prefix expansion (SHOULD: adds score, never required)
   "a b"        exact phrase (required; terms adjacent and in order)
+  "a b"~3      unordered proximity (required; all terms within a
+               3-position window, any order)
   field:value  metadata facet (equality against the docs table)
 
 Parsing is pure Python on a <1 KB string — driver-side by design, like
@@ -24,7 +26,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?|\S+)')
 
 
 @dataclass
@@ -33,12 +35,15 @@ class QuerySpec:
     must: list[str] = field(default_factory=list)  # +terms
     exclude: list[str] = field(default_factory=list)  # -terms
     phrases: list[str] = field(default_factory=list)  # "..." spans
+    nears: list[tuple[str, int]] = field(default_factory=list)  # "..."~W
     prefixes: list[str] = field(default_factory=list)  # term*
     facets: dict[str, str] = field(default_factory=dict)  # field:value
 
     @property
     def has_positive(self) -> bool:
-        return bool(self.should or self.must or self.phrases or self.prefixes)
+        return bool(
+            self.should or self.must or self.phrases or self.nears or self.prefixes
+        )
 
 
 def parse_query(query: str) -> QuerySpec:
@@ -47,12 +52,16 @@ def parse_query(query: str) -> QuerySpec:
     failing loudly beats silently returning wrong results."""
     spec = QuerySpec()
     for m in _CLAUSE_RE.finditer(query):
-        sign, raw, quoted = m.group(1), m.group(2), m.group(3)
+        sign, raw, quoted, slop = m.group(1), m.group(2), m.group(3), m.group(4)
         if quoted is not None:
             if sign == "-":
                 raise ValueError(f'negated phrase not supported: -"{quoted}"')
             if quoted.strip():
-                spec.phrases.append(quoted)
+                if slop is not None:
+                    # "a b"~W = unordered proximity, max position span W
+                    spec.nears.append((quoted, int(slop[1:])))
+                else:
+                    spec.phrases.append(quoted)
             continue
         if raw.endswith("*") and len(raw) > 1:
             if sign == "-":

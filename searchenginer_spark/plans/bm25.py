@@ -267,16 +267,42 @@ def _phrase_match(by_tid: dict, slots: list[int]):
     empty = np.empty(0, dtype=np.int64)
     if any(t not in by_tid for t in slots):
         return empty, {}
-    # conjunctive intersection with block skip-decode, rarest term first —
-    # identical read pattern to _score_part_and: non-driver terms decode
-    # ONLY blocks whose block_last range can contain surviving candidates
     distinct = sorted(dict.fromkeys(slots), key=lambda t: by_tid[t]["n"])
+    cand, idxs, pos_data = _candidate_positions(by_tid, distinct)
+    if cand.size == 0:
+        return empty, {}
+    # keys are strictly increasing per slot: owner asc, positions asc within
+    offset = len(slots)  # keeps pos - slot_i strictly positive
+    keys = None
+    for i, t in enumerate(slots):
+        flat, starts, counts, rows_t = pos_data[t]
+        vals, owner = _gather_runs(flat, starts, counts, rows_t)
+        keys_i = (owner << 32) | (vals - i + offset)
+        keys = keys_i if keys is None else keys[_member_sorted(keys, keys_i)]
+        if keys.size == 0:
+            return empty, {}
+    surv = np.unique(keys >> 32)  # candidate rows with >=1 phrase start
+    return cand[surv], {t: idxs[t][surv] for t in distinct}
+
+
+def _candidate_positions(by_tid: dict, distinct: list[int]):
+    """Shared prologue of the positional matchers (phrase, NEAR):
+    conjunctive intersection over ``distinct`` term_ids (assumed
+    rarest-first; block skip-decode, identical read pattern to
+    _score_part_and), then each term's positions gathered for the
+    surviving candidates only.
+
+    Returns (cand, idxs, pos_data) where idxs[t] is each candidate's
+    posting-row index within term t's row and pos_data[t] =
+    (flat, starts, counts, rows_t) addresses t's decoded positions per
+    candidate. cand is empty when the intersection is."""
+    empty = np.empty(0, dtype=np.int64)
     drv = by_tid[distinct[0]]
     cand = decode_doc_ids(drv["docs"], drv["n"])
     decoded = {distinct[0]: (cand, np.arange(cand.size, dtype=np.int64))}
     for t in distinct[1:]:
         if cand.size == 0:
-            return empty, {}
+            return empty, {}, {}
         g = by_tid[t]
         block_last = np.asarray(g["block_last"], dtype=np.int64)
         bidx = np.unique(np.searchsorted(block_last, cand))
@@ -286,11 +312,11 @@ def _phrase_match(by_tid: dict, slots: list[int]):
         )
         decoded[t] = (ids, pos)
         if ids.size == 0:
-            return empty, {}
+            return empty, {}, {}
         loc = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
         cand = cand[ids[loc] == cand]
     if cand.size == 0:
-        return empty, {}
+        return empty, {}, {}
     # GLOBAL posting index of every candidate within each term's posting row
     # (the scores-array index); each term's decoded ids are a superset of the
     # final candidate set, so a sorted searchsorted lookup is exact
@@ -320,17 +346,43 @@ def _phrase_match(by_tid: dict, slots: list[int]):
             )
             rows_t = idxs[t]
         pos_data[t] = (flat, starts, counts, rows_t)
-    # keys are strictly increasing per slot: owner asc, positions asc within
-    offset = len(slots)  # keeps pos - slot_i strictly positive
-    keys = None
-    for i, t in enumerate(slots):
+    return cand, idxs, pos_data
+
+
+def _near_match(by_tid: dict, terms: list[int], window: int):
+    """Unordered proximity matching for one part: a candidate survives iff
+    one position per distinct term can be chosen with max - min <= window
+    (window in token positions; window=0 degenerates to co-position).
+
+    Anchor formulation: the chosen minimum is some term's position p, so a
+    candidate matches iff SOME position p (of any query term) has every
+    term present in [p, p + window]. Fully vectorized: every candidate
+    position of every term becomes an anchor key (owner << 32 | pos), and
+    each term contributes ONE sorted range-membership pass (two
+    searchsorteds) over its own key array — no per-candidate Python loop,
+    same skip-decode read pattern as _phrase_match via
+    _candidate_positions.
+
+    Returns (cand, idxs) like _phrase_match."""
+    empty = np.empty(0, dtype=np.int64)
+    if any(t not in by_tid for t in terms):
+        return empty, {}
+    distinct = sorted(dict.fromkeys(terms), key=lambda t: by_tid[t]["n"])
+    cand, idxs, pos_data = _candidate_positions(by_tid, distinct)
+    if cand.size == 0:
+        return empty, {}
+    keys_t = {}
+    for t in distinct:
         flat, starts, counts, rows_t = pos_data[t]
         vals, owner = _gather_runs(flat, starts, counts, rows_t)
-        keys_i = (owner << 32) | (vals - i + offset)
-        keys = keys_i if keys is None else keys[_member_sorted(keys, keys_i)]
-        if keys.size == 0:
-            return empty, {}
-    surv = np.unique(keys >> 32)  # candidate rows with >=1 phrase start
+        keys_t[t] = (owner << 32) | vals  # sorted: owner asc, pos asc within
+    anchors = np.concatenate(list(keys_t.values()))
+    ok = np.ones(anchors.size, dtype=bool)
+    for t in distinct:
+        lo = np.searchsorted(keys_t[t], anchors, side="left")
+        hi = np.searchsorted(keys_t[t], anchors + window, side="right")
+        ok &= lo < hi  # term t has a position in [p, p+window] of this owner
+    surv = np.unique(anchors[ok] >> 32)
     return cand[surv], {t: idxs[t][surv] for t in distinct}
 
 
@@ -365,6 +417,7 @@ def _score_part_bool(
     round_to=None,
     neg=(),
     allow=None,
+    nears: tuple = (),
 ):
     """Composed boolean scoring for one part (the search_query engine):
 
@@ -372,6 +425,8 @@ def _score_part_bool(
                galloping intersection with block skip-decode)
       phrases  tuples of slot term_ids — each must match exactly (adjacent,
                in order); survivors tighten the allow set
+      nears    (term_ids tuple, window) pairs — each must match within the
+               unordered window; survivors tighten the allow set
       should   additive term_ids — probed at the surviving candidates only
                (block-sliced), contributing score where present
       neg      posting rows of excluded terms (dropped pre-truncation)
@@ -388,8 +443,14 @@ def _score_part_bool(
     by_tid = {g["term_id"]: g for g in groups}
     if any(t not in by_tid for t in must):
         return [], []
-    for slots in phrases:
-        surv, _ = _phrase_match(by_tid, list(slots))
+    positional = [(slots, None) for slots in phrases] + [
+        (terms, w) for terms, w in nears
+    ]
+    for slots, w in positional:
+        if w is None:
+            surv, _ = _phrase_match(by_tid, list(slots))
+        else:
+            surv, _ = _near_match(by_tid, list(slots), w)
         if surv.size == 0:
             return [], []
         allow = surv if allow is None else allow[_member_sorted(allow, surv)]
@@ -413,8 +474,8 @@ def _score_part_bool(
                 g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
             )
             cand = cand[_member_sorted(cand, ids)]
-    elif phrases:
-        cand = allow  # ⊆ phrase survivors: every candidate matches the phrase
+    elif positional:
+        cand = allow  # ⊆ positional survivors: every candidate matched them
     else:
         sh = [by_tid[t] for t in should if t in by_tid]
         if not sh:
@@ -423,7 +484,7 @@ def _score_part_bool(
     if cand.size == 0:
         return [], []
 
-    phrase_terms = [t for slots in phrases for t in slots]
+    phrase_terms = [t for slots, _w in positional for t in slots]
     score = np.zeros(cand.size, dtype=np.float64)
     for t in dict.fromkeys([*must, *phrase_terms, *should]):
         g = by_tid.get(t)
@@ -441,6 +502,29 @@ def _score_part_bool(
     else:
         order = np.lexsort((cand, -score))
     return cand[order].tolist(), score[order].tolist()
+
+
+def _score_part_near(
+    groups: list, terms: list[int], window: int, qtf: dict, k: int, round_to=None
+):
+    """Proximity top-k for one part: _near_match survivors scored as the
+    BM25 sum over the distinct terms (qtf weights included), using the
+    posting indices the match already resolved — no second decode."""
+    by_tid = {g["term_id"]: g for g in groups}
+    out_ids, idxs = _near_match(by_tid, terms, window)
+    if out_ids.size == 0:
+        return [], []
+    out_scores = np.zeros(out_ids.size, dtype=np.float64)
+    for t, rows in idxs.items():
+        out_scores += qtf[t] * decode_scores(by_tid[t]["scores"])[rows]
+    if round_to is not None:
+        out_scores = np.round(out_scores, round_to)
+    if out_ids.size > k:
+        top = np.argpartition(-out_scores, k - 1)[:k]
+        order = top[np.lexsort((out_ids[top], -out_scores[top]))]
+    else:
+        order = np.lexsort((out_ids, -out_scores))
+    return out_ids[order].tolist(), out_scores[order].tolist()
 
 
 class Bm25CompressedIndex:
@@ -690,6 +774,48 @@ class Bm25CompressedIndex:
             .limit(k)
         )
 
+    def search_near(
+        self,
+        query: str,
+        window: int,
+        k: int = 10,
+        pattern: str = IDENT_RE,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Unordered proximity top-k: all query terms within a token window
+        (some choice of one position per distinct term spans <= ``window``
+        positions). The Lucene `"a b"~N` slop analog, restricted to the
+        unordered-span semantics; window=1 with two terms means adjacent in
+        either order. Requires a positions-enabled index; score is the BM25
+        sum over the distinct terms at their whole-query qtf (same scoring
+        contract as search_phrase)."""
+        toks = re.findall(pattern, query.lower())
+        if not toks:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        tid = self.lookup_terms(sorted(set(toks)))
+        if len(tid) < len(set(toks)):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        terms = [tid[t] for t in toks]
+        qtf = {tid[t]: float(c) for t, c in tokenize_query(query, pattern)}
+
+        cand = self.postings.filter(F.col("term_id").isin(list(set(terms))))
+
+        def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            docs, scores = _score_part_near(
+                pdf.to_dict("records"), terms, window, qtf, k, round_to
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        scored = cand.groupBy("part").applyInPandas(
+            score_part, schema="doc_id long, score double"
+        )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_query(
         self,
         query: str,
@@ -706,9 +832,11 @@ class Bm25CompressedIndex:
         surface of the reference's raw-query RPC entry point,
         srpc/PageSearch/server.pb_skeleton.cc:154-170):
 
-            data +value -merge quer* "exact phrase" lang:de
+            data +value -merge quer* "exact phrase" "near terms"~4 lang:de
 
-        Semantics: ``+term`` and every ``"phrase"`` are required; bare terms
+        Semantics: ``+term``, every ``"phrase"``, and every ``"..."~W``
+        proximity clause (all terms within a W-position window, any order —
+        see search_near) are required; bare terms
         are required in mode='and', scored-if-present in mode='or';
         ``-term`` docs never appear (dropped pre-truncation); ``pre*``
         expansions add score but are never required (SHOULD, qtf=1, capped
@@ -736,13 +864,25 @@ class Bm25CompressedIndex:
         must_raw = toks(spec.must) + (toks(spec.should) if mode == "and" else [])
         should_raw = toks(spec.should) if mode != "and" else []
         phrase_toks = [p for p in (re.findall(pattern, s.lower()) for s in spec.phrases) if p]
+        near_toks = [
+            (p, w)
+            for p, w in ((re.findall(pattern, s.lower()), w) for s, w in spec.nears)
+            if p
+        ]
         exc_raw = sorted(set(toks(spec.exclude)))
 
-        positive = must_raw + should_raw + [t for p in phrase_toks for t in p]
+        positive = (
+            must_raw
+            + should_raw
+            + [t for p in phrase_toks for t in p]
+            + [t for p, _w in near_toks for t in p]
+        )
         tid = self.lookup_terms(sorted(set(positive) | set(exc_raw)))
-        # a missing required atom (must term or phrase term) -> no results
-        if any(t not in tid for t in must_raw) or any(
-            t not in tid for p in phrase_toks for t in p
+        # a missing required atom (must / phrase / near term) -> no results
+        if (
+            any(t not in tid for t in must_raw)
+            or any(t not in tid for p in phrase_toks for t in p)
+            or any(t not in tid for p, _w in near_toks for t in p)
         ):
             return empty()
 
@@ -756,6 +896,7 @@ class Bm25CompressedIndex:
             if t in tid and tid[t] not in set(must_ids)
         ]
         slots = tuple(tuple(tid[t] for t in p) for p in phrase_toks)
+        near_ids = tuple((tuple(tid[t] for t in p), w) for p, w in near_toks)
         exc_ids = {tid[t] for t in exc_raw if t in tid} - set(qtf)
         for pre in spec.prefixes:
             for t in self._expand_prefix(pre, max_expansions):
@@ -771,7 +912,8 @@ class Bm25CompressedIndex:
             pos_rows = [g for g in rows if g["term_id"] not in exc_ids]
             neg = [g for g in rows if g["term_id"] in exc_ids]
             d, s = _score_part_bool(
-                pos_rows, must_ids, should_ids, qtf, k, slots, round_to, neg, allow_ids
+                pos_rows, must_ids, should_ids, qtf, k, slots, round_to, neg,
+                allow_ids, near_ids,
             )
             return pd.DataFrame({"doc_id": d, "score": s})
 

@@ -38,6 +38,7 @@ def test_cli_roundtrip(spark, tmp_path):
     cli.main(["build-index", "--corpus", out, "--root", root, "--docs-per-part", "64"])
     assert cli_spark.read.parquet(f"{root}/postings").count() > 0
     cli.main(["query", "--root", root, "--q", "int return", "--k", "5"])
+    cli.main(["search", "--root", root, "--q", "int +return -xyzzy ret*", "--k", "5"])
     cli.main(["suggest", "--root", root, "--q", "retrun"])
 
 

@@ -190,3 +190,76 @@ def test_missing_required_atom_returns_empty(qindex):
 def test_facet_requires_docs_table(qindex):
     with pytest.raises(ValueError):
         qindex.search_query("data lang:de")
+
+
+# ------------------------------------------------------------------ NEAR
+
+
+def _near_oracle(pydocs, terms, window):
+    rx = re.compile(IDENT_RE)
+    out = set()
+    for d, t in pydocs:
+        ts = rx.findall((t or "").lower())
+        pos = {w: [i for i, x in enumerate(ts) if x == w] for w in terms}
+        if any(not v for v in pos.values()):
+            continue
+        anchors = sorted(q for v in pos.values() for q in v)
+        if any(
+            all(any(a <= q <= a + window for q in pos[w]) for w in terms)
+            for a in anchors
+        ):
+            out.add(d)
+    return out
+
+
+@pytest.mark.parametrize(
+    "query,window",
+    [("merge part", 1), ("merge part", 5), ("data query", 3), ("spark window fast", 8)],
+)
+def test_near_matches_python_oracle(qindex, pydocs, query, window):
+    got = {r["doc_id"] for r in qindex.search_near(query, window, k=1 << 30).collect()}
+    assert got == _near_oracle(pydocs, query.split(), window), (query, window)
+
+
+def test_near_wide_window_equals_and_search(qindex):
+    """A window larger than any doc degenerates NEAR to conjunctive AND —
+    same docs, same scores."""
+    want = _rows(qindex.search("data query", k=10, mode="and"))
+    got = _rows(qindex.search_near("data query", 10**6, k=10))
+    _assert_same(got, want)
+
+
+def test_near_window1_superset_of_phrase(qindex):
+    """Unordered adjacency (window=1) must contain every exact-phrase doc
+    (and may add reversed-order ones)."""
+    ph = {r["doc_id"] for r in qindex.search_phrase("merge part", k=1 << 30).collect()}
+    nr = {r["doc_id"] for r in qindex.search_near("merge part", 1, k=1 << 30).collect()}
+    assert ph <= nr
+
+
+def test_parse_near_clause():
+    spec = parse_query('data "merge part"~3 +x')
+    assert spec.nears == [("merge part", 3)]
+    assert spec.phrases == [] and spec.should == ["data"] and spec.must == ["x"]
+    # plain phrase unaffected; ~ without quotes is just a term character
+    assert parse_query('"a b"').phrases == ["a b"]
+
+
+def test_search_query_near_parity(qindex):
+    got = _rows(qindex.search_query('"merge part"~5'))
+    want = _rows(qindex.search_near("merge part", 5, k=10))
+    _assert_same(got, want)
+
+
+def test_search_query_near_composed(qindex, pydocs):
+    """'+data "merge part"~5' — near survivors intersected with the must
+    term, scored over all three atoms."""
+    toks, tf, df, w = _bm25_oracle(pydocs)
+    near_docs = _near_oracle(pydocs, ["merge", "part"], 5)
+    want = []
+    for d in toks:
+        if d in near_docs and tf[d].get("data"):
+            want.append((d, round(w(d, "data") + w(d, "merge") + w(d, "part"), 6)))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    got = _rows(qindex.search_query('+data "merge part"~5', k=10, round_to=6))
+    _assert_same(got, want[:10])
