@@ -706,6 +706,17 @@ class Bm25CompressedIndex:
             .limit(k)
         )
 
+    def _require_positions(self, op: str) -> None:
+        """Fail fast (driver-side, clear message) when a positional operator
+        runs against an index built without positions — instead of a
+        KeyError inside the worker-side scorer."""
+        if "positions" not in self.postings.columns:
+            raise ValueError(
+                f"{op} needs a positions-enabled index: build with "
+                "term_frequencies(with_positions=True) / "
+                "build_index(with_positions=True)"
+            )
+
     def _expand_prefix(self, prefix: str, max_expansions: int) -> list[int]:
         """term_ids of dictionary terms starting with ``prefix``, capped by
         df rank (highest-df kept; deterministic df-desc/term tie). Uses the
@@ -789,6 +800,7 @@ class Bm25CompressedIndex:
         either order. Requires a positions-enabled index; score is the BM25
         sum over the distinct terms at their whole-query qtf (same scoring
         contract as search_phrase)."""
+        self._require_positions("search_near")
         toks = re.findall(pattern, query.lower())
         if not toks:
             return self.spark.createDataFrame([], "doc_id long, score double")
@@ -851,6 +863,8 @@ class Bm25CompressedIndex:
         from ..functions.queryparse import parse_query
 
         spec = parse_query(query)
+        if spec.phrases or spec.nears:
+            self._require_positions("search_query with phrase/proximity clauses")
         empty = lambda: self.spark.createDataFrame([], "doc_id long, score double")  # noqa: E731
         if not spec.has_positive:
             return empty()
@@ -1058,6 +1072,7 @@ class Bm25CompressedIndex:
         positions-carrying tf table); the ``positions`` column is read only
         by this path — non-phrase queries never scan it (column pruning).
         """
+        self._require_positions("search_phrase")
         toks = re.findall(pattern, phrase.lower())
         if not toks:
             return self.spark.createDataFrame([], "doc_id long, score double")

@@ -263,3 +263,26 @@ def test_search_query_near_composed(qindex, pydocs):
     want.sort(key=lambda r: (-r[1], r[0]))
     got = _rows(qindex.search_query('+data "merge part"~5', k=10, round_to=6))
     _assert_same(got, want[:10])
+
+
+def test_positional_ops_need_positions_index(engines_nopos):
+    """Clear driver-side error on a positions-less index for every
+    positional surface (instead of a worker-side KeyError)."""
+    idx = engines_nopos
+    with pytest.raises(ValueError, match="positions-enabled"):
+        idx.search_phrase("merge part")
+    with pytest.raises(ValueError, match="positions-enabled"):
+        idx.search_near("merge part", 3)
+    with pytest.raises(ValueError, match="positions-enabled"):
+        idx.search_query('"merge part"')
+    # non-positional grammar still works on the same index
+    assert idx.search_query("data").count() > 0
+
+
+@pytest.fixture(scope="module")
+def engines_nopos(spark, docs_sf0001):
+    tf = S.term_frequencies(docs_sf0001, text_col="text")
+    dl = S.doc_lengths(tf)
+    td = build_term_dict(S.document_frequencies(tf))
+    p = build_postings(tf, dl, td, S.corpus_stats(dl), docs_per_part=128)
+    return Bm25CompressedIndex(spark, p.persist(), td.persist())
