@@ -158,6 +158,19 @@ def main() -> None:
         timings["bm25_batch_100"] = round(dt, 3)
         extras["batch_queries_per_sec"] = round(100 / dt, 1)
 
+        # composed-grammar batch (must/NOT/bare clauses): grammar overhead
+        # on top of the plain batch path should be compile-time only
+        gbatch = {
+            f"g{i}": f"+{'int' if i % 2 else 'return'} id{i * 13 % 2000} "
+                     f"-id{(i * 7 + 3) % 2000}"
+            for i in range(100)
+        }
+        t = time.monotonic()
+        idx.search_query_batch(gbatch, k=10).collect()
+        dt = time.monotonic() - t
+        timings["grammar_batch_100"] = round(dt, 3)
+        extras["grammar_batch_queries_per_sec"] = round(100 / dt, 1)
+
         # ---- exact-phrase over a positions-enabled index -------------------
         # hot phrase = worst case: ~every doc is a conjunctive candidate, so
         # this times the vectorized adjacency verification, not the probe

@@ -527,6 +527,86 @@ def _score_part_near(
     return out_ids[order].tolist(), out_scores[order].tolist()
 
 
+def _spec_tokens(spec, mode: str, pattern: str) -> dict:
+    """Tokenize a parsed QuerySpec's clauses under the index's term pattern.
+    Folds mode in: bare terms become MUST in mode='and'. ``all`` is the
+    raw-token union the dictionary probe must cover."""
+    def toks(words: list[str]) -> list[str]:
+        out: list[str] = []
+        for w in words:
+            out.extend(re.findall(pattern, w.lower()))
+        return out
+
+    must_raw = toks(spec.must) + (toks(spec.should) if mode == "and" else [])
+    should_raw = toks(spec.should) if mode != "and" else []
+    phrase_toks = [p for p in (re.findall(pattern, s.lower()) for s in spec.phrases) if p]
+    near_toks = [
+        (p, w)
+        for p, w in ((re.findall(pattern, s.lower()), w) for s, w in spec.nears)
+        if p
+    ]
+    exc_raw = sorted(set(toks(spec.exclude)))
+    positive = (
+        must_raw
+        + should_raw
+        + [t for p in phrase_toks for t in p]
+        + [t for p, _w in near_toks for t in p]
+    )
+    return {
+        "must": must_raw,
+        "should": should_raw,
+        "phrases": phrase_toks,
+        "nears": near_toks,
+        "exc": exc_raw,
+        "positive": positive,
+        "all": set(positive) | set(exc_raw),
+    }
+
+
+def _compile_spec(tk: dict, prefixes: list[str], tid: dict, expand) -> dict | None:
+    """Resolve a tokenized spec (_spec_tokens) to scorer inputs for
+    _score_part_bool. ``tid`` must cover every token in tk['all'] that
+    exists in the dictionary; ``expand(prefix)`` -> df-ranked term_ids.
+
+    Returns None when a required atom (must / phrase / near term) is
+    missing from the dictionary or nothing is scorable. Expansion
+    collisions with explicit or excluded atoms are skipped — explicit
+    wins; qtf is each atom's occurrence count across the whole query."""
+    from collections import Counter
+
+    if (
+        any(t not in tid for t in tk["must"])
+        or any(t not in tid for p in tk["phrases"] for t in p)
+        or any(t not in tid for p, _w in tk["nears"] for t in p)
+    ):
+        return None
+    qtf = {tid[t]: float(c) for t, c in Counter(tk["positive"]).items() if t in tid}
+    must_ids = list(dict.fromkeys(tid[t] for t in tk["must"]))
+    should_ids = [
+        tid[t]
+        for t in dict.fromkeys(tk["should"])
+        if t in tid and tid[t] not in set(must_ids)
+    ]
+    slots = tuple(tuple(tid[t] for t in p) for p in tk["phrases"])
+    near_ids = tuple((tuple(tid[t] for t in p), w) for p, w in tk["nears"])
+    exc_ids = {tid[t] for t in tk["exc"] if t in tid} - set(qtf)
+    for pre in prefixes:
+        for t in expand(pre):
+            if t not in qtf and t not in exc_ids:
+                qtf[t] = 1.0
+                should_ids.append(t)
+    if not qtf:
+        return None
+    return {
+        "qtf": qtf,
+        "must": must_ids,
+        "should": should_ids,
+        "slots": slots,
+        "nears": near_ids,
+        "exc": exc_ids,
+    }
+
+
 class Bm25CompressedIndex:
     """Query engine over (postings, term_dict) tables."""
 
@@ -869,56 +949,14 @@ class Bm25CompressedIndex:
         if not spec.has_positive:
             return empty()
 
-        def toks(words: list[str]) -> list[str]:
-            out: list[str] = []
-            for w in words:
-                out.extend(re.findall(pattern, w.lower()))
-            return out
-
-        must_raw = toks(spec.must) + (toks(spec.should) if mode == "and" else [])
-        should_raw = toks(spec.should) if mode != "and" else []
-        phrase_toks = [p for p in (re.findall(pattern, s.lower()) for s in spec.phrases) if p]
-        near_toks = [
-            (p, w)
-            for p, w in ((re.findall(pattern, s.lower()), w) for s, w in spec.nears)
-            if p
-        ]
-        exc_raw = sorted(set(toks(spec.exclude)))
-
-        positive = (
-            must_raw
-            + should_raw
-            + [t for p in phrase_toks for t in p]
-            + [t for p, _w in near_toks for t in p]
+        tk = _spec_tokens(spec, mode, pattern)
+        tid = self.lookup_terms(sorted(tk["all"]))
+        comp = _compile_spec(
+            tk, spec.prefixes, tid, lambda p: self._expand_prefix(p, max_expansions)
         )
-        tid = self.lookup_terms(sorted(set(positive) | set(exc_raw)))
-        # a missing required atom (must / phrase / near term) -> no results
-        if (
-            any(t not in tid for t in must_raw)
-            or any(t not in tid for p in phrase_toks for t in p)
-            or any(t not in tid for p, _w in near_toks for t in p)
-        ):
+        if comp is None:  # missing required atom or nothing scorable
             return empty()
-
-        from collections import Counter
-
-        qtf = {tid[t]: float(c) for t, c in Counter(positive).items() if t in tid}
-        must_ids = list(dict.fromkeys(tid[t] for t in must_raw))
-        should_ids = [
-            tid[t]
-            for t in dict.fromkeys(should_raw)
-            if t in tid and tid[t] not in set(must_ids)
-        ]
-        slots = tuple(tuple(tid[t] for t in p) for p in phrase_toks)
-        near_ids = tuple((tuple(tid[t] for t in p), w) for p, w in near_toks)
-        exc_ids = {tid[t] for t in exc_raw if t in tid} - set(qtf)
-        for pre in spec.prefixes:
-            for t in self._expand_prefix(pre, max_expansions):
-                if t not in qtf and t not in exc_ids:
-                    qtf[t] = 1.0
-                    should_ids.append(t)
-        if not qtf:
-            return empty()
+        qtf, exc_ids = comp["qtf"], comp["exc"]
 
         cand = self.postings.filter(F.col("term_id").isin(list(qtf) + list(exc_ids)))
 
@@ -926,8 +964,8 @@ class Bm25CompressedIndex:
             pos_rows = [g for g in rows if g["term_id"] not in exc_ids]
             neg = [g for g in rows if g["term_id"] in exc_ids]
             d, s = _score_part_bool(
-                pos_rows, must_ids, should_ids, qtf, k, slots, round_to, neg,
-                allow_ids, near_ids,
+                pos_rows, comp["must"], comp["should"], qtf, k, comp["slots"],
+                round_to, neg, allow_ids, comp["nears"],
             )
             return pd.DataFrame({"doc_id": d, "score": s})
 
@@ -974,6 +1012,96 @@ class Bm25CompressedIndex:
             scored.select("doc_id", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def search_query_batch(
+        self,
+        queries: dict[str, str] | list[str],
+        k: int = 10,
+        mode: str = "or",
+        pattern: str = IDENT_RE,
+        round_to: int | None = None,
+        max_expansions: int = 1024,
+    ) -> DataFrame:
+        """Composed-grammar batch: MANY query strings in ONE Spark job ->
+        (query_id, doc_id, score) — the serving shape for search_query,
+        same grammar and semantics per query (see search_batch for why
+        batching is the Spark-idiomatic high-throughput form).
+
+        Exceptions: ``field:value`` facets need the per-query cogrouped
+        docs filter — use search_query for those (raises ValueError here);
+        phrase/proximity clauses need a positions-enabled index.
+        Unmatchable queries (missing required atom) contribute no rows.
+        """
+        from ..functions.queryparse import parse_query
+
+        if isinstance(queries, list):
+            queries = {str(i): q for i, q in enumerate(queries)}
+        specs = {qid: parse_query(q) for qid, q in queries.items()}
+        if any(s.facets for s in specs.values()):
+            raise ValueError(
+                "facet clauses need the per-query docs cogroup: use search_query"
+            )
+        if any(s.phrases or s.nears for s in specs.values()):
+            self._require_positions("search_query_batch with phrase/proximity clauses")
+
+        tks = {
+            qid: _spec_tokens(s, mode, pattern)
+            for qid, s in specs.items()
+            if s.has_positive
+        }
+        # ONE dictionary probe for the union of all queries' terms
+        tid = self.lookup_terms(sorted({t for tk in tks.values() for t in tk["all"]}))
+        expand = lambda p: self._expand_prefix(p, max_expansions)  # noqa: E731
+        comp: dict[str, dict] = {}
+        rows = []
+        for qid, tk in tks.items():
+            c = _compile_spec(tk, specs[qid].prefixes, tid, expand)
+            if c is None:
+                continue
+            comp[qid] = c
+            for t in set(c["qtf"]) | c["exc"]:
+                rows.append((qid, t))
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double"
+            )
+        qdf = self.spark.createDataFrame(rows, "query_id string, term_id long")
+        bmeta = self.spark.sparkContext.broadcast(comp)
+        all_tids = sorted({t for _, t in rows})
+
+        cand = self.postings.filter(F.col("term_id").isin(all_tids)).join(
+            F.broadcast(qdf), "term_id"
+        )
+
+        def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_q, out_d, out_s = [], [], []
+            for qid, sub in pdf.groupby("query_id", sort=False):
+                c = bmeta.value[qid]
+                groups = sub.to_dict("records")
+                pos_rows = [g for g in groups if g["term_id"] not in c["exc"]]
+                neg = [g for g in groups if g["term_id"] in c["exc"]]
+                d, s = _score_part_bool(
+                    pos_rows, c["must"], c["should"], c["qtf"], k, c["slots"],
+                    round_to, neg, None, c["nears"],
+                )
+                out_q += [qid] * len(d)
+                out_d += d
+                out_s += s
+            return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+        from pyspark.sql import Window
+
+        scored = cand.groupBy("part").applyInPandas(
+            score_part, schema="query_id string, doc_id long, score double"
+        )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.select("query_id", "doc_id", score.alias("score"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
         )
 
     def search_batch(

@@ -286,3 +286,33 @@ def engines_nopos(spark, docs_sf0001):
     td = build_term_dict(S.document_frequencies(tf))
     p = build_postings(tf, dl, td, S.corpus_stats(dl), docs_per_part=128)
     return Bm25CompressedIndex(spark, p.persist(), td.persist())
+
+
+# ------------------------------------------------------------ batched grammar
+
+
+def test_search_query_batch_per_query_parity(qindex):
+    """Every batch row set must equal its single search_query result —
+    across all clause kinds (must/NOT/prefix/phrase/NEAR, both modes)."""
+    queries = {
+        "plain": "spark query",
+        "boolean": "+data s* -merge window",
+        "phrase": '"merge part" data',
+        "near": '+data "merge part"~5',
+        "unmatchable": "+zzz_not_here data",
+    }
+    batch = qindex.search_query_batch(queries, k=10, round_to=6).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert "unmatchable" not in by_q
+    for qid, q in queries.items():
+        if qid == "unmatchable":
+            continue
+        want = _rows(qindex.search_query(q, k=10, round_to=6))
+        _assert_same(sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0])), want, qid)
+
+
+def test_search_query_batch_rejects_facets(qindex):
+    with pytest.raises(ValueError, match="facet"):
+        qindex.search_query_batch(["data lang:de"])
