@@ -339,6 +339,13 @@ LIMIT 10
 """
 
 
+def _q_bm25_query_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boost syntax ('data^2 spark -merge'): the boosted occurrence
+    contributes qtf 2.0 — the reference's cut_weight query-side term
+    weighting re-expressed as grammar sugar."""
+    return _cindex(spark, sf_dir).search_query("data^2 spark -merge", k=10, round_to=4)
+
+
 _BM25_SCORED_CTE = """
 scored AS (
   SELECT tf.doc_id,
@@ -1211,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_query_composed": _q_bm25_query_composed,
         "bm25_query_phrase_facet": _q_bm25_query_phrase_facet,
         "near_search": _q_near_search,
+        "bm25_query_boosted": _q_bm25_query_boosted,
         "bm25_batch_topk": _q_bm25_batch,
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
@@ -1263,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_query_composed": _BM25_QUERY_COMPOSED_SQL,
         "bm25_query_phrase_facet": _BM25_QUERY_PHRASE_FACET_SQL,
         "near_search": _NEAR_SEARCH_SQL,
+        "bm25_query_boosted": _bm25_sql("data data spark", "or", exclude=("merge",)),
         "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
         "bm25_stopword_topk": _bm25_sql(STOPWORD_QUERY, "or", stop=_STOPWORDS),
         # incremental fold + compaction must equal the FULL-REBUILD oracle

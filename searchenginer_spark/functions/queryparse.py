@@ -15,6 +15,9 @@ exact per-part scoring pass (never a lossy post-filter chain):
   "a b"        exact phrase (required; terms adjacent and in order)
   "a b"~3      unordered proximity (required; all terms within a
                3-position window, any order)
+  term^2       boost: this occurrence contributes qtf 2.0 instead of 1.0
+               (the reference's cut_weight query-side weighting analog;
+               composes with +: `+term^2`); sugar for repeating the term
   field:value  metadata facet (equality against the docs table)
 
 Parsing is pure Python on a <1 KB string — driver-side by design, like
@@ -27,6 +30,7 @@ import re
 from dataclasses import dataclass, field
 
 _CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?|\S+)')
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 
 
 @dataclass
@@ -38,6 +42,7 @@ class QuerySpec:
     nears: list[tuple[str, int]] = field(default_factory=list)  # "..."~W
     prefixes: list[str] = field(default_factory=list)  # term*
     facets: dict[str, str] = field(default_factory=dict)  # field:value
+    boosts: list[tuple[str, float]] = field(default_factory=list)  # term^B
 
     @property
     def has_positive(self) -> bool:
@@ -63,17 +68,27 @@ def parse_query(query: str) -> QuerySpec:
                 else:
                     spec.phrases.append(quoted)
             continue
+        boost = None
+        bm = _BOOST_RE.match(raw)
+        if bm is not None:
+            raw, boost = bm.group(1), float(bm.group(2))
         if raw.endswith("*") and len(raw) > 1:
             if sign == "-":
                 raise ValueError(f"negated prefix not supported: -{raw}")
+            if boost is not None:
+                raise ValueError(f"boost on a prefix not supported: {raw}^{boost:g}")
             spec.prefixes.append(raw[:-1].lower())
             continue
         if ":" in raw[1:-1]:  # field:value (':' not at either edge)
             if sign == "-":
                 raise ValueError(f"negated facet not supported: -{raw}")
+            if boost is not None:
+                raise ValueError(f"boost on a facet not supported: {raw}^{boost:g}")
             k, v = raw.split(":", 1)
             spec.facets[k] = v
             continue
+        if boost is not None and sign != "-":  # boost on NOT is meaningless
+            spec.boosts.append((raw.lower(), boost))
         if sign == "-":
             spec.exclude.append(raw.lower())
         elif sign == "+":

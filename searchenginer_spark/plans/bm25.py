@@ -559,6 +559,8 @@ def _spec_tokens(spec, mode: str, pattern: str) -> dict:
         "nears": near_toks,
         "exc": exc_raw,
         "positive": positive,
+        # term^B occurrences: tokenized word + its boost (qtf adjustment)
+        "boosts": [(toks([w]), b) for w, b in spec.boosts],
         "all": set(positive) | set(exc_raw),
     }
 
@@ -581,6 +583,13 @@ def _compile_spec(tk: dict, prefixes: list[str], tid: dict, expand) -> dict | No
     ):
         return None
     qtf = {tid[t]: float(c) for t, c in Counter(tk["positive"]).items() if t in tid}
+    # term^B: every boosted occurrence already counted 1 above; adjust by
+    # B-1 so that occurrence contributes exactly B (per-occurrence weights
+    # accumulate — `data data^2` totals qtf 3)
+    for btoks, b in tk["boosts"]:
+        for t in btoks:
+            if t in tid:
+                qtf[tid[t]] += b - 1.0
     must_ids = list(dict.fromkeys(tid[t] for t in tk["must"]))
     should_ids = [
         tid[t]
@@ -933,7 +942,9 @@ class Bm25CompressedIndex:
         ``-term`` docs never appear (dropped pre-truncation); ``pre*``
         expansions add score but are never required (SHOULD, qtf=1, capped
         by df rank; an expansion colliding with an explicit or excluded
-        atom is skipped — explicit wins); ``field:value`` facets filter by
+        atom is skipped — explicit wins); ``term^B`` boosts that occurrence
+        to qtf B (cut_weight.cpp query-side weighting analog, sugar for
+        term repetition); ``field:value`` facets filter by
         equality against ``docs`` via the same part-bucketed cogroup as
         search_filtered (exact: never a lossy post-filter). Phrase clauses
         need a positions-enabled index. Score = BM25 sum over the distinct

@@ -316,3 +316,33 @@ def test_search_query_batch_per_query_parity(qindex):
 def test_search_query_batch_rejects_facets(qindex):
     with pytest.raises(ValueError, match="facet"):
         qindex.search_query_batch(["data lang:de"])
+
+
+# ------------------------------------------------------------------ boosts
+
+
+def test_parse_boosts():
+    spec = parse_query("data^2 +key^1.5 -x^3 plain")
+    assert spec.should == ["data", "plain"] and spec.must == ["key"]
+    assert spec.boosts == [("data", 2.0), ("key", 1.5)]  # NOT boost dropped
+    assert spec.exclude == ["x"]
+    for bad in ("quer*^2", "lang:de^2"):
+        with pytest.raises(ValueError, match="boost"):
+            parse_query(bad)
+
+
+def test_boost_is_term_repetition_sugar(qindex):
+    """'data^2 spark' == 'data data spark' == the OR primitive on the
+    repeated string; '+data^3' == AND with qtf 3."""
+    want = _rows(qindex.search("data data spark", k=10, mode="or"))
+    _assert_same(_rows(qindex.search_query("data^2 spark")), want)
+    _assert_same(_rows(qindex.search_query("data data spark")), want)
+    want_and = _rows(qindex.search("data data data", k=10, mode="and"))
+    _assert_same(_rows(qindex.search_query("+data^3")), want_and)
+
+
+def test_boost_accumulates_per_occurrence(qindex):
+    """'data data^2' totals qtf 3 — same as 'data^3'."""
+    a = _rows(qindex.search_query("data data^2 spark", round_to=6))
+    b = _rows(qindex.search_query("data^3 spark", round_to=6))
+    _assert_same(a, b)
