@@ -339,6 +339,67 @@ LIMIT 10
 """
 
 
+def _q_near_ordered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity ('query' then 'data' within a 4-position window,
+    in that order); the oracle reproduces the greedy chain for the 2-term
+    case (anchor on the first term, any second-term position in
+    (p, p+4])."""
+    from searchenginer_spark.operators import stats as S
+
+    d = _docs(spark, sf_dir)
+    tf = S.term_frequencies(d, text_col="text", with_positions=True)
+    dl = S.doc_lengths(tf)
+    dft = S.document_frequencies(tf)
+    st = S.corpus_stats(dl)
+    td = build_term_dict(dft)
+    postings = build_postings(tf, dl, td, st, docs_per_part=128)
+    idx = Bm25CompressedIndex(spark, postings, td)
+    return idx.search_near("query data", window=4, k=10, round_to=4, ordered=True)
+
+
+_NEAR_ORDERED_SQL = """
+WITH
+toks AS (
+  SELECT doc_id, lower(u.t) AS term
+  FROM documents, unnest(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*')) AS u(t)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS tl
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, r.i AS p, tl[r.i] AS term
+  FROM tk, unnest(range(1, len(tl) + 1)) AS r(i)
+  WHERE tl[r.i] IN ('query', 'data')
+),
+hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + 4
+  WHERE a.term = 'query' AND b.term = 'data'
+),
+q(term, qtf) AS (VALUES ('query', 1), ('data', 1)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf
+             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE doc_id IN (SELECT doc_id FROM hit)
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 10
+"""
+
+
 def _q_bm25_query_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boost syntax ('data^2 spark -merge'): the boosted occurrence
     contributes qtf 2.0 — the reference's cut_weight query-side term
@@ -1219,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_query_phrase_facet": _q_bm25_query_phrase_facet,
         "near_search": _q_near_search,
         "bm25_query_boosted": _q_bm25_query_boosted,
+        "near_ordered_search": _q_near_ordered_search,
         "bm25_batch_topk": _q_bm25_batch,
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
@@ -1272,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_query_phrase_facet": _BM25_QUERY_PHRASE_FACET_SQL,
         "near_search": _NEAR_SEARCH_SQL,
         "bm25_query_boosted": _bm25_sql("data data spark", "or", exclude=("merge",)),
+        "near_ordered_search": _NEAR_ORDERED_SQL,
         "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
         "bm25_stopword_topk": _bm25_sql(STOPWORD_QUERY, "or", stop=_STOPWORDS),
         # incremental fold + compaction must equal the FULL-REBUILD oracle

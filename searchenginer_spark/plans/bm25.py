@@ -349,21 +349,26 @@ def _candidate_positions(by_tid: dict, distinct: list[int]):
     return cand, idxs, pos_data
 
 
-def _near_match(by_tid: dict, terms: list[int], window: int):
-    """Unordered proximity matching for one part: a candidate survives iff
-    one position per distinct term can be chosen with max - min <= window
-    (window in token positions; window=0 degenerates to co-position).
+def _near_match(by_tid: dict, terms: list[int], window: int, ordered: bool = False):
+    """Proximity matching for one part (window in token positions).
 
-    Anchor formulation: the chosen minimum is some term's position p, so a
+    Unordered (default): a candidate survives iff one position per
+    distinct term can be chosen with max - min <= window. Anchor
+    formulation: the chosen minimum is some term's position p, so a
     candidate matches iff SOME position p (of any query term) has every
-    term present in [p, p + window]. Fully vectorized: every candidate
-    position of every term becomes an anchor key (owner << 32 | pos), and
-    each term contributes ONE sorted range-membership pass (two
-    searchsorteds) over its own key array — no per-candidate Python loop,
-    same skip-decode read pattern as _phrase_match via
-    _candidate_positions.
+    term present in [p, p + window]. Each term contributes ONE sorted
+    range-membership pass (two searchsorteds) over composite
+    (owner << 32 | pos) keys.
 
-    Returns (cand, idxs) like _phrase_match."""
+    Ordered: positions p_1 < p_2 < ... < p_k following ``terms``' order
+    with p_k - p_1 <= window. Greedy chain: anchor on term_1's positions,
+    then for each next term take its SMALLEST position after the current
+    one (one searchsorted per term) — greedy minimizes p_k for every
+    anchor, so the span test is exact.
+
+    Both are fully vectorized across all candidates (no per-candidate
+    Python loop), with the same skip-decode read pattern as _phrase_match
+    via _candidate_positions. Returns (cand, idxs) like _phrase_match."""
     empty = np.empty(0, dtype=np.int64)
     if any(t not in by_tid for t in terms):
         return empty, {}
@@ -376,13 +381,28 @@ def _near_match(by_tid: dict, terms: list[int], window: int):
         flat, starts, counts, rows_t = pos_data[t]
         vals, owner = _gather_runs(flat, starts, counts, rows_t)
         keys_t[t] = (owner << 32) | vals  # sorted: owner asc, pos asc within
-    anchors = np.concatenate(list(keys_t.values()))
-    ok = np.ones(anchors.size, dtype=bool)
-    for t in distinct:
-        lo = np.searchsorted(keys_t[t], anchors, side="left")
-        hi = np.searchsorted(keys_t[t], anchors + window, side="right")
-        ok &= lo < hi  # term t has a position in [p, p+window] of this owner
-    surv = np.unique(anchors[ok] >> 32)
+    if ordered:
+        anchors = keys_t[terms[0]]
+        cur = anchors.copy()
+        alive = np.ones(anchors.size, dtype=bool)
+        for t in terms[1:]:
+            kt = keys_t[t]
+            nxt = np.searchsorted(kt, cur, side="right")
+            ok = alive & (nxt < kt.size)
+            nkey = kt[np.minimum(nxt, kt.size - 1)]
+            ok &= (nkey >> 32) == (cur >> 32)  # same candidate doc
+            cur = np.where(ok, nkey, cur)
+            alive = ok
+        alive &= (cur - anchors) <= window  # same owner -> key diff == span
+        surv = np.unique(anchors[alive] >> 32)
+    else:
+        anchors = np.concatenate(list(keys_t.values()))
+        ok = np.ones(anchors.size, dtype=bool)
+        for t in distinct:
+            lo = np.searchsorted(keys_t[t], anchors, side="left")
+            hi = np.searchsorted(keys_t[t], anchors + window, side="right")
+            ok &= lo < hi  # term t has a position in [p, p+window] here
+        surv = np.unique(anchors[ok] >> 32)
     return cand[surv], {t: idxs[t][surv] for t in distinct}
 
 
@@ -505,13 +525,14 @@ def _score_part_bool(
 
 
 def _score_part_near(
-    groups: list, terms: list[int], window: int, qtf: dict, k: int, round_to=None
+    groups: list, terms: list[int], window: int, qtf: dict, k: int,
+    round_to=None, ordered: bool = False,
 ):
     """Proximity top-k for one part: _near_match survivors scored as the
     BM25 sum over the distinct terms (qtf weights included), using the
     posting indices the match already resolved — no second decode."""
     by_tid = {g["term_id"]: g for g in groups}
-    out_ids, idxs = _near_match(by_tid, terms, window)
+    out_ids, idxs = _near_match(by_tid, terms, window, ordered)
     if out_ids.size == 0:
         return [], []
     out_scores = np.zeros(out_ids.size, dtype=np.float64)
@@ -881,14 +902,19 @@ class Bm25CompressedIndex:
         k: int = 10,
         pattern: str = IDENT_RE,
         round_to: int | None = None,
+        ordered: bool = False,
     ) -> DataFrame:
-        """Unordered proximity top-k: all query terms within a token window
-        (some choice of one position per distinct term spans <= ``window``
-        positions). The Lucene `"a b"~N` slop analog, restricted to the
-        unordered-span semantics; window=1 with two terms means adjacent in
-        either order. Requires a positions-enabled index; score is the BM25
-        sum over the distinct terms at their whole-query qtf (same scoring
-        contract as search_phrase)."""
+        """Proximity top-k: all query terms within a token window.
+
+        Unordered (default): some choice of one position per distinct term
+        spans <= ``window`` positions — the Lucene `"a b"~N` slop analog
+        restricted to unordered-span semantics; window=1 with two terms
+        means adjacent in either order. ``ordered=True`` additionally
+        requires the positions to follow the query's term order
+        (window=len(terms)-1 then degenerates to the exact phrase).
+        Requires a positions-enabled index; score is the BM25 sum over the
+        distinct terms at their whole-query qtf (same scoring contract as
+        search_phrase)."""
         self._require_positions("search_near")
         toks = re.findall(pattern, query.lower())
         if not toks:
@@ -903,7 +929,7 @@ class Bm25CompressedIndex:
 
         def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
             docs, scores = _score_part_near(
-                pdf.to_dict("records"), terms, window, qtf, k, round_to
+                pdf.to_dict("records"), terms, window, qtf, k, round_to, ordered
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 

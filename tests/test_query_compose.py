@@ -346,3 +346,57 @@ def test_boost_accumulates_per_occurrence(qindex):
     a = _rows(qindex.search_query("data data^2 spark", round_to=6))
     b = _rows(qindex.search_query("data^3 spark", round_to=6))
     _assert_same(a, b)
+
+
+# ------------------------------------------------------------- ordered NEAR
+
+
+def _near_ordered_oracle(pydocs, terms, window):
+    rx = re.compile(IDENT_RE)
+    out = set()
+    for d, t in pydocs:
+        ts = rx.findall((t or "").lower())
+        pos = {w: [i for i, x in enumerate(ts) if x == w] for w in set(terms)}
+        if any(not pos[w] for w in terms):
+            continue
+        for p1 in pos[terms[0]]:
+            cur, ok = p1, True
+            for w in terms[1:]:
+                nxt = [q for q in pos[w] if q > cur]
+                if not nxt:
+                    ok = False
+                    break
+                cur = min(nxt)
+            if ok and cur - p1 <= window:
+                out.add(d)
+                break
+    return out
+
+
+@pytest.mark.parametrize(
+    "query,window",
+    [("merge part", 3), ("part merge", 3), ("data query", 5), ("spark window fast", 10)],
+)
+def test_near_ordered_matches_python_oracle(qindex, pydocs, query, window):
+    got = {
+        r["doc_id"]
+        for r in qindex.search_near(query, window, k=1 << 30, ordered=True).collect()
+    }
+    assert got == _near_ordered_oracle(pydocs, query.split(), window), (query, window)
+
+
+def test_near_ordered_tight_window_equals_phrase(qindex):
+    """ordered NEAR with window = len(terms)-1 forces exact adjacency in
+    order == search_phrase (docs AND scores)."""
+    want = _rows(qindex.search_phrase("merge part", k=10))
+    got = _rows(qindex.search_near("merge part", 1, k=10, ordered=True))
+    _assert_same(got, want)
+
+
+def test_near_ordered_subset_of_unordered(qindex):
+    un = {r["doc_id"] for r in qindex.search_near("data query", 5, k=1 << 30).collect()}
+    od = {
+        r["doc_id"]
+        for r in qindex.search_near("data query", 5, k=1 << 30, ordered=True).collect()
+    }
+    assert od <= un
