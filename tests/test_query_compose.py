@@ -400,3 +400,28 @@ def test_near_ordered_subset_of_unordered(qindex):
         for r in qindex.search_near("data query", 5, k=1 << 30, ordered=True).collect()
     }
     assert od <= un
+
+
+# ------------------------------------------------------------------ fuzzing
+
+
+def test_parse_query_total_on_arbitrary_input():
+    """parse_query is total: any string either parses or raises the
+    documented ValueError — never any other exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def run(q):
+        try:
+            spec = parse_query(q)
+        except ValueError:
+            return
+        # invariants: parsed clauses are non-None strings / well-formed
+        assert all(isinstance(w, str) for w in spec.should + spec.must + spec.exclude)
+        assert all(isinstance(p, str) and p.strip() for p in spec.phrases)
+        assert all(w >= 0 for _s, w in spec.nears)
+        assert all(b >= 0 for _t, b in spec.boosts)
+
+    run()
