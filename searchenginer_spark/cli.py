@@ -47,8 +47,11 @@ def main(argv: list[str] | None = None) -> None:
 
     c = sub.add_parser("search")
     c.add_argument("--root", required=True)
-    c.add_argument("--q", required=True,
+    c.add_argument("--q",
                    help='composed grammar: data +must -not pre* "phrase" "a b"~3 field:value')
+    c.add_argument("--batch-file",
+                   help="file with one grammar query per line; ONE Spark job "
+                        "for the whole set (search_query_batch)")
     c.add_argument("--k", type=int, default=10)
     c.add_argument("--mode", choices=["and", "or"], default="or")
     c.add_argument("--docs", help="docs parquet path, required for field:value facets")
@@ -96,10 +99,21 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "search":
         from .plans.build_index import open_index
 
+        if bool(args.q) == bool(args.batch_file):
+            ap.error("search needs exactly one of --q / --batch-file")
         idx = open_index(spark, args.root)
-        docs = spark.read.parquet(args.docs) if args.docs else None
-        rows = idx.search_query(args.q, k=args.k, mode=args.mode, docs=docs).collect()
-        print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
+        if args.batch_file:
+            with open(args.batch_file) as f:
+                qs = {str(i): line.strip() for i, line in enumerate(f) if line.strip()}
+            rows = idx.search_query_batch(qs, k=args.k, mode=args.mode).collect()
+            print(json.dumps([
+                {"query_id": r["query_id"], "doc_id": r["doc_id"], "score": r["score"]}
+                for r in rows
+            ]))
+        else:
+            docs = spark.read.parquet(args.docs) if args.docs else None
+            rows = idx.search_query(args.q, k=args.k, mode=args.mode, docs=docs).collect()
+            print(json.dumps([{"doc_id": r["doc_id"], "score": r["score"]} for r in rows]))
 
     elif args.cmd == "suggest":
         from .operators.suggest import suggest

@@ -39,6 +39,10 @@ def test_cli_roundtrip(spark, tmp_path):
     assert cli_spark.read.parquet(f"{root}/postings").count() > 0
     cli.main(["query", "--root", root, "--q", "int return", "--k", "5"])
     cli.main(["search", "--root", root, "--q", "int +return -xyzzy ret*", "--k", "5"])
+    bf = str(tmp_path / "queries.txt")
+    with open(bf, "w") as f:
+        f.write("int +return\nvalue^2 data\n\n-only_negative_skipped int\n")
+    cli.main(["search", "--root", root, "--batch-file", bf, "--k", "3"])
     cli.main(["suggest", "--root", root, "--q", "retrun"])
 
 
