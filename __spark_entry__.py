@@ -407,6 +407,14 @@ def _q_bm25_query_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cindex(spark, sf_dir).search_query("data^2 spark -merge", k=10, round_to=4)
 
 
+def _q_bm25_query_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy clause ('quer~1 data'): dictionary expansion within edit
+    distance 1, each expansion SHOULD qtf=1 — Lucene FuzzyQuery over the
+    external term dict; DuckDB recomputes the expansion set with its own
+    levenshtein."""
+    return _cindex(spark, sf_dir).search_query("quer~1 data", k=10, round_to=4)
+
+
 _BM25_SCORED_CTE = """
 scored AS (
   SELECT tf.doc_id,
@@ -432,6 +440,21 @@ SELECT doc_id, round(score, 4) AS score
 FROM scored
 WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
   AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 10
+"""
+
+_BM25_QUERY_FUZZY_SQL = f"""
+WITH {_TOKS_CTE},
+q AS (
+  SELECT term, 1 AS qtf FROM (VALUES ('data')) AS v(term)
+  UNION ALL
+  SELECT term, 1 AS qtf FROM dft
+  WHERE levenshtein(term, 'quer') <= 1 AND term <> 'data'
+),
+{_BM25_SCORED_CTE}
+SELECT doc_id, round(score, 4) AS score
+FROM scored
 ORDER BY round(score, 4) DESC, doc_id
 LIMIT 10
 """
@@ -1281,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search": _q_near_search,
         "bm25_query_boosted": _q_bm25_query_boosted,
         "near_ordered_search": _q_near_ordered_search,
+        "bm25_query_fuzzy": _q_bm25_query_fuzzy,
         "bm25_batch_topk": _q_bm25_batch,
         "bm25_dedup_topk": _q_bm25_dedup,
         "dedup_build_doc_stats": _q_dedup_build_stats,
@@ -1335,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "near_search": _NEAR_SEARCH_SQL,
         "bm25_query_boosted": _bm25_sql("data data spark", "or", exclude=("merge",)),
         "near_ordered_search": _NEAR_ORDERED_SQL,
+        "bm25_query_fuzzy": _BM25_QUERY_FUZZY_SQL,
         "bm25_dedup_topk": _bm25_sql(FLAGSHIP_QUERY, "and", pre=_DEDUP_SQL_PRE, src="dd"),
         "bm25_stopword_topk": _bm25_sql(STOPWORD_QUERY, "or", stop=_STOPWORDS),
         # incremental fold + compaction must equal the FULL-REBUILD oracle

@@ -18,6 +18,9 @@ exact per-part scoring pass (never a lossy post-filter chain):
   term^2       boost: this occurrence contributes qtf 2.0 instead of 1.0
                (the reference's cut_weight query-side weighting analog;
                composes with +: `+term^2`); sugar for repeating the term
+  term~1       fuzzy: expands to dictionary terms within edit distance 1
+               (max 2, Lucene-style; SHOULD, qtf=1 per expansion, like
+               prefixes — adds score, never required)
   field:value  metadata facet (equality against the docs table)
 
 Parsing is pure Python on a <1 KB string — driver-side by design, like
@@ -31,6 +34,7 @@ from dataclasses import dataclass, field
 
 _CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?|\S+)')
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(.+?)~(\d+)$")
 
 
 @dataclass
@@ -41,13 +45,19 @@ class QuerySpec:
     phrases: list[str] = field(default_factory=list)  # "..." spans
     nears: list[tuple[str, int]] = field(default_factory=list)  # "..."~W
     prefixes: list[str] = field(default_factory=list)  # term*
+    fuzzies: list[tuple[str, int]] = field(default_factory=list)  # term~D
     facets: dict[str, str] = field(default_factory=dict)  # field:value
     boosts: list[tuple[str, float]] = field(default_factory=list)  # term^B
 
     @property
     def has_positive(self) -> bool:
         return bool(
-            self.should or self.must or self.phrases or self.nears or self.prefixes
+            self.should
+            or self.must
+            or self.phrases
+            or self.nears
+            or self.prefixes
+            or self.fuzzies
         )
 
 
@@ -72,6 +82,17 @@ def parse_query(query: str) -> QuerySpec:
         bm = _BOOST_RE.match(raw)
         if bm is not None:
             raw, boost = bm.group(1), float(bm.group(2))
+        fm = _FUZZY_RE.match(raw)
+        if fm is not None:
+            if sign == "-":
+                raise ValueError(f"negated fuzzy not supported: -{raw}")
+            if boost is not None:
+                raise ValueError(f"boost on a fuzzy term not supported: {raw}^{boost:g}")
+            dist = int(fm.group(2))
+            if dist > 2:
+                raise ValueError(f"fuzzy distance > 2 not supported: {raw}")
+            spec.fuzzies.append((fm.group(1).lower(), dist))
+            continue
         if raw.endswith("*") and len(raw) > 1:
             if sign == "-":
                 raise ValueError(f"negated prefix not supported: -{raw}")

@@ -586,10 +586,15 @@ def _spec_tokens(spec, mode: str, pattern: str) -> dict:
     }
 
 
-def _compile_spec(tk: dict, prefixes: list[str], tid: dict, expand) -> dict | None:
+def _compile_spec(
+    tk: dict, prefixes: list[str], tid: dict, expand, fuzzies=(), expand_fuzzy=None
+) -> dict | None:
     """Resolve a tokenized spec (_spec_tokens) to scorer inputs for
     _score_part_bool. ``tid`` must cover every token in tk['all'] that
-    exists in the dictionary; ``expand(prefix)`` -> df-ranked term_ids.
+    exists in the dictionary; ``expand(prefix)`` -> df-ranked term_ids;
+    ``expand_fuzzy(word, dist)`` -> distance-then-df-ranked term_ids for
+    ``term~D`` clauses (SHOULD qtf=1 each, same collision rule as
+    prefixes).
 
     Returns None when a required atom (must / phrase / near term) is
     missing from the dictionary or nothing is scorable. Expansion
@@ -622,6 +627,11 @@ def _compile_spec(tk: dict, prefixes: list[str], tid: dict, expand) -> dict | No
     exc_ids = {tid[t] for t in tk["exc"] if t in tid} - set(qtf)
     for pre in prefixes:
         for t in expand(pre):
+            if t not in qtf and t not in exc_ids:
+                qtf[t] = 1.0
+                should_ids.append(t)
+    for word, dist in fuzzies:
+        for t in expand_fuzzy(word, dist):
             if t not in qtf and t not in exc_ids:
                 qtf[t] = 1.0
                 should_ids.append(t)
@@ -816,6 +826,27 @@ class Bm25CompressedIndex:
             .limit(k)
         )
 
+    def _expand_fuzzy(self, word: str, dist: int, max_expansions: int) -> list[int]:
+        """term_ids of dictionary terms within edit distance ``dist`` of
+        ``word``, ranked distance-then-df-desc-then-term (deterministic),
+        capped at max_expansions — the Lucene FuzzyQuery expansion analog
+        over the external term dictionary (suggest's ranking, applied as
+        query expansion). Length pre-filter bounds the levenshtein scan."""
+        if not word:
+            return []
+        rows = (
+            self.term_dict.filter(
+                F.length("term").between(len(word) - dist, len(word) + dist)
+            )
+            .withColumn("_d", F.levenshtein(F.col("term"), F.lit(word)))
+            .filter(F.col("_d") <= dist)
+            .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term_id")
+            .collect()
+        )
+        return [r["term_id"] for r in rows]
+
     def _require_positions(self, op: str) -> None:
         """Fail fast (driver-side, clear message) when a positional operator
         runs against an index built without positions — instead of a
@@ -968,7 +999,9 @@ class Bm25CompressedIndex:
         ``-term`` docs never appear (dropped pre-truncation); ``pre*``
         expansions add score but are never required (SHOULD, qtf=1, capped
         by df rank; an expansion colliding with an explicit or excluded
-        atom is skipped — explicit wins); ``term^B`` boosts that occurrence
+        atom is skipped — explicit wins); ``term~D`` fuzzy clauses expand
+        to dictionary terms within edit distance D (<=2) under the same
+        SHOULD/collision rules; ``term^B`` boosts that occurrence
         to qtf B (cut_weight.cpp query-side weighting analog, sugar for
         term repetition); ``field:value`` facets filter by
         equality against ``docs`` via the same part-bucketed cogroup as
@@ -989,7 +1022,12 @@ class Bm25CompressedIndex:
         tk = _spec_tokens(spec, mode, pattern)
         tid = self.lookup_terms(sorted(tk["all"]))
         comp = _compile_spec(
-            tk, spec.prefixes, tid, lambda p: self._expand_prefix(p, max_expansions)
+            tk,
+            spec.prefixes,
+            tid,
+            lambda p: self._expand_prefix(p, max_expansions),
+            spec.fuzzies,
+            lambda w, d: self._expand_fuzzy(w, d, max_expansions),
         )
         if comp is None:  # missing required atom or nothing scorable
             return empty()
@@ -1090,10 +1128,13 @@ class Bm25CompressedIndex:
         # ONE dictionary probe for the union of all queries' terms
         tid = self.lookup_terms(sorted({t for tk in tks.values() for t in tk["all"]}))
         expand = lambda p: self._expand_prefix(p, max_expansions)  # noqa: E731
+        expand_fz = lambda w, d: self._expand_fuzzy(w, d, max_expansions)  # noqa: E731
         comp: dict[str, dict] = {}
         rows = []
         for qid, tk in tks.items():
-            c = _compile_spec(tk, specs[qid].prefixes, tid, expand)
+            c = _compile_spec(
+                tk, specs[qid].prefixes, tid, expand, specs[qid].fuzzies, expand_fz
+            )
             if c is None:
                 continue
             comp[qid] = c

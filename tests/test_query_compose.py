@@ -425,3 +425,54 @@ def test_parse_query_total_on_arbitrary_input():
         assert all(b >= 0 for _t, b in spec.boosts)
 
     run()
+
+
+# ------------------------------------------------------------------ fuzzy
+
+
+def test_parse_fuzzy():
+    spec = parse_query("quer~1 data near~2")
+    assert spec.fuzzies == [("quer", 1), ("near", 2)]
+    assert spec.should == ["data"]
+    with pytest.raises(ValueError, match="negated fuzzy"):
+        parse_query("-quer~1")
+    with pytest.raises(ValueError, match="boost on a fuzzy"):
+        parse_query("quer~1^2")
+    with pytest.raises(ValueError, match="distance"):
+        parse_query("quer~3")
+
+
+def test_fuzzy_expansion_matches_manual(qindex, pydocs):
+    """'quer~1 data' == OR-scoring {data} + every dict term within edit
+    distance 1 of 'quer', each qtf=1 (brute-forced in Python)."""
+    import math
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    toks, tf, df, w = _bm25_oracle(pydocs)
+    exp = sorted(t for t in df if lev(t, "quer") <= 1)
+    assert exp, "fixture must have at least one expansion"
+    terms = set(exp) | {"data"}
+    want = []
+    for d in toks:
+        s = sum(w(d, t) for t in terms)
+        if s > 0:
+            want.append((d, round(s, 6)))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    got = _rows(qindex.search_query("quer~1 data", k=10, round_to=6))
+    _assert_same(got, want[:10])
+
+
+def test_fuzzy_collision_with_explicit_atom(qindex):
+    """'query query~0' — the distance-0 expansion collides with the
+    explicit term and is skipped (qtf stays 1, not 2)."""
+    want = _rows(qindex.search("query", k=10, mode="or"))
+    got = _rows(qindex.search_query("query query~0"))
+    _assert_same(got, want)
