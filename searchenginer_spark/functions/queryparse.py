@@ -11,7 +11,8 @@ exact per-part scoring pass (never a lossy post-filter chain):
   bare term    scored; required in mode='and', optional in mode='or'
   +term        required (MUST) in either mode
   -term        boolean NOT: docs containing it never appear
-  term*        prefix expansion (SHOULD: adds score, never required)
+  term*        prefix expansion (SHOULD: adds score, never required;
+               a leading '+' is accepted but does not make it required)
   "a b"        exact phrase (required; terms adjacent and in order)
   "a b"~3      unordered proximity (required; all terms within a
                3-position window, any order)

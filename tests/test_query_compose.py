@@ -476,3 +476,10 @@ def test_fuzzy_collision_with_explicit_atom(qindex):
     want = _rows(qindex.search("query", k=10, mode="or"))
     got = _rows(qindex.search_query("query query~0"))
     _assert_same(got, want)
+
+
+def test_signed_prefix_stays_should():
+    """'+pre*' is accepted; the prefix stays SHOULD (expansions are never
+    required) — pinned so the behavior is deliberate, not accidental."""
+    assert parse_query("+quer* data").prefixes == ["quer"]
+    assert parse_query("+quer* data").must == []
