@@ -525,9 +525,12 @@ STOPWORD_QUERY = "the data query merge"
 
 
 def _stop_index(spark: SparkSession, sf_dir: str):
-    """Index built with the default stopword table: stopworded terms never
-    enter term_dict/postings (dict-write-time removal,
-    Make_dir/MakeDictAndIndex.cpp:118-125); dl/avgdl still count them."""
+    """Index built with the default stopword table: analyzer-style semantics
+    (Lucene StopFilter; the reference removes its set at dictionary-write
+    time, Make_dir/MakeDictAndIndex.cpp:118-125) — stopwords leave the token
+    stream BEFORE any statistic, so term_dict/postings never see them and
+    dl/avgdl/df count only the remaining tokens. The DuckDB oracle's
+    _toks_cte(stop=...) filters identically."""
     import tempfile
 
     from searchenginer_spark.operators.dict import stopwords_df

@@ -33,7 +33,10 @@ def _masked_locate(term: str, lowered: Column) -> Column:
 
 
 def first_match_position(text: Column, terms: list[str]) -> Column:
-    """Smallest 1-based offset of any term in lower(text); SENTINEL if none."""
+    """Smallest 1-based offset of any term in lower(text); SENTINEL if none
+    (including ``terms == []`` — e.g. a query that tokenized to nothing)."""
+    if not terms:
+        return F.lit(SENTINEL)
     lowered = F.lower(text)
     locs = [_masked_locate(t, lowered) for t in terms]
     return locs[0] if len(locs) == 1 else F.least(*locs)

@@ -769,10 +769,12 @@ class Bm25CompressedIndex:
         (``groupby(part).cogroup``), so each Arrow call receives exactly its
         part's postings AND its part's allowed ids — the filter never
         broadcasts globally and scales with the corpus. ``docs_per_part``
-        must match the index geometry; defaults to inferring it from the
-        max doc-range of part 0 is impossible, so pass it when the index
-        was built with a non-default size — it is read from the postings'
-        block metadata here (max block_last of part p < (p+1)*size).
+        must exactly match the index geometry; it is NEVER inferred here —
+        it comes from the index's meta table (open an index via
+        ``open_index``) or from this explicit argument, and a ValueError is
+        raised when neither supplies it. Passing a WRONG value is silently
+        incorrect, not an error: allowed ids bucket to the wrong parts and
+        legitimate docs are dropped from the result.
 
         MaxScore's tau seed is disabled in OR mode (a seed drawn from
         potentially-filtered docs could over-prune); AND intersects the

@@ -40,8 +40,13 @@ def get_spark(
         # commit file moves inside the tasks (v2) instead of a serial
         # driver-side rename pass per partition dir (v1) — the build writes
         # hundreds of partitioned files and the v1 rename loop is pure
-        # serial share (Amdahl) at every cluster size; cloud deployments use
-        # a cloud-native committer for the same reason
+        # serial share (Amdahl) at every cluster size. CAVEAT: v2 task
+        # commits are non-atomic — a task that fails mid-commit and is
+        # retried can leave partially-moved files visible (known Hadoop
+        # trade-off), acceptable in this single-JVM local sandbox where a
+        # task failure fails the whole job anyway. Multi-executor
+        # deployments, where task retry is routine, should keep v1 or use a
+        # cloud-native committer (both atomic per task) instead.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # scheduler stays FIFO (the default): the build's overlapped
         # metadata jobs are tiny and their tasks slip into free slots fine

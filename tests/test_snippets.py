@@ -42,3 +42,13 @@ def test_snippets_tie_prefers_lexicographic_term(spark):
     # 'beta' matches at 1; 'alpha' at 5 — position decides, not term order
     r = snippets(hits, docs, ["alpha", "beta"], width=10).first()
     assert r["match_term"] == "beta" and r["pos"] == 1
+
+
+def test_snippets_empty_terms_no_match_shape(spark):
+    # a query that tokenized to nothing must not crash (ADVICE r3):
+    # no-match shape — pos 0, empty match_term, leading-width snippet
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    hits = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    r = snippets(hits, docs, [], width=10).first()
+    assert r["pos"] == 0 and r["match_term"] == ""
+    assert r["snippet"] == "alpha beta"
