@@ -724,10 +724,15 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (md5-family hashes, DuckDB-checked)."""
-    return minhash_lsh_pairs(_union_docs(spark, sf_dir), threshold=0.7).select(
-        "doc_id", "doc_id_2", F.round("est_jaccard", 4).alias("est_jaccard")
-    )
+    """MinHash-LSH near-dup pairs (md5-family hashes, DuckDB-checked).
+
+    persist_shared=False: this function returns a lazy DataFrame whose
+    materialization it never sees, so it cannot release a persisted
+    signature handle afterwards — recomputing the sig subtree per consumer
+    leaves no persisted RDDs behind (r3 hygiene item)."""
+    return minhash_lsh_pairs(
+        _union_docs(spark, sf_dir), threshold=0.7, persist_shared=False
+    ).select("doc_id", "doc_id_2", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,6 +1096,8 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(
         dv, threshold=0.95, tables=2, planes_per_table=4, seed=7,
         id_col="doc_id", vec_col="vec", round_to=4,
+        # lazy return — no handle lifecycle here; see _q_dedup_minhash
+        persist_shared=False,
     )
 
 

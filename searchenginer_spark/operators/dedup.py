@@ -208,6 +208,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    persist_shared: bool = True,
 ) -> DataFrame:
     """(doc_id, doc_id_2, est_jaccard) near-dup pairs via MinHash-LSH.
 
@@ -223,6 +224,10 @@ def minhash_lsh_pairs(
     downstream subtrees consume it — at warehouse scale it would be a
     materialized signature table. The persisted handle is attached to the
     result; call :func:`release_intermediates` after materializing.
+    ``persist_shared=False`` skips the persist (recompute the signature
+    subtree per consumer) for one-shot callers that cannot manage the
+    handle lifecycle — e.g. functions returning a lazy DataFrame whose
+    materialization they never see.
     """
     rows_per_band = num_hashes // bands
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
@@ -231,7 +236,9 @@ def minhash_lsh_pairs(
     # the widest shuffle of the pipeline
     sigs = minhash_signatures(
         token_shingles(toks, n=shingle_n, distinct=False), num_hashes
-    ).persist()
+    )
+    if persist_shared:
+        sigs = sigs.persist()
 
     # band value = the 4 raw minhash values, concatenated; hashed to 8 bytes
     # for the shuffle. (The DuckDB oracle joins on the raw concatenation —
@@ -278,7 +285,7 @@ def minhash_lsh_pairs(
         .select("doc_id", "doc_id_2", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
-    return _attach_intermediates(out, [sigs])
+    return _attach_intermediates(out, [sigs] if persist_shared else [])
 
 
 def embedding_cosine_pairs(
@@ -290,6 +297,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "vec",
     round_to: int | None = None,
+    persist_shared: bool = True,
 ) -> DataFrame:
     """(id, id_2, cos) near-dup pairs by embedding cosine similarity.
 
@@ -304,7 +312,9 @@ def embedding_cosine_pairs(
     Same band-join shape as minhash_lsh_pairs: only (id, table, 8-byte
     code) rides the self-join; vectors are re-joined per surviving pair.
     The persisted source handle is attached to the result; call
-    :func:`release_intermediates` after materializing.
+    :func:`release_intermediates` after materializing
+    (``persist_shared=False`` for one-shot callers, as in
+    minhash_lsh_pairs).
     """
     from .ann import _dot, _norm, _planes, srp_code
 
@@ -324,7 +334,7 @@ def embedding_cosine_pairs(
             for t in range(tables)
         ]
     )
-    src = vecs.persist()
+    src = vecs.persist() if persist_shared else vecs
     banded = src.select(F.col(id_col).alias("_id"), F.posexplode(codes).alias("tbl", "code"))
     other = banded.select(F.col("_id").alias("_id2"), "tbl", "code")
     pairs = (
@@ -348,7 +358,7 @@ def embedding_cosine_pairs(
             out_cos.alias("cos"),
         )
     )
-    return _attach_intermediates(out, [src])
+    return _attach_intermediates(out, [src] if persist_shared else [])
 
 
 def ngram_jaccard_pairs(

@@ -50,6 +50,21 @@ from ..operators.postings import (
 from .bm25_dataframe import tokenize_query
 
 
+def _decode_candidate_blocks(g: dict, cand: np.ndarray):
+    """THE shared skip-decode walk: decode only the blocks of posting row
+    ``g`` whose block_last range can contain a SORTED candidate id — the
+    single galloping-intersection read pattern behind every conjunctive
+    probe (AND loop, boolean MUST loop, positional prologue, NOT exclusion,
+    SHOULD probes). Returns (ids, pos): decoded doc ids (sorted) and their
+    global posting indices within the row (the scores-array index)."""
+    block_last = np.asarray(g["block_last"], dtype=np.int64)
+    bidx = np.unique(np.searchsorted(block_last, cand))
+    bidx = bidx[bidx < len(block_last)]
+    return decode_blocks(
+        g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
+    )
+
+
 def _drop_excluded(cand: np.ndarray, scores: np.ndarray, neg: list):
     """Remove candidates appearing in any NEGATIVE term's postings.
 
@@ -60,12 +75,7 @@ def _drop_excluded(cand: np.ndarray, scores: np.ndarray, neg: list):
     for g in neg:
         if cand.size == 0:
             break
-        block_last = np.asarray(g["block_last"], dtype=np.int64)
-        bidx = np.unique(np.searchsorted(block_last, cand))
-        bidx = bidx[bidx < len(block_last)]
-        ids, _ = decode_blocks(
-            g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
-        )
+        ids, _ = _decode_candidate_blocks(g, cand)
         keep = ~_member_sorted(cand, ids)
         cand, scores = cand[keep], scores[keep]
     return cand, scores
@@ -97,13 +107,7 @@ def _score_part_and(
     for g in groups[1:]:
         if cand.size == 0:
             return [], []
-        block_last = np.asarray(g["block_last"], dtype=np.int64)
-        # blocks that could contain any surviving candidate
-        bidx = np.unique(np.searchsorted(block_last, cand))
-        bidx = bidx[bidx < len(block_last)]
-        ids, pos = decode_blocks(
-            g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
-        )
+        ids, pos = _decode_candidate_blocks(g, cand)
         loc = np.searchsorted(ids, cand)
         loc_c = np.minimum(loc, max(len(ids) - 1, 0))
         hit = ids.size > 0
@@ -230,12 +234,7 @@ def _probe_scores(g: dict, cand: np.ndarray) -> np.ndarray:
     block_last range can contain a candidate — the shared skip-decode
     probe under OR non-essential terms and boolean SHOULD clauses."""
     out = np.zeros(cand.size, dtype=np.float64)
-    block_last = np.asarray(g["block_last"], dtype=np.int64)
-    bidx = np.unique(np.searchsorted(block_last, cand))
-    bidx = bidx[bidx < len(block_last)]
-    ids, pos = decode_blocks(
-        g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
-    )
+    ids, pos = _decode_candidate_blocks(g, cand)
     if ids.size == 0:
         return out
     loc = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
@@ -304,12 +303,7 @@ def _candidate_positions(by_tid: dict, distinct: list[int]):
         if cand.size == 0:
             return empty, {}, {}
         g = by_tid[t]
-        block_last = np.asarray(g["block_last"], dtype=np.int64)
-        bidx = np.unique(np.searchsorted(block_last, cand))
-        bidx = bidx[bidx < len(block_last)]
-        ids, pos = decode_blocks(
-            g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
-        )
+        ids, pos = _decode_candidate_blocks(g, cand)
         decoded[t] = (ids, pos)
         if ids.size == 0:
             return empty, {}, {}
@@ -486,13 +480,7 @@ def _score_part_bool(
         for t in order[1:]:
             if cand.size == 0:
                 return [], []
-            g = by_tid[t]
-            block_last = np.asarray(g["block_last"], dtype=np.int64)
-            bidx = np.unique(np.searchsorted(block_last, cand))
-            bidx = bidx[bidx < len(block_last)]
-            ids, _pos = decode_blocks(
-                g["docs"], np.asarray(g["block_doc_off"], dtype=np.int64), g["n"], bidx
-            )
+            ids, _pos = _decode_candidate_blocks(by_tid[t], cand)
             cand = cand[_member_sorted(cand, ids)]
     elif positional:
         cand = allow  # ⊆ positional survivors: every candidate matched them
@@ -647,6 +635,37 @@ def _compile_spec(
     }
 
 
+def read_dict_version(spark: SparkSession, root: str):
+    """Modification stamp of the index's ``dict_version`` marker file, or
+    None when it does not exist (pre-versioning roots). One filesystem
+    metadata op — microseconds on a local/HDFS namenode, a HEAD request on
+    an object store (where a handle held across folds should batch queries
+    anyway)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/dict_version")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    st = fs.getFileStatus(p)
+    return (st.getModificationTime(), st.getLen())
+
+
+def bump_dict_version(spark: SparkSession, root: str) -> None:
+    """Overwrite the ``dict_version`` marker — called by every writer that
+    changes term_dict/postings under an existing root (build_index resume,
+    the incremental fold) so long-lived Bm25CompressedIndex handles drop
+    their driver dict cache and re-snapshot the tables instead of serving
+    stale lookups."""
+    import uuid as _uuid
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/dict_version")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(bytearray(_uuid.uuid4().hex, "ascii"))
+    out.close()
+
+
 class Bm25CompressedIndex:
     """Query engine over (postings, term_dict) tables."""
 
@@ -654,8 +673,10 @@ class Bm25CompressedIndex:
     #: probed in-process (kills one Spark job per query). Web-scale dicts
     #: exceed it and fall back to per-query filtered probes.
     #: Driver memory at the cap: 2M entries x (~100 B str key + 28 B int +
-    #: dict slot) ~= 350-450 MB — sized for the 8 GB driver this engine
-    #: configures (session.py); lower it for smaller drivers.
+    #: dict slot) plus the sorted-term list (8 B pointer/entry, strings
+    #: shared with the dict) and two int64 numpy arrays (16 B/entry)
+    #: ~= 400-500 MB — sized for the 8 GB driver this engine configures
+    #: (session.py); lower it for smaller drivers.
     DRIVER_DICT_CACHE_MAX = 2_000_000
 
     def __init__(
@@ -664,6 +685,7 @@ class Bm25CompressedIndex:
         postings: DataFrame,
         term_dict: DataFrame,
         docs_per_part: int | None = None,
+        root: str | None = None,
     ):
         from ..deploy import ship_package
 
@@ -675,18 +697,58 @@ class Bm25CompressedIndex:
         #: to bucket an allowed-id set identically to the build; open_index
         #: loads it from the index's meta table
         self.docs_per_part = docs_per_part
+        #: index root (open_index passes it): enables dict_version staleness
+        #: checks so a handle held across incremental folds re-snapshots the
+        #: appended term_dict/postings instead of serving stale lookups.
+        #: Handles built from bare DataFrames (root=None) skip the check —
+        #: they are documented handle-per-build.
+        self._root = root
+        self._seen_version = read_dict_version(spark, root) if root else None
         self._dict_cache: dict[str, int] | None = None
         self._dict_cache_checked = False
+        self._sorted_terms: list[str] | None = None
+        self._sorted_ids: np.ndarray | None = None
+        self._sorted_dfs: np.ndarray | None = None
+
+    def _check_version(self) -> None:
+        """Drop caches + re-snapshot the tables when a writer bumped the
+        index's dict_version since this handle last looked."""
+        if self._root is None:
+            return
+        v = read_dict_version(self.spark, self._root)
+        if v == self._seen_version:
+            return
+        self._seen_version = v
+        # parquet DataFrames pin their file listing at read time, so a
+        # version bump means BOTH the cache and the snapshots are stale
+        self.postings = self.spark.read.parquet(f"{self._root}/postings")
+        self.term_dict = self.spark.read.parquet(f"{self._root}/term_dict")
+        self._dict_cache = None
+        self._dict_cache_checked = False
+        self._sorted_terms = self._sorted_ids = self._sorted_dfs = None
 
     def _maybe_cache_dict(self) -> dict[str, int] | None:
+        self._check_version()
         if not self._dict_cache_checked:
             self._dict_cache_checked = True
             n = self.term_dict.count()
             if n <= self.DRIVER_DICT_CACHE_MAX:
-                self._dict_cache = {
-                    r["term"]: r["term_id"]
-                    for r in self.term_dict.select("term", "term_id").collect()
-                }
+                rows = (
+                    self.term_dict.select("term", "term_id", "df")
+                    .orderBy("term")
+                    .collect()
+                )
+                self._dict_cache = {r["term"]: r["term_id"] for r in rows}
+                # term-sorted parallel arrays: prefix expansion bisects the
+                # [prefix, succ(prefix)) range in O(log V) instead of
+                # scanning the whole vocabulary per prefix query
+                self._sorted_terms = [r["term"] for r in rows]
+                self._sorted_ids = np.fromiter(
+                    (r["term_id"] for r in rows), dtype=np.int64, count=len(rows)
+                )
+                self._sorted_dfs = np.fromiter(
+                    (r["df"] for r in rows), dtype=np.int64, count=len(rows)
+                )
         return self._dict_cache
 
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
@@ -862,24 +924,35 @@ class Bm25CompressedIndex:
 
     def _expand_prefix(self, prefix: str, max_expansions: int) -> list[int]:
         """term_ids of dictionary terms starting with ``prefix``, capped by
-        df rank (highest-df kept; deterministic df-desc/term tie). Uses the
-        driver dict cache when present, else a first-char-pruned dict probe
-        (the Spark analog of the reference's first-character index,
-        Make_dir/MakeDictAndIndex.cpp:203-209)."""
+        df rank (highest-df kept; deterministic df-desc/term tie).
+
+        Cached path: bisect the [prefix, succ(prefix)) range of the
+        term-sorted arrays — O(log V + matches), no Spark job, no vocab
+        scan, even at the 2M-entry cache cap. Uncached path: a
+        first-char-pruned dict probe (the Spark analog of the reference's
+        first-character index, Make_dir/MakeDictAndIndex.cpp:203-209)."""
         if not prefix:
             return []
         cache = self._maybe_cache_dict()
         if cache is not None:
-            matched = sorted(t for t in cache if t.startswith(prefix))
-            if len(matched) > max_expansions:
-                dfs = {
-                    r["term"]: r["df"]
-                    for r in self.term_dict.filter(
-                        F.col("term").isin(matched)
-                    ).select("term", "df").collect()
-                }
-                matched = sorted(matched, key=lambda t: (-dfs[t], t))[:max_expansions]
-            return [cache[t] for t in matched]
+            import bisect
+
+            terms = self._sorted_terms
+            lo = bisect.bisect_left(terms, prefix)
+            # every string with this prefix sorts in [prefix, prefix[:-1] +
+            # succ(last char)) — exact range, two bisects
+            last = prefix[-1]
+            if ord(last) < 0x10FFFF:
+                hi = bisect.bisect_left(terms, prefix[:-1] + chr(ord(last) + 1), lo)
+            else:
+                hi = len(terms)
+            if hi - lo > max_expansions:
+                dfs = self._sorted_dfs[lo:hi]
+                # stable sort by -df keeps the underlying term-asc order as
+                # the tie-break — same (df desc, term asc) rank as uncached
+                top = np.argsort(-dfs, kind="stable")[:max_expansions] + lo
+                return self._sorted_ids[top].tolist()
+            return self._sorted_ids[lo:hi].tolist()
         rows = (
             self.term_dict.filter(
                 (F.col("prefix") == prefix[0]) & F.col("term").startswith(prefix)

@@ -367,6 +367,11 @@ def build_index(
         tf.unpersist()
     for h in dedup_handles:
         h.unpersist()
+    if built:
+        # open handles on this root must drop stale dict caches / snapshots
+        from .bm25 import bump_dict_version
+
+        bump_dict_version(spark, root)
     # n_docs from the 1-row stats table (docs with >=1 indexed token) —
     # never a full re-scan of the docs table just for the summary dict
     n_docs_total = int(spark.read.parquet(paths.stats).first()["n_docs"])
@@ -421,4 +426,7 @@ def open_index(spark: SparkSession, root: str) -> Bm25CompressedIndex:
         spark.read.parquet(paths.postings),
         spark.read.parquet(paths.term_dict),
         docs_per_part=dpp,
+        # handles opened by root watch dict_version: an incremental fold
+        # bumping it invalidates the driver dict cache + table snapshots
+        root=root,
     )

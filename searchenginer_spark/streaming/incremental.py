@@ -134,6 +134,12 @@ def incremental_index(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("part").parquet(paths.postings)
         tf.unpersist()
+        # signal open Bm25CompressedIndex handles (root-opened) that
+        # term_dict/postings changed: their driver dict cache and parquet
+        # file-listing snapshots are stale until they re-read
+        from ..plans.bm25 import bump_dict_version
+
+        bump_dict_version(bspark, root)
 
     stream = (
         spark.readStream.schema(static.schema)

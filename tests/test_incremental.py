@@ -84,3 +84,34 @@ def test_replayed_batch_is_idempotent(spark, tmp_path_factory):
     assert raw.count() == 300 and raw.select("doc_id").distinct().count() == 150
     # ... yet postings and stats are byte/value-identical
     assert snapshot() == before
+
+
+def test_open_handle_sees_folded_terms(spark, tmp_path_factory):
+    """A long-lived open_index handle must not serve stale dict lookups
+    after an incremental fold appends new terms: the fold bumps the
+    dict_version marker and the handle re-snapshots term_dict/postings
+    (r3 'What's wrong' item: cache never invalidated)."""
+    from pyspark.sql import functions as F  # noqa: F811 — local clarity
+
+    from searchenginer_spark.plans.build_index import build_index, open_index
+
+    base = str(tmp_path_factory.mktemp("incstale"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+
+    docs = build_docs(spark, 100, seed=42, num_partitions=4)
+    build_index(docs, root, docs_per_part=DPP, text_col="content")
+    idx = open_index(spark, root)
+    # warm the driver dict cache; the novel term is unknown -> no hits
+    assert idx.search("zzzfreshterm", k=5).count() == 0
+
+    new = spark.createDataFrame(
+        [(1000, "zzzfreshterm appears here zzzfreshterm")],
+        "doc_id long, content string",
+    )
+    new.write.mode("append").parquet(input_dir)
+    incremental_index(spark, input_dir, root, ckpt, docs_per_part=DPP)
+
+    # SAME handle, no reopen: must now resolve the appended term and score
+    # its posting from the newly written part
+    hits = idx.search("zzzfreshterm", k=5).collect()
+    assert [r["doc_id"] for r in hits] == [1000]
