@@ -278,6 +278,19 @@ def _q_bm25_query_phrase_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search_query('"merge part" data lang:de', k=10, round_to=4, docs=d)
 
 
+def _q_bm25_query_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed grammar with multi-value + numeric-range facets
+    ('data value lang:de,en n_chars:[120 TO 200]'): any-of within a field,
+    conjunctive across fields, inclusive numeric bounds ('*' = unbounded),
+    all applied through the same part-bucketed cogroup as search_filtered
+    (exact — never a lossy post-filter). The first grammar a code-search
+    user reaches for (e.g. 'lang:py,go stars:[100 TO *]')."""
+    return _cindex(spark, sf_dir).search_query(
+        "data value lang:de,en n_chars:[120 TO 200]",
+        k=10, mode="or", round_to=4, docs=_docs(spark, sf_dir),
+    )
+
+
 def _q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered proximity top-k ('data' and 'query' within a 3-position
     window, any order) over a positions-enabled index; the oracle
@@ -1311,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_query_composed": _q_bm25_query_composed,
         "bm25_query_phrase_facet": _q_bm25_query_phrase_facet,
+        "bm25_query_range_facet": _q_bm25_query_range_facet,
         "near_search": _q_near_search,
         "bm25_query_boosted": _q_bm25_query_boosted,
         "near_ordered_search": _q_near_ordered_search,
@@ -1366,6 +1380,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered_topk": _bm25_sql("data value", "or", allow_pred="lang = 'de'"),
         "bm25_query_composed": _BM25_QUERY_COMPOSED_SQL,
         "bm25_query_phrase_facet": _BM25_QUERY_PHRASE_FACET_SQL,
+        "bm25_query_range_facet": _bm25_sql(
+            "data value", "or",
+            allow_pred="lang IN ('de', 'en') AND n_chars >= 120 AND n_chars <= 200",
+        ),
         "near_search": _NEAR_SEARCH_SQL,
         "bm25_query_boosted": _bm25_sql("data data spark", "or", exclude=("merge",)),
         "near_ordered_search": _NEAR_ORDERED_SQL,

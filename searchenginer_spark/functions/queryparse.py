@@ -23,6 +23,17 @@ exact per-part scoring pass (never a lossy post-filter chain):
                (max 2, Lucene-style; SHOULD, qtf=1 per expansion, like
                prefixes — adds score, never required)
   field:value  metadata facet (equality against the docs table)
+  field:a,b    multi-value facet: field equals ANY listed value (OR
+               within the field)
+  field:[lo TO hi]
+               range facet, bounds inclusive (Lucene range syntax);
+               ``*`` = unbounded. Numeric comparison when every bound
+               given parses as a number, else lexicographic on the
+               string form; ``[* TO *]`` = field is non-null.
+
+Repeated facet fields are CONJUNCTIVE — ``lang:de lang:en`` requires both
+(empty result for a single-valued column; the OR form is ``lang:de,en``).
+Each clause is kept as its own (field, constraint) pair, never last-wins.
 
 Parsing is pure Python on a <1 KB string — driver-side by design, like
 query tokenization (plans/bm25_dataframe.tokenize_query).
@@ -33,9 +44,11 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?|\S+)')
+# quoted span | field:[bracket range] (may contain spaces) | bare clause
+_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?|\S+:\[[^\]]*\]|\S+)')
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.+?)~(\d+)$")
+_RANGE_TO_RE = re.compile(r"\s+TO\s+")
 
 
 @dataclass
@@ -47,7 +60,10 @@ class QuerySpec:
     nears: list[tuple[str, int]] = field(default_factory=list)  # "..."~W
     prefixes: list[str] = field(default_factory=list)  # term*
     fuzzies: list[tuple[str, int]] = field(default_factory=list)  # term~D
-    facets: dict[str, str] = field(default_factory=dict)  # field:value
+    #: (field, constraint) pairs, applied conjunctively; constraint is
+    #: ("eq", value) | ("in", [values]) | ("range", lo, hi) with "*" =
+    #: unbounded
+    facets: list[tuple[str, tuple]] = field(default_factory=list)
     boosts: list[tuple[str, float]] = field(default_factory=list)  # term^B
 
     @property
@@ -107,7 +123,20 @@ def parse_query(query: str) -> QuerySpec:
             if boost is not None:
                 raise ValueError(f"boost on a facet not supported: {raw}^{boost:g}")
             k, v = raw.split(":", 1)
-            spec.facets[k] = v
+            if v.startswith("[") and v.endswith("]"):
+                bounds = _RANGE_TO_RE.split(v[1:-1].strip())
+                if len(bounds) != 2 or not all(bounds):
+                    raise ValueError(
+                        f"range facet must be {k}:[lo TO hi] (got {raw})"
+                    )
+                spec.facets.append((k, ("range", bounds[0], bounds[1])))
+            elif "," in v:
+                vals = [p for p in v.split(",") if p]
+                if not vals:
+                    raise ValueError(f"empty multi-value facet: {raw}")
+                spec.facets.append((k, ("in", vals)))
+            else:
+                spec.facets.append((k, ("eq", v)))
             continue
         if boost is not None and sign != "-":  # boost on NOT is meaningless
             spec.boosts.append((raw.lower(), boost))

@@ -536,6 +536,50 @@ def _score_part_near(
     return out_ids[order].tolist(), out_scores[order].tolist()
 
 
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def apply_facets(docs: DataFrame, facets: list[tuple[str, tuple]]) -> DataFrame:
+    """Filter ``docs`` by parsed facet constraints (functions/queryparse):
+    ("eq", v) equality, ("in", [vs]) any-of, ("range", lo, hi) inclusive
+    bounds with "*" unbounded. Constraints are conjunctive — repeated
+    fields must ALL hold. Ranges compare numerically (cast to double) when
+    every given bound parses as a number, else lexicographically on the
+    string form; [* TO *] means the field is non-null. All predicates are
+    plain Catalyst filters — pushed to the docs scan."""
+    for col, con in facets:
+        c = F.col(col)
+        kind = con[0]
+        if kind == "eq":
+            docs = docs.filter(c.cast("string") == con[1])
+        elif kind == "in":
+            docs = docs.filter(c.cast("string").isin(list(con[1])))
+        else:
+            lo, hi = con[1], con[2]
+            given = [b for b in (lo, hi) if b != "*"]
+            if not given:
+                docs = docs.filter(c.isNotNull())
+                continue
+            if all(_is_number(b) for b in given):
+                v = c.cast("double")
+                if lo != "*":
+                    docs = docs.filter(v >= float(lo))
+                if hi != "*":
+                    docs = docs.filter(v <= float(hi))
+            else:
+                v = c.cast("string")
+                if lo != "*":
+                    docs = docs.filter(v >= lo)
+                if hi != "*":
+                    docs = docs.filter(v <= hi)
+    return docs
+
+
 def _spec_tokens(spec, mode: str, pattern: str) -> dict:
     """Tokenize a parsed QuerySpec's clauses under the index's term pattern.
     Folds mode in: bare terms become MUST in mode='and'. ``all`` is the
@@ -1078,9 +1122,12 @@ class Bm25CompressedIndex:
         to dictionary terms within edit distance D (<=2) under the same
         SHOULD/collision rules; ``term^B`` boosts that occurrence
         to qtf B (cut_weight.cpp query-side weighting analog, sugar for
-        term repetition); ``field:value`` facets filter by
-        equality against ``docs`` via the same part-bucketed cogroup as
-        search_filtered (exact: never a lossy post-filter). Phrase clauses
+        term repetition); facets — ``field:value`` equality,
+        ``field:a,b`` any-of, ``field:[lo TO hi]`` inclusive range
+        (``*`` unbounded; numeric when the bounds are numbers), repeated
+        fields conjunctive — filter against ``docs`` via the same
+        part-bucketed cogroup as search_filtered (exact: never a lossy
+        post-filter; see :func:`apply_facets`). Phrase clauses
         need a positions-enabled index. Score = BM25 sum over the distinct
         positive atoms present, qtf = each atom's occurrence count across
         the whole query string.
@@ -1130,9 +1177,7 @@ class Bm25CompressedIndex:
                     "facet clauses need the index geometry: open the index via "
                     "open_index (reads the meta table) or pass docs_per_part="
                 )
-            allowed = docs
-            for col, val in spec.facets.items():
-                allowed = allowed.filter(F.col(col).cast("string") == val)
+            allowed = apply_facets(docs, spec.facets)
             allow_df = allowed.select(
                 F.col("doc_id").cast("long").alias("doc_id"),
                 (F.col("doc_id") / F.lit(dpp)).cast("int").alias("part"),

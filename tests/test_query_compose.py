@@ -31,8 +31,23 @@ def test_parse_all_clause_kinds():
     assert spec.exclude == ["merge"]
     assert spec.prefixes == ["quer"]
     assert spec.phrases == ["exact phrase"]
-    assert spec.facets == {"lang": "de"}
+    assert spec.facets == [("lang", ("eq", "de"))]
     assert spec.has_positive
+
+
+def test_parse_facet_forms():
+    # multi-value, range, unbounded range, conjunctive repeats
+    spec = parse_query("data lang:py,go stars:[100 TO *] lang:de")
+    assert spec.facets == [
+        ("lang", ("in", ["py", "go"])),
+        ("stars", ("range", "100", "*")),
+        ("lang", ("eq", "de")),  # repeated field kept — conjunctive
+    ]
+    assert parse_query("x f:[a TO b]").facets == [("f", ("range", "a", "b"))]
+    assert parse_query("x f:[* TO *]").facets == [("f", ("range", "*", "*"))]
+    for bad in ("x f:[100]", "x f:[1 TO 2 TO 3]", "x -f:[1 TO 2]", "x f:,"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
 
 
 def test_parse_edge_cases():
@@ -112,6 +127,42 @@ def test_facet_parity_with_search_filtered(qindex, docs_sf0001):
     want = _rows(qindex.search_filtered("data value", allowed, k=10, mode="or"))
     got = _rows(qindex.search_query("data value lang:de", k=10, mode="or", docs=docs_sf0001))
     _assert_same(got, want)
+
+
+def test_facet_range_and_multivalue_parity(qindex, docs_sf0001):
+    """lang:de,en (any-of) + n_chars:[120 TO 200] (numeric inclusive range)
+    + a repeated conjunctive field must equal the hand-built filter."""
+    from pyspark.sql import functions as F
+
+    allowed = docs_sf0001.filter(
+        F.col("lang").isin("de", "en")
+        & (F.col("n_chars") >= 120)
+        & (F.col("n_chars") <= 200)
+    ).select("doc_id")
+    want = _rows(qindex.search_filtered("data value", allowed, k=10, mode="or"))
+    got = _rows(
+        qindex.search_query(
+            "data value lang:de,en n_chars:[120 TO 200]",
+            k=10, mode="or", docs=docs_sf0001,
+        )
+    )
+    _assert_same(got, want)
+    # conjunctive repeated field: de AND en on a single-valued column = empty
+    assert (
+        qindex.search_query(
+            "data value lang:de lang:en", k=10, mode="or", docs=docs_sf0001
+        ).count()
+        == 0
+    )
+    # one-sided range + non-numeric bound (lexicographic on source string)
+    allowed2 = docs_sf0001.filter(F.col("source") >= "src5").select("doc_id")
+    want2 = _rows(qindex.search_filtered("data value", allowed2, k=10, mode="or"))
+    got2 = _rows(
+        qindex.search_query(
+            "data value source:[src5 TO *]", k=10, mode="or", docs=docs_sf0001
+        )
+    )
+    _assert_same(got2, want2)
 
 
 def test_phrase_plus_term_is_filtered_disjunction(qindex, docs_sf0001):
