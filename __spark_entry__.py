@@ -649,13 +649,17 @@ def _q_bm25_fetch_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result-page assembly: top-k + first-match snippet/highlight columns
-    (MakePage.cpp page-record analog; JVM locate/least/substr only)."""
+    + the per-term highlight-span list ("pos:term|..." — every query
+    term's first offset, the reference result page's per-word marks;
+    MakePage.cpp page-record analog; JVM locate/least/substr/array_sort
+    only)."""
     from searchenginer_spark.operators.snippets import snippets
 
     idx = _index(spark, sf_dir)
     topk = idx.search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
     return snippets(topk, _docs(spark, sf_dir),
-                    [t for t, _ in tokenize_query(FLAGSHIP_QUERY)], width=80, lead=20)
+                    [t for t, _ in tokenize_query(FLAGSHIP_QUERY)], width=80,
+                    lead=20, with_matches=True)
 
 
 def _snippets_sql(query: str, width: int = 80, lead: int = 20) -> str:
@@ -669,6 +673,16 @@ def _snippets_sql(query: str, width: int = 80, lead: int = 20) -> str:
     mt = "CASE WHEN p = 2147483647 THEN '' " + " ".join(
         f"WHEN l{i} = p THEN '{t}'" for i, t in enumerate(terms)
     ) + " ELSE '' END"
+    # per-term highlight spans: every matched term's first offset, sorted
+    # (pos, term), serialized pos:term|... — independent strpos recompute
+    span_list = ", ".join(
+        f"{{'pos': l{i}, 'term': '{t}'}}" for i, t in enumerate(terms)
+    )
+    spans = (
+        "array_to_string(list_transform(list_sort(list_filter("
+        f"[{span_list}], x -> x.pos != 2147483647)), "
+        "x -> x.pos || ':' || x.term), '|')"
+    )
     return f"""
 WITH hits AS ({_bm25_sql(query, "and")}),
 j AS (
@@ -680,7 +694,8 @@ SELECT doc_id, score,
        CASE WHEN p = 2147483647 THEN 0 ELSE p END AS pos,
        {mt} AS match_term,
        CASE WHEN p = 2147483647 THEN substr(text, 1, {width})
-            ELSE substr(text, greatest(1, p - {lead}), {width}) END AS snippet
+            ELSE substr(text, greatest(1, p - {lead}), {width}) END AS snippet,
+       {spans} AS matches
 FROM m
 """
 

@@ -52,3 +52,28 @@ def test_snippets_empty_terms_no_match_shape(spark):
     r = snippets(hits, docs, [], width=10).first()
     assert r["pos"] == 0 and r["match_term"] == ""
     assert r["snippet"] == "alpha beta"
+
+
+def test_snippets_all_match_spans(spark):
+    """with_matches: EVERY term's first offset rides along, sorted by
+    (pos, term), serialized 'pos:term|...' — per-term highlights."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "no hits here"),
+            (3, "gammagamma beta"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    rows = {
+        r["doc_id"]: r["matches"]
+        for r in snippets(
+            hits, docs, ["alpha", "beta", "gamma"], width=20, with_matches=True
+        ).collect()
+    }
+    assert rows[1] == "1:alpha|7:beta|12:gamma"  # first offsets only
+    assert rows[2] == ""  # none present
+    assert rows[3] == "1:gamma|12:beta"  # sorted by pos, not term
