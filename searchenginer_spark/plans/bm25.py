@@ -20,12 +20,17 @@ state (the Spark analog of the reference's single-address-space docids).
 Pruning:
   - AND: rarest term drives; other terms decode ONLY blocks whose
     block_last range can contain surviving candidates (skip pointers).
-  - OR: MaxScore (Turtle & Flood 1995, public algorithm) at block
-    granularity: threshold tau seeded from the highest-upper-bound term's
-    own top-k; terms whose summed upper bounds stay below tau become
-    non-essential and are only probed at existing candidates via selective
-    block decode — documents matching only non-essential terms are provably
-    below tau and never decoded.
+  - OR: MaxScore (Turtle & Flood 1995, public algorithm): threshold tau
+    seeded from the highest-upper-bound term's own top-k; terms whose
+    summed upper bounds stay below tau become non-essential and are only
+    probed at existing candidates via selective block decode — documents
+    matching only non-essential terms are provably below tau and never
+    decoded. ESSENTIAL terms additionally prune at block granularity
+    (block-max pruning, Ding & Suel 2011): doc-id space is segmented at
+    the union of their block boundaries, each segment bounded by the sum
+    of covering qtf-weighted block maxes + the non-essential suffix
+    upper, and segments provably below tau are never varbyte-decoded by
+    any term.
 """
 
 from __future__ import annotations
@@ -123,12 +128,7 @@ def _score_part_and(
             return [], []
     if round_to is not None:
         cand_score = np.round(cand_score, round_to)
-    if cand.size > k:
-        top = np.argpartition(-cand_score, k - 1)[:k]
-        order = top[np.lexsort((cand[top], -cand_score[top]))]
-    else:
-        order = np.lexsort((cand, -cand_score))
-    return cand[order].tolist(), cand_score[order].tolist()
+    return _topk(cand, cand_score, k)
 
 
 def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=(), allow=None):
@@ -169,15 +169,65 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=(), allow
             ess_end = i
         else:
             break
+    non_ess_upper = suffix[ess_end] if ess_end < len(groups) else 0.0
 
-    # union of essential terms (full decode; these dominate the scores)
-    ids_all, sc_all = [], []
-    for g in groups[:ess_end]:
-        ids_all.append(decode_doc_ids(g["docs"], g["n"]))
-        sc_all.append(decode_scores(g["scores"]) * qtf[g["term_id"]])
+    # union of essential terms (these dominate the scores). With a finite
+    # tau, prune at BLOCK granularity first — block-max pruning (Ding &
+    # Suel 2011, public algorithm), vectorized: doc-id space is segmented
+    # at the union of the essential terms' block boundaries (block i of a
+    # term covers (block_last[i-1], block_last[i]], so boundaries define
+    # the segments exactly); a segment's upper bound is the sum of the
+    # covering blocks' qtf-weighted block_max plus the non-essential
+    # suffix upper, and a segment strictly below tau is skipped — no
+    # essential term varbyte-decodes any block all of whose segments are
+    # dead, and candidates landing in a dead segment (a decoded block can
+    # straddle dead and live segments) are dropped BEFORE scoring so every
+    # surviving candidate is fully scored. Same tau-slack contract as the
+    # seed: with round_to, tau already carries the one-ulp slack.
+    ess = groups[:ess_end]
+    seg_ends = None
+    if np.isfinite(tau):
+        bl = [np.asarray(g["block_last"], dtype=np.int64) for g in ess]
+        bm = [
+            np.asarray(g["block_max"], dtype=np.float64) * qtf[g["term_id"]]
+            for g in ess
+        ]
+        seg_ends = np.unique(np.concatenate(bl))
+        seg_upper = np.full(seg_ends.size, non_ess_upper, dtype=np.float64)
+        for bl_t, bm_t in zip(bl, bm):
+            idx = np.searchsorted(bl_t, seg_ends)
+            valid = idx < bl_t.size  # segments past a term's last doc: +0
+            seg_upper[valid] += bm_t[idx[valid]]
+        seg_alive = seg_upper >= tau
+        live_ends = seg_ends[seg_alive]
+        if live_ends.size == 0:
+            return [], []
+        ids_all, sc_all = [], []
+        for g, bl_t in zip(ess, bl):
+            bidx = np.unique(np.searchsorted(bl_t, live_ends))
+            bidx = bidx[bidx < bl_t.size]
+            ids, pos = decode_blocks(
+                g["docs"],
+                np.asarray(g["block_doc_off"], dtype=np.int64),
+                g["n"],
+                bidx,
+            )
+            ids_all.append(ids)
+            sc_all.append(decode_scores(g["scores"])[pos] * qtf[g["term_id"]])
+    else:
+        ids_all, sc_all = [], []
+        for g in ess:
+            ids_all.append(decode_doc_ids(g["docs"], g["n"]))
+            sc_all.append(decode_scores(g["scores"]) * qtf[g["term_id"]])
     cand, inv = np.unique(np.concatenate(ids_all), return_inverse=True)
     score = np.zeros(cand.size, dtype=np.float64)
     np.add.at(score, inv, np.concatenate(sc_all))
+    if seg_ends is not None and cand.size:
+        # every posting doc id <= its term's last block_last <= seg_ends[-1]
+        keep = seg_alive[np.searchsorted(seg_ends, cand)]
+        cand, score = cand[keep], score[keep]
+        if cand.size == 0:
+            return [], []
     if allow is not None:
         mask = _member_sorted(cand, allow)
         cand, score = cand[mask], score[mask]
@@ -194,9 +244,21 @@ def _score_part_or(groups: list, qtf: dict, k: int, round_to=None, neg=(), allow
             return [], []
     if round_to is not None:
         score = np.round(score, round_to)
+    return _topk(cand, score, k)
+
+
+def _topk(cand: np.ndarray, score: np.ndarray, k: int):
+    """Deterministic per-part top-k: (score desc, doc_id asc) — the global
+    merge's exact sort key. Unlike a bare argpartition cut, ties AT the kth
+    score keep the lowest doc ids (argpartition picks an arbitrary tie
+    subset, which can disagree with the SQL oracle's ORDER BY ... , doc_id
+    whenever the boundary lands inside a tie group). Cost: one partition
+    pass + a lexsort over only the >= kth-score survivors (k + ties)."""
     if cand.size > k:
-        top = np.argpartition(-score, k - 1)[:k]
-        order = top[np.lexsort((cand[top], -score[top]))]
+        kth = np.partition(score, cand.size - k)[cand.size - k]
+        mask = score >= kth
+        cand, score = cand[mask], score[mask]
+        order = np.lexsort((cand, -score))[:k]
     else:
         order = np.lexsort((cand, -score))
     return cand[order].tolist(), score[order].tolist()
@@ -413,12 +475,7 @@ def _score_part_phrase(groups: list, slots: list[int], qtf: dict, k: int, round_
         out_scores += qtf[t] * decode_scores(by_tid[t]["scores"])[rows]
     if round_to is not None:
         out_scores = np.round(out_scores, round_to)
-    if out_ids.size > k:
-        top = np.argpartition(-out_scores, k - 1)[:k]
-        order = top[np.lexsort((out_ids[top], -out_scores[top]))]
-    else:
-        order = np.lexsort((out_ids, -out_scores))
-    return out_ids[order].tolist(), out_scores[order].tolist()
+    return _topk(out_ids, out_scores, k)
 
 
 def _score_part_bool(
@@ -504,12 +561,7 @@ def _score_part_bool(
             return [], []
     if round_to is not None:
         score = np.round(score, round_to)
-    if cand.size > k:
-        top = np.argpartition(-score, k - 1)[:k]
-        order = top[np.lexsort((cand[top], -score[top]))]
-    else:
-        order = np.lexsort((cand, -score))
-    return cand[order].tolist(), score[order].tolist()
+    return _topk(cand, score, k)
 
 
 def _score_part_near(
@@ -528,12 +580,7 @@ def _score_part_near(
         out_scores += qtf[t] * decode_scores(by_tid[t]["scores"])[rows]
     if round_to is not None:
         out_scores = np.round(out_scores, round_to)
-    if out_ids.size > k:
-        top = np.argpartition(-out_scores, k - 1)[:k]
-        order = top[np.lexsort((out_ids[top], -out_scores[top]))]
-    else:
-        order = np.lexsort((out_ids, -out_scores))
-    return out_ids[order].tolist(), out_scores[order].tolist()
+    return _topk(out_ids, out_scores, k)
 
 
 def _is_number(s: str) -> bool:

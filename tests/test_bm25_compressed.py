@@ -174,3 +174,29 @@ def test_parts_cover_disjoint_doc_ranges(engines):
     for r in rows:
         for d in r["block_last"]:
             assert d // 128 == r["part"]
+
+
+def test_or_blockmax_multiblock_exact(spark):
+    """Block-max OR pruning (essential-term segment skipping) must stay
+    rank-identical to the uncompressed engine on MULTI-block posting rows
+    with skewed impacts — the geometry where tau actually kills blocks.
+    1500 docs in one part -> ~12 blocks per hot term."""
+    rows = []
+    for i in range(1500):
+        words = ["alpha"] * (1 + i % 4) + ["beta"] * (1 + (i * 7) % 5)
+        words += [f"filler{i % 60}"] * (i % 13)  # dl variance -> impact skew
+        if i % 3 == 0:
+            words.append("gamma")
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = Bm25DataFrameIndex.build(docs, text_col="text", persist=False)
+    td = build_term_dict(m1.dft)
+    postings = build_postings(m1.tf, m1.dl, td, m1.stats, docs_per_part=4096)
+    comp = Bm25CompressedIndex(spark, postings, td, docs_per_part=4096)
+    for query, k in [("alpha beta", 10), ("alpha beta gamma", 10),
+                     ("alpha gamma", 5), ("alpha beta", 5000)]:  # k>n: no seed
+        want = [(r["doc_id"], r["score"]) for r in m1.search(query, k=k, mode="or").collect()]
+        got = [(r["doc_id"], r["score"]) for r in comp.search(query, k=k, mode="or").collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, g), (_, w) in zip(got, want):
+            assert abs(g - w) < 1e-9
