@@ -1178,6 +1178,99 @@ def _ivf_fixture_path(sf_dir: str) -> str:
     return f"{_IVF_FIXTURE_ROOT}/ann_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
 
 
+# ------------------------------------------------ dictionary CJK segmentation
+
+#: word pool for the synthetic unsegmented CJK corpus — all entries exist in
+#: the segmenter's bundled dictionary, several as compounds of other entries,
+#: so the max-probability route is actually exercised (greedy-shortest would
+#: split them)
+_CJK_WORD_POOL = [
+    "搜索引擎", "查询", "中文", "文档", "机器学习", "算法", "自然语言处理",
+    "倒排索引", "构建", "数据", "系统", "我们", "使用", "支持", "分词",
+    "信息检索", "模型", "性能",
+]
+
+
+def _cjk_fixture_path(sf_dir: str) -> str:
+    import os
+
+    return f"{_IVF_FIXTURE_ROOT}/cjk_tf_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _q_cjk_dict_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary CJK segmentation end to end, runnable IN-SANDBOX: a
+    deterministic unsegmented CJK corpus (no delimiters — segmentation is
+    load-bearing) -> tokenizer='dict_cjk' (pure-Python max-probability DAG,
+    functions/cjk_segment.py; the reference's MPSegment algorithm,
+    /root/reference/include/cppjieba/MPSegment.hpp:55-120) -> compressed
+    BM25 index -> AND search with a dict-segmented query.
+
+    Oracle (IVF fixture pattern): the segmented tf table is materialized
+    as parquet; DuckDB independently recomputes dl/df/avgdl and the full
+    BM25 formula from it. The segmentation itself is pinned by golden
+    pytest cuts + a jieba-parity test where jieba is installable
+    (tests/test_cjk_segment.py)."""
+    from searchenginer_spark.deploy import ship_package
+    from searchenginer_spark.functions.cjk_segment import MPSegmenter
+    from searchenginer_spark.operators import stats as S
+
+    # the segmenter UDF closure references the package by module — ship it
+    # to python workers BEFORE the first tf job (index construction would
+    # do this later, but the fixture write runs first)
+    ship_package(spark)
+    rows = []
+    # word index stride 5 is coprime with the 18-word pool, so up to 9
+    # distinct words per doc and every pool triple at offsets {0,5,10}
+    # co-occurs in the i ≡ 0 (mod 18) doc family — the AND query below
+    # (搜索引擎/算法/系统 = offsets 0/5/10) has real hits with varying dl
+    for i in range(400):
+        words = [
+            _CJK_WORD_POOL[(i * 7 + j * 5) % len(_CJK_WORD_POOL)]
+            for j in range(5 + i % 5)
+        ]
+        rows.append((i, "".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = S.term_frequencies(docs, text_col="text", tokenizer="dict_cjk")
+    tf.write.mode("overwrite").parquet(_cjk_fixture_path(sf_dir))
+    tf = spark.read.parquet(_cjk_fixture_path(sf_dir))
+    dl = S.doc_lengths(tf)
+    dft = S.document_frequencies(tf)
+    st = S.corpus_stats(dl)
+    td = build_term_dict(dft)
+    postings = build_postings(tf, dl, td, st, docs_per_part=64)
+    idx = Bm25CompressedIndex(spark, postings, td, docs_per_part=64)
+    q = " ".join(MPSegmenter().cut("搜索引擎算法系统"))  # 3 segmented terms
+    return idx.search(
+        q, k=10, mode="and", round_to=4,
+        pattern="[A-Za-z_][A-Za-z0-9_]*|[一-鿿]+",
+    )
+
+
+def _cjk_dict_search_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+WITH tf AS (SELECT doc_id, term, tf
+            FROM read_parquet('{_cjk_fixture_path(sf_dir)}/*.parquet')),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term, qtf) AS (VALUES ('搜索引擎', 1), ('算法', 1), ('系统', 1)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf
+             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score,
+         count(*) AS m
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE m = 3
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 10
+"""
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (FAISS IVF shape, server.pb_skeleton.cc:288-302 analog):
     seeded-KMeans coarse quantizer, probe the nprobe nearest lists, exact
@@ -1340,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_query_composed": _q_bm25_query_composed,
         "bm25_query_phrase_facet": _q_bm25_query_phrase_facet,
         "bm25_query_range_facet": _q_bm25_query_range_facet,
+        "cjk_dict_search": _q_cjk_dict_search,
         "near_search": _q_near_search,
         "bm25_query_boosted": _q_bm25_query_boosted,
         "near_ordered_search": _q_near_ordered_search,
@@ -1399,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
             "data value", "or",
             allow_pred="lang IN ('de', 'en') AND n_chars >= 120 AND n_chars <= 200",
         ),
+        "cjk_dict_search": _cjk_dict_search_sql(),
         "near_search": _NEAR_SEARCH_SQL,
         "bm25_query_boosted": _bm25_sql("data data spark", "or", exclude=("merge",)),
         "near_ordered_search": _NEAR_ORDERED_SQL,

@@ -53,6 +53,9 @@ def explode_tokens(
 
     ``tokenizer`` selects the token source: None (default) = JVM regex
     ``pattern``; 'cjk_bigram' = identifier runs + CJK bigrams (JVM);
+    'dict_cjk' = dictionary max-probability DAG segmentation (pure-Python
+    Arrow UDF, functions/cjk_segment.py — the reference's MPSegment
+    algorithm, runnable in-sandbox with the bundled mini-dictionary);
     'jieba' = real dictionary segmentation via the jieba package (Arrow
     pandas UDF) — plug-in parity with the reference's cppjieba MixSegment
     on clusters where jieba is installed; raises ImportError otherwise.
@@ -61,11 +64,16 @@ def explode_tokens(
         toks = tokens(text_col, pattern)
     elif tokenizer == "cjk_bigram":
         toks = cjk_tokens(text_col)
+    elif tokenizer == "dict_cjk":
+        from .cjk_segment import dict_cjk_tokens_pandas_udf
+
+        toks = dict_cjk_tokens_pandas_udf()(F.col(text_col))
     elif tokenizer == "jieba":
         toks = jieba_tokens_pandas_udf()(F.col(text_col))
     else:
         raise ValueError(
-            f"unknown tokenizer {tokenizer!r} (None, 'cjk_bigram', or 'jieba')"
+            f"unknown tokenizer {tokenizer!r} "
+            "(None, 'cjk_bigram', 'dict_cjk', or 'jieba')"
         )
     if with_positions:
         return df.select(id_col, F.posexplode(toks).alias("pos", "term"))

@@ -1,0 +1,119 @@
+"""Dictionary CJK segmentation (functions/cjk_segment): golden cuts,
+OOV/tie behavior, jieba parity where installable, and the Spark
+tokenizer='dict_cjk' path end to end."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchenginer_spark.functions.cjk_segment import (
+    DEFAULT_DICT,
+    MPSegmenter,
+    dict_cjk_tokens_pandas_udf,
+)
+
+SEG = MPSegmenter()
+
+GOLDEN = [
+    # compounds must beat their own decompositions (DAG route, not greedy)
+    ("我们使用搜索引擎查询中文文档", ["我们", "使用", "搜索引擎", "查询", "中文", "文档"]),
+    ("机器学习算法和自然语言处理", ["机器学习", "算法", "和", "自然语言处理"]),
+    ("倒排索引构建", ["倒排索引", "构建"]),
+    # mixed latin + CJK: identifier runs pass through lowercased
+    ("Spark构建倒排索引index_v2", ["spark", "构建", "倒排索引", "index_v2"]),
+    # OOV CJK surfaces as single codepoints (documented: no HMM pass)
+    ("未登录词", ["未", "登", "录", "词"]),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,want", GOLDEN)
+def test_golden_segmentations(text, want):
+    assert SEG.cut(text) == want
+
+
+def test_route_prefers_whole_dictionary_word():
+    # 搜索引擎 is in the dict AND so are 搜索 + 引擎: the max-probability
+    # route must pick the single word (one log-prob beats the sum of two)
+    assert SEG.cut_cjk("搜索引擎") == ["搜索引擎"]
+    assert SEG.cut_cjk("信息检索") == ["信息检索"]
+
+
+def test_custom_dictionary_swaps_route():
+    # with only the two short words in the dict, the compound must split
+    seg = MPSegmenter({"搜索": 10, "引擎": 10})
+    assert seg.cut_cjk("搜索引擎") == ["搜索", "引擎"]
+
+
+def test_jieba_parity_same_dictionary():
+    """Same dict + same algorithm (max-probability route, no HMM) must
+    produce identical cuts to jieba where jieba is installable."""
+    jieba = pytest.importorskip("jieba")
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        for w, freq in DEFAULT_DICT.items():
+            f.write(f"{w} {freq}\n")
+        path = f.name
+    tok = jieba.Tokenizer(dictionary=path)
+    for text, _ in GOLDEN:
+        cjk_only = "".join(ch for ch in text if "一" <= ch <= "鿿")
+        if not cjk_only:
+            continue
+        assert SEG.cut_cjk(cjk_only) == [
+            t for t in tok.cut(cjk_only, HMM=False)
+        ], text
+
+
+def test_spark_dict_cjk_tokenizer(spark):
+    from searchenginer_spark.operators import stats as S
+
+    docs = spark.createDataFrame(
+        [
+            (0, "我们使用搜索引擎查询中文文档"),
+            (1, "搜索引擎支持中文分词"),
+            (2, "机器学习模型"),
+        ],
+        "doc_id long, text string",
+    )
+    tf = S.term_frequencies(docs, text_col="text", tokenizer="dict_cjk")
+    got = {(r["doc_id"], r["term"]): r["tf"] for r in tf.collect()}
+    # independent pure-python recompute
+    from collections import Counter
+
+    want = {}
+    for doc_id, text in [(0, "我们使用搜索引擎查询中文文档"),
+                         (1, "搜索引擎支持中文分词"), (2, "机器学习模型")]:
+        for t, c in Counter(SEG.cut(text)).items():
+            want[(doc_id, t)] = c
+    assert got == want
+    # df of the shared term
+    dft = {r["term"]: r["df"] for r in S.document_frequencies(tf).collect()}
+    assert dft["搜索引擎"] == 2 and dft["中文"] == 2
+
+
+def test_cjk_search_end_to_end(spark):
+    """Compressed BM25 index over dict_cjk-segmented docs; a segmented
+    query must hit the right docs (AND semantics over segmented terms)."""
+    from searchenginer_spark.operators import stats as S
+    from searchenginer_spark.operators.dict import build_term_dict
+    from searchenginer_spark.operators.postings import build_postings
+    from searchenginer_spark.plans.bm25 import Bm25CompressedIndex
+
+    docs = spark.createDataFrame(
+        [(i, ("搜索引擎查询" if i % 2 == 0 else "机器学习模型") + "文档" * (i % 3 + 1))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    tf = S.term_frequencies(docs, text_col="text", tokenizer="dict_cjk")
+    dl = S.doc_lengths(tf)
+    dft = S.document_frequencies(tf)
+    st = S.corpus_stats(dl)
+    td = build_term_dict(dft)
+    postings = build_postings(tf, dl, td, st, docs_per_part=16)
+    idx = Bm25CompressedIndex(spark, postings, td, docs_per_part=16)
+
+    pat = "[A-Za-z_][A-Za-z0-9_]*|[一-鿿]+"
+    q = " ".join(SEG.cut("搜索引擎查询"))  # -> "搜索引擎 查询"
+    hits = idx.search(q, k=50, mode="and", pattern=pat).collect()
+    assert sorted(r["doc_id"] for r in hits) == [i for i in range(40) if i % 2 == 0]
