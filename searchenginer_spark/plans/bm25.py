@@ -1264,26 +1264,43 @@ class Bm25CompressedIndex:
         pattern: str = IDENT_RE,
         round_to: int | None = None,
         max_expansions: int = 1024,
+        docs: DataFrame | None = None,
+        docs_per_part: int | None = None,
     ) -> DataFrame:
         """Composed-grammar batch: MANY query strings in ONE Spark job ->
         (query_id, doc_id, score) — the serving shape for search_query,
         same grammar and semantics per query (see search_batch for why
         batching is the Spark-idiomatic high-throughput form).
 
-        Exceptions: ``field:value`` facets need the per-query cogrouped
-        docs filter — use search_query for those (raises ValueError here);
-        phrase/proximity clauses need a positions-enabled index.
-        Unmatchable queries (missing required atom) contribute no rows.
+        Facet clauses work per query (r4): pass ``docs`` (+
+        ``docs_per_part`` unless the handle carries geometry); each
+        faceted query's allowed-id set is computed by the same
+        :func:`apply_facets` Catalyst filters, tagged with its query_id,
+        unioned, bucketed by the index's part key, and cogrouped — one
+        exchange for the whole batch, exact per query (never a lossy
+        post-filter), queries without facets stay unfiltered. Phrase /
+        proximity clauses need a positions-enabled index. Unmatchable
+        queries (missing required atom) contribute no rows.
         """
         from ..functions.queryparse import parse_query
 
         if isinstance(queries, list):
             queries = {str(i): q for i, q in enumerate(queries)}
         specs = {qid: parse_query(q) for qid, q in queries.items()}
-        if any(s.facets for s in specs.values()):
-            raise ValueError(
-                "facet clauses need the per-query docs cogroup: use search_query"
-            )
+        faceted = {qid for qid, s in specs.items() if s.facets}
+        if faceted:
+            if docs is None:
+                raise ValueError(
+                    "facet clauses need the docs table: "
+                    "search_query_batch(..., docs=...)"
+                )
+            dpp = docs_per_part or self.docs_per_part
+            if dpp is None:
+                raise ValueError(
+                    "facet clauses need the index geometry: open the index "
+                    "via open_index (reads the meta table) or pass "
+                    "docs_per_part="
+                )
         if any(s.phrases or s.nears for s in specs.values()):
             self._require_positions("search_query_batch with phrase/proximity clauses")
 
@@ -1319,16 +1336,24 @@ class Bm25CompressedIndex:
             F.broadcast(qdf), "term_id"
         )
 
-        def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        faceted_compiled = frozenset(faceted & comp.keys())
+
+        def score_rows_batch(pdf: pd.DataFrame, allow_by_q: dict) -> pd.DataFrame:
             out_q, out_d, out_s = [], [], []
             for qid, sub in pdf.groupby("query_id", sort=False):
                 c = bmeta.value[qid]
+                if qid in faceted_compiled:
+                    # a faceted query with no allowed ids in this part gets
+                    # an EMPTY array (no hits here), never None (unfiltered)
+                    allow = allow_by_q.get(qid, np.empty(0, dtype=np.int64))
+                else:
+                    allow = None
                 groups = sub.to_dict("records")
                 pos_rows = [g for g in groups if g["term_id"] not in c["exc"]]
                 neg = [g for g in groups if g["term_id"] in c["exc"]]
                 d, s = _score_part_bool(
                     pos_rows, c["must"], c["should"], c["qtf"], k, c["slots"],
-                    round_to, neg, None, c["nears"],
+                    round_to, neg, allow, c["nears"],
                 )
                 out_q += [qid] * len(d)
                 out_d += d
@@ -1337,9 +1362,49 @@ class Bm25CompressedIndex:
 
         from pyspark.sql import Window
 
-        scored = cand.groupBy("part").applyInPandas(
-            score_part, schema="query_id string, doc_id long, score double"
-        )
+        if faceted_compiled:
+            # per-query allowed-id sets, tagged by query_id, one union —
+            # bucketed by the SAME part key and cogrouped with the postings
+            # (the search_filtered shape, batched): one exchange total
+            allow_parts = []
+            for qid in sorted(faceted_compiled):
+                al = apply_facets(docs, specs[qid].facets)
+                allow_parts.append(
+                    al.select(
+                        F.lit(qid).alias("query_id"),
+                        F.col("doc_id").cast("long").alias("doc_id"),
+                        (F.col("doc_id") / F.lit(dpp)).cast("int").alias("part"),
+                    )
+                )
+            allow_df = allow_parts[0]
+            for a in allow_parts[1:]:
+                allow_df = allow_df.unionByName(a)
+
+            def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+                if len(left) == 0:
+                    return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+                allow_by_q = {
+                    qid: np.sort(sub["doc_id"].to_numpy().astype(np.int64))
+                    for qid, sub in right.groupby("query_id", sort=False)
+                }
+                return score_rows_batch(left, allow_by_q)
+
+            scored = (
+                cand.groupby("part")
+                .cogroup(allow_df.groupby("part"))
+                .applyInPandas(
+                    score_cogroup,
+                    schema="query_id string, doc_id long, score double",
+                )
+            )
+        else:
+
+            def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_rows_batch(pdf, {})
+
+            scored = cand.groupBy("part").applyInPandas(
+                score_part, schema="query_id string, doc_id long, score double"
+            )
         score = F.round("score", round_to) if round_to is not None else F.col("score")
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (

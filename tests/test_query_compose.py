@@ -364,9 +364,34 @@ def test_search_query_batch_per_query_parity(qindex):
         _assert_same(sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0])), want, qid)
 
 
-def test_search_query_batch_rejects_facets(qindex):
-    with pytest.raises(ValueError, match="facet"):
+def test_search_query_batch_facets_need_docs(qindex):
+    # facets are supported in batch (r4) but require the docs table
+    with pytest.raises(ValueError, match="docs"):
         qindex.search_query_batch(["data lang:de"])
+
+
+def test_search_query_batch_facet_parity(qindex, docs_sf0001):
+    """Each faceted batch entry must equal its search_query result; mixed
+    faceted/unfaceted batches keep unfaceted queries unfiltered."""
+    queries = {
+        "de": "data value lang:de",
+        "range": "data value n_chars:[120 TO 200]",
+        "plain": "data value",
+        "empty": "data value lang:zz_nonexistent",
+    }
+    batch = qindex.search_query_batch(
+        queries, k=10, round_to=6, docs=docs_sf0001
+    ).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert "empty" not in by_q  # facet allows nothing -> no rows
+    for qid, q in queries.items():
+        if qid == "empty":
+            continue
+        want = _rows(qindex.search_query(q, k=10, round_to=6, docs=docs_sf0001))
+        got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+        _assert_same(got, want, qid)
 
 
 # ------------------------------------------------------------------ boosts
