@@ -153,6 +153,26 @@ def main() -> None:
         timings["bm25_warm_loop"] = round(dt, 3)
         extras["warm_loop_qps"] = round(n_loop / dt, 2)
 
+        # serving-mode loop (r4): same queries after serving_mode() — AQE
+        # off (kills the per-exchange job AQE adds), 8-partition scoring
+        # exchange, coalesced cached postings. Protocol-identical to the
+        # loop above otherwise; confs restored after (PLANS.md §6).
+        aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+        sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+        sidx = open_index(spark, root).serving_mode(n_partitions=8)
+        sidx.search("int return", k=10).collect()  # warm the coalesced cache
+        t = time.monotonic()
+        for i in range(n_loop):
+            q, mode = qlist[i % len(qlist)]
+            sidx.search(q, k=10, mode=mode).collect()
+        dt = time.monotonic() - t
+        timings["bm25_warm_loop_serving"] = round(dt, 3)
+        extras["serving_loop_qps"] = round(n_loop / dt, 2)
+        sidx.postings.unpersist()
+        sidx.term_dict.unpersist()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", sp0)
+
         # batched throughput: 100 queries in one Spark job
         batch = {
             f"b{i}": f"id{i * 13 % 2000} {'int' if i % 2 else 'return'} value"

@@ -842,6 +842,36 @@ class Bm25CompressedIndex:
                 )
         return self._dict_cache
 
+    def serving_mode(self, n_partitions: int = 8) -> "Bm25CompressedIndex":
+        """Tune THIS SESSION + handle for low-latency point queries
+        (measured decomposition: PLANS.md §6; scripts/warm_query_probe.py).
+
+        Three levers, all serving-session configuration, no plan change:
+          1. AQE off — AQE materializes each exchange as its own job,
+             which costs a whole extra job-submission round (~150-200 ms)
+             per point query for zero benefit on a k-row result.
+          2. scoring exchange shrunk to ``n_partitions`` shuffle
+             partitions — a point query's reduce side carries a few
+             thousand rows; 32 near-empty tasks are pure launch overhead.
+          3. postings/term_dict coalesced to ``n_partitions`` cached
+             partitions — the probe's scan cost is per-cached-partition
+             task overhead, not bytes, so ~65 scan tasks collapse to 8.
+
+        SIDE EFFECT: flips session confs (adaptive.enabled,
+        shuffle.partitions) — intended for a dedicated serving session;
+        batch/analytic jobs on the same session should restore them.
+        A dict_version refresh (_check_version) re-snapshots the tables
+        and drops the coalesced cache — re-call after incremental folds.
+        Measured at bench scale (20k docs, local[32]): 0.53 s -> 0.32 s
+        per warm query, 1.9 -> 3.2 q/s."""
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+        self.postings = self.postings.coalesce(n_partitions).persist()
+        self.term_dict = self.term_dict.persist()
+        self.postings.count()
+        self._maybe_cache_dict()
+        return self
+
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
         cache = self._maybe_cache_dict()
         if cache is not None:

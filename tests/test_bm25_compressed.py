@@ -200,3 +200,28 @@ def test_or_blockmax_multiblock_exact(spark):
         assert [d for d, _ in got] == [d for d, _ in want], query
         for (_, g), (_, w) in zip(got, want):
             assert abs(g - w) < 1e-9
+
+
+def test_serving_mode_parity(spark, docs_sf0001):
+    """serving_mode (AQE off, shrunk exchange, coalesced cache) is pure
+    session/layout tuning — results must be identical; restore confs."""
+    m1 = Bm25DataFrameIndex.build(docs_sf0001, text_col="text", persist=False)
+    td = build_term_dict(m1.dft)
+    postings = build_postings(m1.tf, m1.dl, td, m1.stats, docs_per_part=128)
+    comp = Bm25CompressedIndex(spark, postings, td, docs_per_part=128)
+    before = [(r["doc_id"], r["score"])
+              for r in comp.search("spark query", k=10, mode="and").collect()]
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        comp.serving_mode(n_partitions=4)
+        after = [(r["doc_id"], r["score"])
+                 for r in comp.search("spark query", k=10, mode="and").collect()]
+        assert after == before
+        or_after = comp.search("spark merge window", k=10, mode="or").collect()
+        assert len(or_after) == 10
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", sp0)
+        comp.postings.unpersist()
+        comp.term_dict.unpersist()
