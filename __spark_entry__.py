@@ -778,6 +778,87 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp")).orderBy("doc_id")
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline chunking: sliding token windows (max 40 tokens,
+    overlap 8) over the documents table — pure JVM sequence/slice, no
+    shuffle (functions/chunking.py). Chunk text compared by md5 so the
+    full chunk set is value-checked without shipping every window."""
+    from searchenginer_spark.functions.chunking import chunk_documents
+
+    ch = chunk_documents(_docs(spark, sf_dir), max_tokens=40, overlap=8)
+    return ch.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_hash")
+    ).orderBy("doc_id", "chunk_id")
+
+
+_DOC_CHUNKS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS t
+  FROM documents),
+nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, t,
+         unnest(range(0, CASE WHEN n <= 40 THEN 1
+                              ELSE CAST(ceil((n - 40) / 32.0) AS INT) + 1 END)
+                ) AS chunk_id
+  FROM nn),
+sl AS (SELECT doc_id, chunk_id,
+              list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 40) AS c
+       FROM ch)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, CAST(len(c) AS INT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_hash
+FROM sl
+ORDER BY doc_id, chunk_id
+"""
+
+
+def _q_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk -> pack pipeline: sliding windows packed into fixed-budget
+    training examples (contiguous fill, cut-at-overflow; window cumsum
+    partitioned by doc-range group, never a global sort —
+    functions/chunking.pack_chunks). Per-example chunk/token accounting."""
+    from searchenginer_spark.functions.chunking import chunk_documents, pack_chunks
+
+    ch = chunk_documents(_docs(spark, sf_dir), max_tokens=40, overlap=8)
+    p = pack_chunks(ch, budget=120, group_docs=64)
+    return (
+        p.groupBy("group", "example_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("group", "example_id")
+    )
+
+
+_PACKED_EXAMPLES_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS t
+  FROM documents),
+nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, t,
+         unnest(range(0, CASE WHEN n <= 40 THEN 1
+                              ELSE CAST(ceil((n - 40) / 32.0) AS INT) + 1 END)
+                ) AS chunk_id
+  FROM nn),
+chk AS (SELECT doc_id, chunk_id,
+               len(list_slice(t, chunk_id * 32 + 1, chunk_id * 32 + 40)) AS n_tokens
+        FROM ch),
+win AS (
+  SELECT CAST(floor(doc_id / 64) AS INT) AS grp, doc_id, chunk_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY CAST(floor(doc_id / 64) AS INT)
+                             ORDER BY doc_id, chunk_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM chk)
+SELECT grp AS "group", CAST(floor(before / 120.0) AS INT) AS example_id,
+       count(*)::BIGINT AS n_chunks, sum(n_tokens)::BIGINT AS total_tokens
+FROM win
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-data prep composition: exact dedup ->
     quality filter (Gopher/C4-shaped score >= 0.75) -> per-language doc and
@@ -1447,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fetch_verified": _q_bm25_fetch_verified,
         "search_snippets": _q_search_snippets,
         "corpus_prep_pipeline": _q_corpus_prep_pipeline,
+        "doc_chunks": _q_doc_chunks,
+        "packed_examples": _q_packed_examples,
         "term_df_stats": _q_term_df_stats,
         "doc_stats": _q_doc_stats,
         "doc_lengths_topk": _q_doc_lengths,
@@ -1517,6 +1600,8 @@ SELECT t.doc_id, t.score, sha256(d.text) AS content_sha256
 FROM ({_bm25_sql(FLAGSHIP_QUERY, "and")}) t JOIN documents d USING (doc_id)
 """,
         "search_snippets": _snippets_sql(FLAGSHIP_QUERY),
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "packed_examples": _PACKED_EXAMPLES_SQL,
         # dedup -> quality filter -> per-language token accounting; the
         # quality/lang formulas are verbatim the quality_scores/lang_id
         # oracles (proven identical to the Spark column math)
