@@ -250,6 +250,33 @@ LIMIT {k}
 """
 
 
+def _q_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term query /quer[a-z]*/ (whole-term match, Lucene
+    RegexpQuery analog): literal-prefix-bisected dictionary expansion,
+    OR-scored qtf=1 per match (plans/bm25.search_regexp)."""
+    return _cindex(spark, sf_dir).search_regexp("quer[a-z]*", k=10, round_to=4)
+
+
+def _bm25_regexp_sql(pattern: str, k: int = 10) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+q AS (SELECT term, 1 AS qtf FROM dft WHERE regexp_full_match(term, '{pattern}')),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf
+             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT {k}
+"""
+
+
 def _q_bm25_query_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed query-string grammar (functions/queryparse + search_query):
     MUST + prefix expansion + boolean NOT + bare term compiled into ONE
@@ -1510,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compressed_or_topk": _q_bm25_compressed_or,
         "bm25_compressed_prod_geometry": _q_bm25_compressed_prod,
         "bm25_prefix_topk": _q_bm25_prefix,
+        "bm25_regexp_topk": _q_bm25_regexp,
         "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_query_composed": _q_bm25_query_composed,
         "bm25_query_phrase_facet": _q_bm25_query_phrase_facet,
@@ -1569,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compressed_or_topk": _bm25_sql("spark merge window", "or"),
         "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_prefix_topk": _bm25_prefix_sql("quer"),
+        "bm25_regexp_topk": _bm25_regexp_sql("quer[a-z]*"),
         "bm25_filtered_topk": _bm25_sql("data value", "or", allow_pred="lang = 'de'"),
         "bm25_query_composed": _BM25_QUERY_COMPOSED_SQL,
         "bm25_query_phrase_facet": _BM25_QUERY_PHRASE_FACET_SQL,

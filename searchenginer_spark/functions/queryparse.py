@@ -22,6 +22,9 @@ exact per-part scoring pass (never a lossy post-filter chain):
   term~1       fuzzy: expands to dictionary terms within edit distance 1
                (max 2, Lucene-style; SHOULD, qtf=1 per expansion, like
                prefixes — adds score, never required)
+  /pattern/    regexp term (whole-term match, Lucene RegexpQuery analog):
+               expands to matching dictionary terms (SHOULD, qtf=1, like
+               prefixes); no spaces inside the slashes
   field:value  metadata facet (equality against the docs table)
   field:a,b    multi-value facet: field equals ANY listed value (OR
                within the field)
@@ -44,8 +47,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-# quoted span | field:[bracket range] (may contain spaces) | bare clause
-_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?|\S+:\[[^\]]*\]|\S+)')
+# quoted span | /regexp/ | field:[bracket range] (spaces ok) | bare clause
+_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?|/[^/\s]+/|\S+:\[[^\]]*\]|\S+)')
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.+?)~(\d+)$")
 _RANGE_TO_RE = re.compile(r"\s+TO\s+")
@@ -60,6 +63,7 @@ class QuerySpec:
     nears: list[tuple[str, int]] = field(default_factory=list)  # "..."~W
     prefixes: list[str] = field(default_factory=list)  # term*
     fuzzies: list[tuple[str, int]] = field(default_factory=list)  # term~D
+    regexps: list[str] = field(default_factory=list)  # /pattern/
     #: (field, constraint) pairs, applied conjunctively; constraint is
     #: ("eq", value) | ("in", [values]) | ("range", lo, hi) with "*" =
     #: unbounded
@@ -75,6 +79,7 @@ class QuerySpec:
             or self.nears
             or self.prefixes
             or self.fuzzies
+            or self.regexps
         )
 
 
@@ -94,6 +99,13 @@ def parse_query(query: str) -> QuerySpec:
                     spec.nears.append((quoted, int(slop[1:])))
                 else:
                     spec.phrases.append(quoted)
+            continue
+        if raw.startswith("/") and raw.endswith("/") and len(raw) > 2:
+            if sign == "-":
+                raise ValueError(f"negated regexp not supported: -{raw}")
+            # whole-term regexp (Lucene RegexpQuery analog): SHOULD
+            # expansion against the dictionary, qtf=1, like prefixes
+            spec.regexps.append(raw[1:-1].lower())
             continue
         boost = None
         bm = _BOOST_RE.match(raw)

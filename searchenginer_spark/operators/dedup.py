@@ -111,6 +111,7 @@ def dedup_docs_and_tf(
     max_hamming: int = 3,
     top_n: int = 20,
     with_positions: bool = False,
+    tokenizer: str | None = None,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """(deduped docs, tf over the deduped docs, persisted handles) — fused
     dedup + term-frequency stage sharing ONE tokenize pass.
@@ -135,7 +136,8 @@ def dedup_docs_and_tf(
         raise ValueError(f"unknown dedup mode {how!r} (use 'exact' or 'simhash')")
     named = out if id_col == "doc_id" else out.withColumnRenamed(id_col, "doc_id")
     tf = term_frequencies(
-        named, text_col=text_col, with_positions=with_positions
+        named, text_col=text_col, with_positions=with_positions,
+        tokenizer=tokenizer,
     ).persist()
     if how == "exact":
         return out, tf, [tf]

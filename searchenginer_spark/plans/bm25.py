@@ -583,6 +583,23 @@ def _score_part_near(
     return _topk(out_ids, out_scores, k)
 
 
+_REGEX_META = set(".^$*+?{}[]|()\\")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex (chars before the first
+    metacharacter). A quantifier (* ? {) modifies its PRECEDING char, so
+    that char is dropped from the literal run — 'abc*' has prefix 'ab'."""
+    out: list[str] = []
+    for ch in pattern:
+        if ch in _REGEX_META:
+            if ch in "*?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 def _is_number(s: str) -> bool:
     try:
         float(s)
@@ -666,14 +683,22 @@ def _spec_tokens(spec, mode: str, pattern: str) -> dict:
 
 
 def _compile_spec(
-    tk: dict, prefixes: list[str], tid: dict, expand, fuzzies=(), expand_fuzzy=None
+    tk: dict,
+    prefixes: list[str],
+    tid: dict,
+    expand,
+    fuzzies=(),
+    expand_fuzzy=None,
+    regexps=(),
+    expand_regexp=None,
 ) -> dict | None:
     """Resolve a tokenized spec (_spec_tokens) to scorer inputs for
     _score_part_bool. ``tid`` must cover every token in tk['all'] that
     exists in the dictionary; ``expand(prefix)`` -> df-ranked term_ids;
     ``expand_fuzzy(word, dist)`` -> distance-then-df-ranked term_ids for
-    ``term~D`` clauses (SHOULD qtf=1 each, same collision rule as
-    prefixes).
+    ``term~D`` clauses; ``expand_regexp(pattern)`` -> df-ranked term_ids
+    fully matching a ``/pattern/`` clause (each SHOULD qtf=1, same
+    collision rule as prefixes).
 
     Returns None when a required atom (must / phrase / near term) is
     missing from the dictionary or nothing is scorable. Expansion
@@ -711,6 +736,11 @@ def _compile_spec(
                 should_ids.append(t)
     for word, dist in fuzzies:
         for t in expand_fuzzy(word, dist):
+            if t not in qtf and t not in exc_ids:
+                qtf[t] = 1.0
+                should_ids.append(t)
+    for pat in regexps:
+        for t in expand_regexp(pat):
             if t not in qtf and t not in exc_ids:
                 qtf[t] = 1.0
                 should_ids.append(t)
@@ -1043,6 +1073,29 @@ class Bm25CompressedIndex:
                 "build_index(with_positions=True)"
             )
 
+    def _sorted_range(self, prefix: str) -> tuple[int, int]:
+        """[lo, hi) index range of ``prefix``-prefixed terms in the sorted
+        cache arrays — every string with this prefix sorts in [prefix,
+        prefix[:-1] + succ(last char)); exact range, two bisects."""
+        import bisect
+
+        terms = self._sorted_terms
+        lo = bisect.bisect_left(terms, prefix)
+        last = prefix[-1]
+        if ord(last) < 0x10FFFF:
+            hi = bisect.bisect_left(terms, prefix[:-1] + chr(ord(last) + 1), lo)
+        else:
+            hi = len(terms)
+        return lo, hi
+
+    def _take_ranked(self, idxs: np.ndarray, max_expansions: int) -> list[int]:
+        """Cap an ASCENDING index array by df rank (df desc, term asc tie —
+        stable argsort over the term-ordered indices)."""
+        if idxs.size > max_expansions:
+            dfs = self._sorted_dfs[idxs]
+            idxs = idxs[np.argsort(-dfs, kind="stable")[:max_expansions]]
+        return self._sorted_ids[idxs].tolist()
+
     def _expand_prefix(self, prefix: str, max_expansions: int) -> list[int]:
         """term_ids of dictionary terms starting with ``prefix``, capped by
         df rank (highest-df kept; deterministic df-desc/term tie).
@@ -1056,24 +1109,8 @@ class Bm25CompressedIndex:
             return []
         cache = self._maybe_cache_dict()
         if cache is not None:
-            import bisect
-
-            terms = self._sorted_terms
-            lo = bisect.bisect_left(terms, prefix)
-            # every string with this prefix sorts in [prefix, prefix[:-1] +
-            # succ(last char)) — exact range, two bisects
-            last = prefix[-1]
-            if ord(last) < 0x10FFFF:
-                hi = bisect.bisect_left(terms, prefix[:-1] + chr(ord(last) + 1), lo)
-            else:
-                hi = len(terms)
-            if hi - lo > max_expansions:
-                dfs = self._sorted_dfs[lo:hi]
-                # stable sort by -df keeps the underlying term-asc order as
-                # the tie-break — same (df desc, term asc) rank as uncached
-                top = np.argsort(-dfs, kind="stable")[:max_expansions] + lo
-                return self._sorted_ids[top].tolist()
-            return self._sorted_ids[lo:hi].tolist()
+            lo, hi = self._sorted_range(prefix)
+            return self._take_ranked(np.arange(lo, hi, dtype=np.int64), max_expansions)
         rows = (
             self.term_dict.filter(
                 (F.col("prefix") == prefix[0]) & F.col("term").startswith(prefix)
@@ -1084,6 +1121,73 @@ class Bm25CompressedIndex:
             .collect()
         )
         return [r["term_id"] for r in rows]
+
+    def _expand_regexp(self, pattern: str, max_expansions: int) -> list[int]:
+        """term_ids of dictionary terms FULLY matching ``pattern``
+        (Lucene-RegexpQuery whole-term semantics), df-ranked and capped.
+
+        Cached path: the regex's literal prefix (chars before the first
+        metacharacter, quantifier-adjusted) bisects the sorted term arrays
+        — the spirit of Lucene's automaton/term-index intersection — and
+        Python re fullmatch scans only that range; a pattern with no
+        literal prefix, or no cache, falls back to a Catalyst ``rlike``
+        probe over the dict table (parallel O(V/cores), the right shape at
+        web-scale vocabularies). Patterns should stick to the regex subset
+        valid in both Python and Java (the two evaluation engines)."""
+        if not pattern:
+            return []
+        rx = re.compile(pattern)
+        cache = self._maybe_cache_dict()
+        lit = _regex_literal_prefix(pattern)
+        if cache is not None and lit:
+            lo, hi = self._sorted_range(lit)
+            terms = self._sorted_terms
+            idxs = np.fromiter(
+                (i for i in range(lo, hi) if rx.fullmatch(terms[i])),
+                dtype=np.int64,
+            )
+            return self._take_ranked(idxs, max_expansions)
+        rows = (
+            self.term_dict.filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term_id")
+            .collect()
+        )
+        return [r["term_id"] for r in rows]
+
+    def search_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        round_to: int | None = None,
+        max_expansions: int = 1 << 20,
+    ) -> DataFrame:
+        """Regexp term query ``/pattern/`` (whole-term match) — the
+        code-search staple Lucene calls RegexpQuery. Expands against
+        term_dict (see _expand_regexp for the literal-prefix bisection)
+        and scores the expansion set disjunctively with qtf=1 per matched
+        term, exactly like search_prefix."""
+        ids = self._expand_regexp(pattern, max_expansions)
+        if not ids:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qtf = {t: 1.0 for t in ids}
+
+        cand = self.postings.filter(F.col("term_id").isin(ids))
+
+        def score_part(pdf: pd.DataFrame) -> pd.DataFrame:
+            docs, scores = _score_part_or(pdf.to_dict("records"), qtf, k, round_to)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        scored = cand.groupBy("part").applyInPandas(
+            score_part, schema="doc_id long, score double"
+        )
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search_prefix(
         self,
@@ -1197,7 +1301,10 @@ class Bm25CompressedIndex:
         by df rank; an expansion colliding with an explicit or excluded
         atom is skipped — explicit wins); ``term~D`` fuzzy clauses expand
         to dictionary terms within edit distance D (<=2) under the same
-        SHOULD/collision rules; ``term^B`` boosts that occurrence
+        SHOULD/collision rules; ``/pattern/`` regexp clauses expand to
+        whole-term regex matches (Lucene RegexpQuery analog, literal-
+        prefix-bisected — see _expand_regexp) under the same rules;
+        ``term^B`` boosts that occurrence
         to qtf B (cut_weight.cpp query-side weighting analog, sugar for
         term repetition); facets — ``field:value`` equality,
         ``field:a,b`` any-of, ``field:[lo TO hi]`` inclusive range
@@ -1227,6 +1334,8 @@ class Bm25CompressedIndex:
             lambda p: self._expand_prefix(p, max_expansions),
             spec.fuzzies,
             lambda w, d: self._expand_fuzzy(w, d, max_expansions),
+            spec.regexps,
+            lambda p: self._expand_regexp(p, max_expansions),
         )
         if comp is None:  # missing required atom or nothing scorable
             return empty()
@@ -1343,11 +1452,13 @@ class Bm25CompressedIndex:
         tid = self.lookup_terms(sorted({t for tk in tks.values() for t in tk["all"]}))
         expand = lambda p: self._expand_prefix(p, max_expansions)  # noqa: E731
         expand_fz = lambda w, d: self._expand_fuzzy(w, d, max_expansions)  # noqa: E731
+        expand_re = lambda p: self._expand_regexp(p, max_expansions)  # noqa: E731
         comp: dict[str, dict] = {}
         rows = []
         for qid, tk in tks.items():
             c = _compile_spec(
-                tk, specs[qid].prefixes, tid, expand, specs[qid].fuzzies, expand_fz
+                tk, specs[qid].prefixes, tid, expand, specs[qid].fuzzies, expand_fz,
+                specs[qid].regexps, expand_re,
             )
             if c is None:
                 continue

@@ -132,6 +132,7 @@ def build_index(
     with_positions: bool = False,
     dedup: str | None = None,
     stopwords: DataFrame | None = None,
+    tokenizer: str | None = None,
 ) -> dict:
     """Build (or resume) the full index for ``docs(doc_id, <text_col>, ...)``.
 
@@ -151,6 +152,12 @@ def build_index(
     pipeline (Make_Page/rcc.cpp:146-202) with lowest-doc_id-wins semantics;
     dropped ids leave gaps, parts stay doc-range-disjoint. Deterministic, so
     resume runs re-derive the identical deduped set.
+
+    ``tokenizer``: token source for every tf pass of the build (None = JVM
+    regex; 'cjk_bigram' / 'dict_cjk' / 'jieba' — see
+    functions.tokenize.explode_tokens). Recorded in the meta table; query
+    strings must be tokenized/segmented consistently (e.g.
+    cjk_segment.MPSegmenter for dict_cjk).
 
     Returns a summary dict (n_docs, parts_built, parts_total, wall_s).
     """
@@ -172,7 +179,8 @@ def build_index(
         # fused stage: the dedup fingerprints and the index stats share ONE
         # tokenize+tf pass (the widest stage of the DAG) instead of two
         docs, dedup_tf, dedup_handles = dedup_docs_and_tf(
-            docs, how=dedup, text_col=text_col, with_positions=with_positions
+            docs, how=dedup, text_col=text_col, with_positions=with_positions,
+            tokenizer=tokenizer,
         )
     docs = docs.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
 
@@ -212,7 +220,10 @@ def build_index(
             tf = drop_stop(dedup_tf)  # survivor-filtered view of the dedup tf
         else:
             tf = drop_stop(
-                S.term_frequencies(docs, text_col=text_col, with_positions=with_positions)
+                S.term_frequencies(
+                    docs, text_col=text_col, with_positions=with_positions,
+                    tokenizer=tokenizer,
+                )
             ).persist()
             owns_tf = True
         dl = S.doc_lengths(tf)
@@ -243,8 +254,8 @@ def build_index(
                     (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
                 ).write.mode("overwrite").parquet(paths.stats)
                 spark.createDataFrame(
-                    [(int(docs_per_part), bool(with_positions))],
-                    "docs_per_part int, with_positions boolean",
+                    [(int(docs_per_part), bool(with_positions), tokenizer)],
+                    "docs_per_part int, with_positions boolean, tokenizer string",
                 ).write.mode("overwrite").parquet(paths.meta)
             except BaseException as e:  # surfaced after join()
                 _serr.append(e)
@@ -295,7 +306,8 @@ def build_index(
             # already frozen in term_dict/stats from the first run)
             pend_tf = drop_stop(
                 S.term_frequencies(
-                    pend_docs, text_col=text_col, with_positions=with_positions
+                    pend_docs, text_col=text_col, with_positions=with_positions,
+                    tokenizer=tokenizer,
                 )
             )
         else:

@@ -67,6 +67,7 @@ def incremental_index(
     checkpoint_dir: str,
     docs_per_part: int = 1 << 16,
     text_col: str = "content",
+    tokenizer: str | None = None,
 ) -> None:
     """Drain new parquet files from ``input_dir`` into the index at ``root``.
 
@@ -94,7 +95,7 @@ def incremental_index(
             .dropDuplicates(["doc_id"])
         )
 
-        tf = S.term_frequencies(docs, text_col=text_col).persist()
+        tf = S.term_frequencies(docs, text_col=text_col, tokenizer=tokenizer).persist()
         dl = S.doc_lengths(tf)
         term_dict = _append_term_dict(bspark, paths, S.document_frequencies(tf))
 
@@ -111,7 +112,11 @@ def incremental_index(
             )
             if not others.isEmpty():
                 part_stats(
-                    S.doc_lengths(S.term_frequencies(others, text_col=text_col)),
+                    S.doc_lengths(
+                        S.term_frequencies(
+                            others, text_col=text_col, tokenizer=tokenizer
+                        )
+                    ),
                     docs_per_part,
                 ).write.mode("overwrite").option(
                     "partitionOverwriteMode", "dynamic"

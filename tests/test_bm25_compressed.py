@@ -225,3 +225,40 @@ def test_serving_mode_parity(spark, docs_sf0001):
         spark.conf.set("spark.sql.shuffle.partitions", sp0)
         comp.postings.unpersist()
         comp.term_dict.unpersist()
+
+
+def test_search_regexp_matches_or_expansion(engines, spark):
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    m1, comp = engines
+    pat = "quer[a-z]*"
+    rx = _re.compile(pat)
+    terms = sorted(
+        r["term"]
+        for r in m1.dft.select("term").collect()
+        if rx.fullmatch(r["term"])
+    )
+    assert terms, "fixture vocab needs quer* terms"
+    want = [
+        (r["doc_id"], r["score"])
+        for r in m1.search(" ".join(terms), k=10, mode="or", round_to=4).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in comp.search_regexp(pat, k=10, round_to=4).collect()
+    ]
+    assert got == want
+    # big-dict fallback (Catalyst rlike probe, no driver cache): identical
+    comp2 = Bm25CompressedIndex(spark, comp.postings, comp.term_dict)
+    comp2._dict_cache_checked = True
+    got2 = [
+        (r["doc_id"], r["score"])
+        for r in comp2.search_regexp(pat, k=10, round_to=4).collect()
+    ]
+    assert got2 == want
+    # no-literal-prefix pattern takes the rlike path even when cached
+    got3 = comp.search_regexp("[q]uer[a-z]*", k=10, round_to=4).collect()
+    assert [(r["doc_id"], r["score"]) for r in got3] == want
+    assert comp.search_regexp("zzzz_nothing.*", k=10).count() == 0

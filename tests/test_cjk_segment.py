@@ -117,3 +117,28 @@ def test_cjk_search_end_to_end(spark):
     q = " ".join(SEG.cut("搜索引擎查询"))  # -> "搜索引擎 查询"
     hits = idx.search(q, k=50, mode="and", pattern=pat).collect()
     assert sorted(r["doc_id"] for r in hits) == [i for i in range(40) if i % 2 == 0]
+
+
+def test_build_index_with_dict_cjk_tokenizer(spark, tmp_path):
+    """The resumable build path accepts tokenizer='dict_cjk': segmented
+    terms land in term_dict/postings and the opened index serves a
+    segmented CJK query (r4: tokenizer threaded through build_index)."""
+    from searchenginer_spark.plans.build_index import build_index, open_index
+
+    docs = spark.createDataFrame(
+        [(i, ("搜索引擎查询" if i % 2 == 0 else "机器学习模型") + "文档")
+         for i in range(30)],
+        "doc_id long, content string",
+    )
+    root = str(tmp_path / "cjkidx")
+    build_index(docs, root, docs_per_part=16, tokenizer="dict_cjk")
+    idx = open_index(spark, root)
+    terms = {r["term"] for r in idx.term_dict.collect()}
+    assert {"搜索引擎", "查询", "机器学习", "模型", "文档"} <= terms
+    assert "搜" not in terms  # segmented words, not codepoints/bigrams
+    pat = "[A-Za-z_][A-Za-z0-9_]*|[一-鿿]+"
+    hits = idx.search("搜索引擎 查询", k=50, mode="and", pattern=pat).collect()
+    assert sorted(r["doc_id"] for r in hits) == [i for i in range(30) if i % 2 == 0]
+    # meta records the tokenizer for consumers
+    meta = spark.read.parquet(f"{root}/meta").first()
+    assert meta["tokenizer"] == "dict_cjk"

@@ -559,3 +559,19 @@ def test_signed_prefix_stays_should():
     required) — pinned so the behavior is deliberate, not accidental."""
     assert parse_query("+quer* data").prefixes == ["quer"]
     assert parse_query("+quer* data").must == []
+
+
+def test_parse_regexp_clause():
+    spec = parse_query("data /Quer[a-z]*/ other")
+    assert spec.regexps == ["quer[a-z]*"]
+    assert spec.should == ["data", "other"]
+    with pytest.raises(ValueError, match="regexp"):
+        parse_query("-/abc/")
+    # slashes with a space inside are NOT a regexp clause
+    assert parse_query("/a b/").regexps == []
+
+
+def test_grammar_regexp_parity_with_search_regexp(qindex):
+    want = _rows(qindex.search_regexp("quer[a-z]*", k=10, round_to=6))
+    got = _rows(qindex.search_query("/quer[a-z]*/", k=10, round_to=6))
+    _assert_same(got, want)
