@@ -25,6 +25,10 @@ exact per-part scoring pass (never a lossy post-filter chain):
   /pattern/    regexp term (whole-term match, Lucene RegexpQuery analog):
                expands to matching dictionary terms (SHOULD, qtf=1, like
                prefixes); no spaces inside the slashes
+  te?m, a*b    wildcard term (Lucene WildcardQuery): ``?`` = one char,
+               ``*`` = any run; compiled to a whole-term regexp clause.
+               A trailing-star-only term stays the (cheaper) prefix form;
+               a bare ``*`` stays a literal term
   field:value  metadata facet (equality against the docs table)
   field:a,b    multi-value facet: field equals ANY listed value (OR
                within the field)
@@ -122,7 +126,7 @@ def parse_query(query: str) -> QuerySpec:
                 raise ValueError(f"fuzzy distance > 2 not supported: {raw}")
             spec.fuzzies.append((fm.group(1).lower(), dist))
             continue
-        if raw.endswith("*") and len(raw) > 1:
+        if raw.endswith("*") and len(raw) > 1 and "*" not in raw[:-1] and "?" not in raw:
             if sign == "-":
                 raise ValueError(f"negated prefix not supported: -{raw}")
             if boost is not None:
@@ -149,6 +153,22 @@ def parse_query(query: str) -> QuerySpec:
                 spec.facets.append((k, ("in", vals)))
             else:
                 spec.facets.append((k, ("eq", v)))
+            continue
+        if len(raw) > 1 and ("*" in raw or "?" in raw):
+            # wildcard term (Lucene WildcardQuery): * = any run, ? = one
+            # char; compiled to a whole-term regexp and expanded like
+            # /pattern/ (trailing-star-only terms took the cheaper prefix
+            # path above)
+            if sign == "-":
+                raise ValueError(f"negated wildcard not supported: -{raw}")
+            if boost is not None:
+                raise ValueError(f"boost on a wildcard not supported: {raw}^{boost:g}")
+            spec.regexps.append(
+                "".join(
+                    ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                    for ch in raw.lower()
+                )
+            )
             continue
         if boost is not None and sign != "-":  # boost on NOT is meaningless
             spec.boosts.append((raw.lower(), boost))

@@ -575,3 +575,22 @@ def test_grammar_regexp_parity_with_search_regexp(qindex):
     want = _rows(qindex.search_regexp("quer[a-z]*", k=10, round_to=6))
     got = _rows(qindex.search_query("/quer[a-z]*/", k=10, round_to=6))
     _assert_same(got, want)
+
+
+def test_parse_wildcard_clause():
+    spec = parse_query("data quer?y a*b")
+    # ? and mid-star compile to whole-term regexps (escaped literals)
+    assert spec.regexps == ["quer.y", "a.*b"]
+    assert spec.prefixes == [] and spec.should == ["data"]
+    # trailing-star-only stays a prefix; bare * stays a term
+    s2 = parse_query("plain* *")
+    assert s2.prefixes == ["plain"] and s2.should == ["*"] and s2.regexps == []
+    with pytest.raises(ValueError, match="wildcard"):
+        parse_query("-qu?ry")
+
+
+def test_grammar_wildcard_parity_with_regexp(qindex):
+    # quer? == regex quer. — single-char wildcard over the fixture vocab
+    want = _rows(qindex.search_regexp("quer.", k=10, round_to=6))
+    got = _rows(qindex.search_query("quer?", k=10, round_to=6))
+    _assert_same(got, want)
