@@ -219,6 +219,62 @@ def main() -> None:
         pidx = timed("phrase_index_build", _phrase_index)
         timed("phrase_hot", lambda: pidx.search_phrase("int return", k=10).collect(), reps=2)
 
+        # ---- chunk -> pack training-pipeline pass (pure JVM, no shuffle
+        # until the per-group window) ---------------------------------------
+        def _chunk_pack():
+            from searchenginer_spark.functions.chunking import (
+                chunk_documents,
+                pack_chunks,
+            )
+
+            p = pack_chunks(
+                chunk_documents(docs, max_tokens=128, overlap=16, text_col="content"),
+                budget=512,
+            )
+            row = p.groupBy().agg(
+                F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+            ).first()
+            return row["n"], row["tok"]
+
+        t = time.monotonic()
+        n_chunks, n_tok = _chunk_pack()
+        dt = time.monotonic() - t
+        timings["chunk_pack"] = round(dt, 3)
+        extras["chunk_tokens_per_sec"] = round(n_tok / dt, 1)
+
+        # ---- dict-CJK segmentation throughput (the Arrow-UDF tokenizer
+        # path: max-probability DAG segmenter over synthetic unsegmented
+        # CJK built JVM-side) ------------------------------------------------
+        def _cjk_seg():
+            from searchenginer_spark.operators import stats as S
+
+            pool = F.array(*[F.lit(w) for w in [
+                "搜索引擎", "查询", "中文", "文档", "机器学习", "算法",
+                "自然语言处理", "倒排索引", "构建", "数据", "系统", "我们",
+                "使用", "支持", "分词", "信息检索", "模型", "性能",
+            ]])
+            cjk = spark.range(n_corpus).select(
+                F.col("id").alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), (F.col("id") % 8 + 12).cast("int")),
+                        lambda j: F.element_at(
+                            pool, ((F.col("id") * 7 + j * 5) % 18 + 1).cast("int")
+                        ),
+                    ),
+                    "",
+                ).alias("text"),
+            )
+            tf = S.term_frequencies(cjk, text_col="text", tokenizer="dict_cjk")
+            return tf.groupBy().agg(F.sum("tf")).first()[0]
+
+        t = time.monotonic()
+        seg_toks = _cjk_seg()
+        dt = time.monotonic() - t
+        timings["cjk_dict_segment"] = round(dt, 3)
+        extras["cjk_seg_docs_per_sec"] = round(n_corpus / dt, 1)
+        extras["cjk_seg_tokens"] = int(seg_toks)
+
         # ---- dedup-integrated build (corpus -> simhash dedup -> index) -----
         # single fused tokenize pass (dedup_docs_and_tf): wall should sit at
         # ~index_build + the banded pair join, NOT at 2x tokenize
