@@ -608,21 +608,45 @@ def _is_number(s: str) -> bool:
         return False
 
 
+def _facet_num(b: str):
+    """Parsed numeric bound as int when integral (so the literal's type
+    matches integer columns and the comparison pushes down to parquet
+    without a cast), else float."""
+    f = float(b)
+    return int(f) if f.is_integer() else f
+
+
 def apply_facets(docs: DataFrame, facets: list[tuple[str, tuple]]) -> DataFrame:
     """Filter ``docs`` by parsed facet constraints (functions/queryparse):
     ("eq", v) equality, ("in", [vs]) any-of, ("range", lo, hi) inclusive
     bounds with "*" unbounded. Constraints are conjunctive — repeated
-    fields must ALL hold. Ranges compare numerically (cast to double) when
-    every given bound parses as a number, else lexicographically on the
-    string form; [* TO *] means the field is non-null. All predicates are
-    plain Catalyst filters — pushed to the docs scan."""
+    fields must ALL hold.
+
+    Comparison typing: a NUMERIC column with numeric values/bounds is
+    compared natively (no cast — the predicate reaches the parquet scan's
+    PushedFilters; a cast on the column side would block pushdown and
+    force a full-column scan at 100 TB). Otherwise values compare on the
+    string form (eq/in) or lexicographically (range); [* TO *] = field is
+    non-null."""
+    from pyspark.sql.types import NumericType
+
     for col, con in facets:
         c = F.col(col)
+        numeric_col = col in docs.columns and isinstance(
+            docs.schema[col].dataType, NumericType
+        )
         kind = con[0]
         if kind == "eq":
-            docs = docs.filter(c.cast("string") == con[1])
+            if numeric_col and _is_number(con[1]):
+                docs = docs.filter(c == _facet_num(con[1]))
+            else:
+                docs = docs.filter(c.cast("string") == con[1])
         elif kind == "in":
-            docs = docs.filter(c.cast("string").isin(list(con[1])))
+            vals = list(con[1])
+            if numeric_col and all(_is_number(v) for v in vals):
+                docs = docs.filter(c.isin([_facet_num(v) for v in vals]))
+            else:
+                docs = docs.filter(c.cast("string").isin(vals))
         else:
             lo, hi = con[1], con[2]
             given = [b for b in (lo, hi) if b != "*"]
@@ -630,11 +654,11 @@ def apply_facets(docs: DataFrame, facets: list[tuple[str, tuple]]) -> DataFrame:
                 docs = docs.filter(c.isNotNull())
                 continue
             if all(_is_number(b) for b in given):
-                v = c.cast("double")
+                v = c if numeric_col else c.cast("double")
                 if lo != "*":
-                    docs = docs.filter(v >= float(lo))
+                    docs = docs.filter(v >= _facet_num(lo))
                 if hi != "*":
-                    docs = docs.filter(v <= float(hi))
+                    docs = docs.filter(v <= _facet_num(hi))
             else:
                 v = c.cast("string")
                 if lo != "*":
