@@ -58,7 +58,7 @@ print("SETUP_DONE", docs.count())
 """
 
 WORKER = r"""
-import json, os, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from searchenginer_spark.session import get_spark
@@ -84,7 +84,9 @@ for c in chunks:
 
 # warm-up: exercises worker spawn, JIT, codecs end to end
 warm = per_chunk[0].limit(2000).persist(); warm.count()
-build_index(warm, tempfile.mkdtemp(), docs_per_part=500)
+wroot = tempfile.mkdtemp()
+build_index(warm, wroot, docs_per_part=500)
+shutil.rmtree(wroot, ignore_errors=True)
 warm.unpersist()
 
 # file barrier: align measurement starts across workers
@@ -97,7 +99,11 @@ walls = []
 for _ in range(runs):
     t = time.monotonic()
     for d in per_chunk:
-        build_index(d, tempfile.mkdtemp(), docs_per_part={dpp})
+        # build + immediate cleanup: ~1.2 GB/run of index roots otherwise
+        # accumulate and fill the disk; rmtree cost is identical per level
+        r = tempfile.mkdtemp()
+        build_index(d, r, docs_per_part={dpp})
+        shutil.rmtree(r, ignore_errors=True)
     walls.append(round(time.monotonic() - t, 2))
 print(json.dumps({{"wid": wid, "walls": walls}}))
 """
@@ -215,6 +221,9 @@ def main() -> None:
     with open(f"{REPO}/BENCH/isolated_scaling.json", "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
+    import shutil
+
+    shutil.rmtree(corpus, ignore_errors=True)
 
 
 if __name__ == "__main__":
