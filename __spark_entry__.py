@@ -277,6 +277,80 @@ LIMIT {k}
 """
 
 
+def _q_bm25_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field BM25F-lite (plans/bm25.search_fields): title field =
+    first 12 tokens (derived identically in SQL), weight 2.0, body weight
+    1.0; per-field scores are UN-truncated before the weighted sum (a
+    per-field top-k first would be lossy), rounded after summing."""
+    from searchenginer_spark.plans.bm25 import search_fields
+
+    body = _cindex(spark, sf_dir)
+    d = _docs(spark, sf_dir)
+    title_docs = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit("[a-z_][a-z0-9_]*"), F.lit(0)
+                ),
+                1,
+                12,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t1 = Bm25DataFrameIndex.build(title_docs, text_col="text", persist=False)
+    ttd = build_term_dict(t1.dft)
+    tpost = build_postings(t1.tf, t1.dl, ttd, t1.stats, docs_per_part=128)
+    title = Bm25CompressedIndex(spark, tpost, ttd, docs_per_part=128)
+    return search_fields(
+        {"title": (title, 2.0), "body": (body, 1.0)},
+        "data value", k=10, mode="or", round_to=4,
+    )
+
+
+_BM25_FIELDS_SQL = f"""
+WITH {_TOKS_CTE},
+tdocs AS (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*'), 1, 12),
+           ' ') AS text
+  FROM documents),
+toks_t AS (
+  SELECT doc_id, lower(u.t) AS term
+  FROM tdocs, unnest(regexp_extract_all(text, '{IDENT_SQL_RE}')) AS u(t)),
+tf_t AS (SELECT doc_id, term, count(*) AS tf FROM toks_t GROUP BY 1, 2),
+dl_t AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf_t GROUP BY 1),
+st_t AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_t),
+dft_t AS (SELECT term, count(*) AS df FROM tf_t GROUP BY 1),
+q(term, qtf) AS (VALUES ('data', 1), ('value', 1)),
+body AS (
+  SELECT tf.doc_id,
+         sum(q.qtf
+             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+title AS (
+  SELECT tf_t.doc_id,
+         sum(q.qtf
+             * ln(((SELECT n_docs FROM st_t) - dft_t.df + 0.5) / (dft_t.df + 0.5) + 1.0)
+             * tf_t.tf * 2.2
+             / (tf_t.tf + 1.2 * (1 - 0.75 + 0.75 * dl_t.dl / (SELECT avgdl FROM st_t)))) AS score
+  FROM tf_t JOIN q USING (term) JOIN dft_t USING (term) JOIN dl_t USING (doc_id)
+  GROUP BY tf_t.doc_id),
+u AS (SELECT doc_id, score FROM body
+      UNION ALL SELECT doc_id, 2.0 * score FROM title)
+SELECT doc_id, round(sum(score), 4) AS score
+FROM u
+GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id
+LIMIT 10
+"""
+
+
 def _q_bm25_query_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed query-string grammar (functions/queryparse + search_query):
     MUST + prefix expansion + boolean NOT + bare term compiled into ONE
@@ -1538,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compressed_prod_geometry": _q_bm25_compressed_prod,
         "bm25_prefix_topk": _q_bm25_prefix,
         "bm25_regexp_topk": _q_bm25_regexp,
+        "bm25_fields_topk": _q_bm25_fields,
         "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_query_composed": _q_bm25_query_composed,
         "bm25_query_phrase_facet": _q_bm25_query_phrase_facet,
@@ -1598,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_prefix_topk": _bm25_prefix_sql("quer"),
         "bm25_regexp_topk": _bm25_regexp_sql("quer[a-z]*"),
+        "bm25_fields_topk": _BM25_FIELDS_SQL,
         "bm25_filtered_topk": _bm25_sql("data value", "or", allow_pred="lang = 'de'"),
         "bm25_query_composed": _BM25_QUERY_COMPOSED_SQL,
         "bm25_query_phrase_facet": _BM25_QUERY_PHRASE_FACET_SQL,

@@ -8,8 +8,9 @@ lexicographic tie-break, SimilarityComparator.h:63-97), return top-10.
 Spark shape: prefix-pruned filter on term_dict (partition/min-max pruning on
 the ``prefix`` column = the reference's first-char index), built-in
 codepoint-aware ``F.levenshtein``, TakeOrderedAndProject top-k. The
-reference pads results to 10 with "" (server.pb_skeleton.cc:169-185); we
-return only real candidates.
+reference pads results to exactly 10 with "" (fixed-width RPC response,
+server.pb_skeleton.cc:169-185); ``pad=True`` reproduces that wire shape,
+the default returns only real candidates.
 """
 
 from __future__ import annotations
@@ -24,8 +25,12 @@ def suggest(
     k: int = 10,
     prefix_prune: bool = True,
     round_to: int | None = None,
+    pad: bool = False,
 ) -> DataFrame:
-    """Top-k (term, sim) suggestions for a (possibly misspelled) query term."""
+    """Top-k (term, sim) suggestions for a (possibly misspelled) query term.
+
+    ``pad=True``: always exactly ``k`` rows — missing slots filled with
+    ('', 0.0), the reference server's fixed-width response contract."""
     cand = term_dict
     if prefix_prune and query:
         chars = list(dict.fromkeys(query))  # unique codepoints, order kept
@@ -34,8 +39,21 @@ def suggest(
         F.length("term"), F.lit(len(query))
     )
     sim = F.round(sim, round_to) if round_to is not None else sim
-    return (
+    out = (
         cand.select("term", sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc("term"))
         .limit(k)
     )
+    if pad:
+        spark = term_dict.sparkSession
+        # pad rows sort strictly AFTER every real candidate (explicit pad
+        # rank — a '' term would otherwise win lexicographic ties at sim 0)
+        filler = spark.createDataFrame([("", 0.0)] * k, "term string, sim double")
+        out = (
+            out.withColumn("_pad", F.lit(0))
+            .unionByName(filler.withColumn("_pad", F.lit(1)))
+            .orderBy("_pad", F.desc("sim"), F.asc("term"))
+            .limit(k)
+            .drop("_pad")
+        )
+    return out

@@ -811,6 +811,49 @@ def bump_dict_version(spark: SparkSession, root: str) -> None:
     out.close()
 
 
+def search_fields(
+    field_indexes: dict[str, tuple["Bm25CompressedIndex", float]],
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    pattern: str = IDENT_RE,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Multi-field search (BM25F-lite): score(doc) = Σ_field weight_f ·
+    bm25_f(query) over per-field indexes — the title-boost shape every
+    search engine ships (title hits outrank body hits).
+
+    ``field_indexes``: {field_name: (index, weight)}. Each field scores
+    the query independently (``mode`` applies within a field — in 'and'
+    a doc scores in a field only if that FIELD contains every term),
+    un-truncated (:meth:`Bm25CompressedIndex.score_all` — per-field top-k
+    before the sum would be lossy: a doc mid-ranked in two fields can
+    out-sum a doc top-ranked in one), then one weighted groupBy-sum and a
+    global TakeOrderedAndProject(k). Shuffle shape: one exchange per
+    field + one tiny aggregation of (doc_id, score) pairs — the per-field
+    plans are the §1-2 plans unchanged.
+
+    Rounding happens AFTER the weighted sum (the oracle-comparable key).
+    Doc ids must refer to the same corpus across fields.
+    """
+    if not field_indexes:
+        raise ValueError("search_fields needs at least one (index, weight) field")
+    scored = None
+    for name in sorted(field_indexes):
+        idx, w = field_indexes[name]
+        df = idx.score_all(query, mode=mode, pattern=pattern).select(
+            "doc_id", (F.col("score") * F.lit(float(w))).alias("score")
+        )
+        scored = df if scored is None else scored.unionByName(df)
+    total = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    return (
+        total.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 class Bm25CompressedIndex:
     """Query engine over (postings, term_dict) tables."""
 
@@ -951,11 +994,36 @@ class Bm25CompressedIndex:
         top-k truncation, so the k results are exactly the best survivors).
         Excluded terms absent from the dictionary, or that also appear in the
         positive query, are no-ops."""
+        scored = self._scored(query, k, mode, pattern, round_to, exclude)
+        score = F.round("score", round_to) if round_to is not None else F.col("score")
+        return (
+            scored.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def score_all(
+        self,
+        query: str,
+        mode: str = "and",
+        pattern: str = IDENT_RE,
+        exclude: list[str] | None = None,
+    ) -> DataFrame:
+        """(doc_id, score) for EVERY matching doc — no top-k truncation.
+
+        The building block for cross-index composition (multi-field
+        weighted sums, :func:`search_fields`), where truncating per field
+        BEFORE the sum would be lossy. Same one-exchange plan as search();
+        per-part lists are simply not cut (MaxScore tau stays disabled —
+        every match must be scored)."""
+        return self._scored(query, 1 << 30, mode, pattern, None, exclude)
+
+    def _scored(self, query, k, mode, pattern, round_to, exclude):
+        """Shared scored-DataFrame construction of search()/score_all():
+        un-ordered (doc_id, score) rows, per-part lists cut at ``k``."""
         q = tokenize_query(query, pattern)
         tid = self.lookup_terms([t for t, _ in q])
         if not q or (mode == "and" and len(tid) < len(q)) or not tid:
-            # built lazily: an empty DataFrame costs ~40 ms of py4j round
-            # trips — never pay it on the hot path
             return self.spark.createDataFrame([], "doc_id long, score double")
         qtf = {tid[t]: float(c) for t, c in q if t in tid}
         n_terms = len(qtf)
@@ -972,17 +1040,13 @@ class Bm25CompressedIndex:
             if mode == "and":
                 docs, scores = _score_part_and(groups, qtf, n_terms, k, round_to, neg)
             else:
-                docs, scores = _score_part_or(groups, qtf, k, round_to, neg) if groups else ([], [])
+                docs, scores = (
+                    _score_part_or(groups, qtf, k, round_to, neg) if groups else ([], [])
+                )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        scored = cand.groupBy("part").applyInPandas(
+        return cand.groupBy("part").applyInPandas(
             score_part, schema="doc_id long, score double"
-        )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        return (
-            scored.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
         )
 
     def search_filtered(

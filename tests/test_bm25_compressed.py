@@ -262,3 +262,53 @@ def test_search_regexp_matches_or_expansion(engines, spark):
     got3 = comp.search_regexp("[q]uer[a-z]*", k=10, round_to=4).collect()
     assert [(r["doc_id"], r["score"]) for r in got3] == want
     assert comp.search_regexp("zzzz_nothing.*", k=10).count() == 0
+
+
+def test_search_fields_weighted_sum(engines, spark, docs_sf0001):
+    """BM25F-lite: title (first-12-tokens field, weight 2) + body. The
+    weighted sum must match a brute-force recompute from the two engines'
+    own un-truncated scores."""
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.plans.bm25 import search_fields
+
+    m1, body = engines
+    title_docs = docs_sf0001.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.regexp_extract_all(F.lower("text"),
+                                         F.lit("[a-z_][a-z0-9_]*"), F.lit(0)),
+                    1, 12),
+            " ",
+        ).alias("text"),
+    )
+    t1 = Bm25DataFrameIndex.build(title_docs, text_col="text", persist=False)
+    ttd = build_term_dict(t1.dft)
+    tpost = build_postings(t1.tf, t1.dl, ttd, t1.stats, docs_per_part=128)
+    title = Bm25CompressedIndex(spark, tpost, ttd, docs_per_part=128)
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_fields(
+            {"title": (title, 2.0), "body": (body, 1.0)},
+            "data value", k=10, mode="or", round_to=6,
+        ).collect()
+    ]
+    # brute force: un-truncated per-field scores, summed in python
+    bscores = {r["doc_id"]: r["score"]
+               for r in body.score_all("data value", mode="or").collect()}
+    tscores = {r["doc_id"]: r["score"]
+               for r in title.score_all("data value", mode="or").collect()}
+    want = {}
+    for d in set(bscores) | set(tscores):
+        want[d] = round(2.0 * tscores.get(d, 0.0) + bscores.get(d, 0.0), 6)
+    top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in top]
+    for (_, g), (_, w) in zip(got, top):
+        assert abs(g - w) < 1e-9
+    # title weight is load-bearing: weights (1,1) must differ from (2,1)
+    got11 = search_fields(
+        {"title": (title, 1.0), "body": (body, 1.0)},
+        "data value", k=10, mode="or", round_to=6,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got11] != got

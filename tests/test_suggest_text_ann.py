@@ -112,3 +112,21 @@ def test_ann_lsh_recall(embeddings):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.3
     assert approx[0] == exact[0] == 0  # the query vector itself always found
+
+
+def test_suggest_pad_to_exactly_k(spark):
+    """pad=True reproduces the reference's fixed-width response
+    (server.pb_skeleton.cc:169-185): exactly k rows, '' fillers strictly
+    after every real candidate."""
+    from searchenginer_spark.operators.suggest import suggest
+
+    td = spark.createDataFrame(
+        [("query", 0, 5, 5, "q"), ("quart", 1, 3, 3, "q")],
+        "term string, term_id long, df long, cf long, prefix string",
+    )
+    rows = suggest(td, "quer", k=10, pad=True).collect()
+    assert len(rows) == 10
+    assert rows[0]["term"] == "query" and rows[1]["term"] == "quart"
+    assert all(r["term"] == "" and r["sim"] == 0.0 for r in rows[2:])
+    # default: only real candidates
+    assert suggest(td, "quer", k=10).count() == 2
