@@ -194,7 +194,9 @@ def test_or_blockmax_multiblock_exact(spark):
     postings = build_postings(m1.tf, m1.dl, td, m1.stats, docs_per_part=4096)
     comp = Bm25CompressedIndex(spark, postings, td, docs_per_part=4096)
     for query, k in [("alpha beta", 10), ("alpha beta gamma", 10),
-                     ("alpha gamma", 5), ("alpha beta", 5000)]:  # k>n: no seed
+                     ("alpha gamma", 5), ("alpha beta", 5000),  # k>n: no seed
+                     ("alpha alpha beta", 10),  # qtf>1 scales block uppers
+                     ("alpha beta gamma filler3", 7)]:  # non-essential tail
         want = [(r["doc_id"], r["score"]) for r in m1.search(query, k=k, mode="or").collect()]
         got = [(r["doc_id"], r["score"]) for r in comp.search(query, k=k, mode="or").collect()]
         assert [d for d, _ in got] == [d for d, _ in want], query
