@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--n", type=int, help="...or generate n synthetic docs")
     b.add_argument("--root", required=True)
     b.add_argument("--docs-per-part", type=int, default=1 << 16)
+    b.add_argument("--with-positions", action="store_true",
+                   help="store positions (enables phrase/NEAR queries)")
+    b.add_argument("--dedup", choices=["exact", "simhash"],
+                   help="dedup the corpus before indexing (lowest doc_id wins)")
+    b.add_argument("--tokenizer", choices=["cjk_bigram", "dict_cjk", "jieba"],
+                   help="non-default token source (functions.tokenize)")
 
     q = sub.add_parser("query")
     q.add_argument("--root", required=True)
@@ -60,6 +66,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--root", required=True)
     s.add_argument("--q", required=True)
     s.add_argument("--k", type=int, default=10)
+    s.add_argument("--pad", action="store_true",
+                   help="exactly k rows, '' fillers (reference wire shape)")
 
     args = ap.parse_args(argv)
 
@@ -86,7 +94,11 @@ def main(argv: list[str] | None = None) -> None:
             docs = build_docs(spark, args.n)
         else:
             ap.error("need --corpus or --n")
-        summary = build_index(docs, args.root, docs_per_part=args.docs_per_part)
+        summary = build_index(
+            docs, args.root, docs_per_part=args.docs_per_part,
+            with_positions=args.with_positions, dedup=args.dedup,
+            tokenizer=args.tokenizer,
+        )
         print(json.dumps(summary))
 
     elif args.cmd == "query":
@@ -105,7 +117,10 @@ def main(argv: list[str] | None = None) -> None:
         if args.batch_file:
             with open(args.batch_file) as f:
                 qs = {str(i): line.strip() for i, line in enumerate(f) if line.strip()}
-            rows = idx.search_query_batch(qs, k=args.k, mode=args.mode).collect()
+            bdocs = spark.read.parquet(args.docs) if args.docs else None
+            rows = idx.search_query_batch(
+                qs, k=args.k, mode=args.mode, docs=bdocs
+            ).collect()
             print(json.dumps([
                 {"query_id": r["query_id"], "doc_id": r["doc_id"], "score": r["score"]}
                 for r in rows
@@ -119,7 +134,7 @@ def main(argv: list[str] | None = None) -> None:
         from .operators.suggest import suggest
 
         term_dict = spark.read.parquet(f"{args.root}/term_dict")
-        rows = suggest(term_dict, args.q, k=args.k).collect()
+        rows = suggest(term_dict, args.q, k=args.k, pad=args.pad).collect()
         print(json.dumps([{"term": r["term"], "sim": r["sim"]} for r in rows]))
 
     if owned:  # don't stop a session we merely joined
