@@ -1,0 +1,137 @@
+"""Property-based scorer verification (no Spark — numpy level).
+
+hypothesis generates random small corpora; the REAL encoder
+(`operators.postings._encode_part`) produces compressed block-max rows,
+and the per-part scorers (`plans/bm25._score_part_and/_score_part_or`)
+must reproduce a brute-force python BM25 on every example — including
+multi-block postings, MaxScore's tau seed + essential split, the r4
+block-max segment pruning, deterministic kth-tie handling, boolean NOT
+and allow-set filtering. These paths carry every query; a generator is
+far more adversarial than the handful of fixed corpora in the other
+suites (this is what caught the argpartition tie bug's shape in r4)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest  # noqa: F401  (pytest collects via hypothesis decorators)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchenginer_spark.operators.postings import _encode_part
+from searchenginer_spark.plans.bm25 import _score_part_and, _score_part_or
+
+K1, B = 1.2, 0.75
+
+
+@st.composite
+def corpora(draw):
+    """(doc -> {term: tf}) with a couple of hot terms so multi-block rows
+    (BLOCK=128) and skewed impact distributions actually occur."""
+    n_docs = draw(st.integers(2, 180))
+    n_terms = draw(st.integers(2, 6))
+    docs = {}
+    for d in range(n_docs):
+        terms = {}
+        for t in range(n_terms):
+            # term 0 ~hot (most docs), later terms sparser
+            p_present = 0.95 if t == 0 else 0.5 / t
+            if draw(st.floats(0, 1)) < p_present:
+                terms[t] = draw(st.integers(1, 5))
+        if terms:
+            docs[d] = terms
+    if not docs:
+        docs = {0: {0: 1}}
+    return docs
+
+
+def _encode(docs: dict) -> tuple[list, dict, float, float]:
+    rows = []
+    df = {}
+    for d, terms in docs.items():
+        for t, f in terms.items():
+            df[t] = df.get(t, 0) + 1
+    for d, terms in sorted(docs.items()):
+        for t, f in terms.items():
+            rows.append((0, t, d, f, df[t]))
+    pdf = pd.DataFrame(rows, columns=["part", "term_id", "doc_id", "tf", "df"])
+    n_docs = float(len(docs))
+    avgdl = float(np.mean([sum(t.values()) for t in docs.values()]))
+    enc = _encode_part(pdf, n_docs, avgdl)
+    return enc.to_dict("records"), df, n_docs, avgdl
+
+
+def _brute(docs, df, n_docs, avgdl, qtf):
+    dl = {d: sum(t.values()) for d, t in docs.items()}
+    out = {}
+    for d, terms in docs.items():
+        s = 0.0
+        for t, w in qtf.items():
+            f = terms.get(t, 0)
+            if f:
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += w * idf * f * (K1 + 1.0) / (
+                    f + K1 * (1.0 - B + B * dl[d] / avgdl)
+                )
+        if s:
+            out[d] = s
+    return out
+
+
+def _topk_ref(scores: dict, k: int):
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(corpora(), st.integers(1, 12), st.booleans())
+def test_or_scorer_matches_bruteforce(docs, k, repeat_first):
+    rows, df, n_docs, avgdl = _encode(docs)
+    qtf = {t: (2.0 if repeat_first and i == 0 else 1.0)
+           for i, t in enumerate(sorted(df))}
+    groups = [g for g in rows if g["term_id"] in qtf]
+    got_d, got_s = _score_part_or(groups, qtf, k)
+    want = _topk_ref(_brute(docs, df, n_docs, avgdl, qtf), k)
+    assert got_d == [d for d, _ in want]
+    for g, (_, w) in zip(got_s, want):
+        assert abs(g - w) < 1e-9
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(corpora(), st.integers(1, 12))
+def test_and_scorer_matches_bruteforce(docs, k):
+    rows, df, n_docs, avgdl = _encode(docs)
+    terms = sorted(df)[:2]
+    qtf = {t: 1.0 for t in terms}
+    groups = [g for g in rows if g["term_id"] in qtf]
+    got_d, got_s = _score_part_and(groups, qtf, len(terms), k)
+    brute = _brute(docs, df, n_docs, avgdl, qtf)
+    conj = {d: s for d, s in brute.items()
+            if all(t in docs[d] for t in terms)}
+    want = _topk_ref(conj, k)
+    assert got_d == [d for d, _ in want]
+    for g, (_, w) in zip(got_s, want):
+        assert abs(g - w) < 1e-9
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(corpora(), st.integers(1, 8))
+def test_or_scorer_with_neg_and_allow(docs, k):
+    rows, df, n_docs, avgdl = _encode(docs)
+    terms = sorted(df)
+    neg_t = terms[-1]
+    pos = {t: 1.0 for t in terms if t != neg_t}
+    if not pos:
+        return
+    allow = np.array(sorted(d for d in docs if d % 2 == 0), dtype=np.int64)
+    groups = [g for g in rows if g["term_id"] in pos]
+    neg = [g for g in rows if g["term_id"] == neg_t]
+    got_d, got_s = _score_part_or(groups, pos, k, None, neg, allow)
+    brute = _brute(docs, df, n_docs, avgdl, pos)
+    keep = {d: s for d, s in brute.items()
+            if d % 2 == 0 and neg_t not in docs[d]}
+    want = _topk_ref(keep, k)
+    assert got_d == [d for d, _ in want]
+    for g, (_, w) in zip(got_s, want):
+        assert abs(g - w) < 1e-9
