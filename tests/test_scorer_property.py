@@ -135,3 +135,99 @@ def test_or_scorer_with_neg_and_allow(docs, k):
     assert got_d == [d for d, _ in want]
     for g, (_, w) in zip(got_s, want):
         assert abs(g - w) < 1e-9
+
+
+# ------------------------------------------------ positional matchers
+
+
+@st.composite
+def token_corpora(draw):
+    """doc -> token-id sequence (small vocab, so phrases/windows occur)."""
+    n_docs = draw(st.integers(2, 40))
+    return {
+        d: draw(st.lists(st.integers(0, 4), min_size=1, max_size=30))
+        for d in range(n_docs)
+    }
+
+
+def _encode_pos(tok_docs: dict):
+    rows = []
+    df = {}
+    per_doc = {}
+    for d, toks in tok_docs.items():
+        by_t = {}
+        for p, t in enumerate(toks):
+            by_t.setdefault(t, []).append(p)
+        per_doc[d] = by_t
+        for t in by_t:
+            df[t] = df.get(t, 0) + 1
+    for d in sorted(tok_docs):
+        for t, ps in per_doc[d].items():
+            rows.append((0, t, d, len(ps), df[t], ps))
+    pdf = pd.DataFrame(
+        rows, columns=["part", "term_id", "doc_id", "tf", "df", "positions"]
+    )
+    n_docs = float(len(tok_docs))
+    avgdl = float(np.mean([len(t) for t in tok_docs.values()]))
+    enc = _encode_part(pdf, n_docs, avgdl)
+    return enc.to_dict("records"), df, n_docs, avgdl
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(token_corpora(), st.lists(st.integers(0, 4), min_size=2, max_size=3))
+def test_phrase_matcher_matches_bruteforce(tok_docs, slots):
+    from searchenginer_spark.plans.bm25 import _score_part_phrase
+
+    rows, df, n_docs, avgdl = _encode_pos(tok_docs)
+    qtf = {t: float(c) for t, c in
+           __import__("collections").Counter(slots).items()}
+    got_d, got_s = _score_part_phrase(rows, slots, qtf, k=1 << 20)
+    want_docs = sorted(
+        d for d, toks in tok_docs.items()
+        if any(toks[i:i + len(slots)] == slots
+               for i in range(len(toks) - len(slots) + 1))
+    )
+    assert sorted(got_d) == want_docs
+    docs_tf = {d: {t: toks.count(t) for t in set(toks)}
+               for d, toks in tok_docs.items()}
+    brute = _brute(docs_tf, df, n_docs, avgdl, qtf)
+    for d, s in zip(got_d, got_s):
+        assert abs(s - brute[d]) < 1e-9
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    token_corpora(),
+    st.lists(st.integers(0, 4), min_size=2, max_size=3, unique=True),
+    st.integers(1, 8),
+    st.booleans(),
+)
+def test_near_matcher_matches_bruteforce(tok_docs, terms, window, ordered):
+    import itertools
+
+    from searchenginer_spark.plans.bm25 import _score_part_near
+
+    rows, df, n_docs, avgdl = _encode_pos(tok_docs)
+    qtf = {t: 1.0 for t in terms}
+    got_d, _ = _score_part_near(
+        rows, terms, window, qtf, k=1 << 20, ordered=ordered
+    )
+    want = []
+    for d, toks in tok_docs.items():
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+        if any(not p for p in pos.values()):
+            continue
+        hit = False
+        for combo in itertools.product(*(pos[t] for t in terms)):
+            if ordered:
+                ok = all(a < b for a, b in zip(combo, combo[1:]))
+                span_ok = combo[-1] - combo[0] <= window
+            else:
+                ok = True
+                span_ok = max(combo) - min(combo) <= window
+            if ok and span_ok:
+                hit = True
+                break
+        if hit:
+            want.append(d)
+    assert sorted(got_d) == sorted(want), (terms, window, ordered)
