@@ -231,3 +231,79 @@ def test_near_matcher_matches_bruteforce(tok_docs, terms, window, ordered):
         if hit:
             want.append(d)
     assert sorted(got_d) == sorted(want), (terms, window, ordered)
+
+
+# ------------------------------------------------ composed boolean scorer
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(
+    token_corpora(),
+    st.integers(0, 2),   # how many MUST terms
+    st.integers(0, 2),   # how many SHOULD terms
+    st.booleans(),       # include a phrase clause
+    st.booleans(),       # include a NOT term
+    st.booleans(),       # include an allow set
+    st.integers(1, 10),
+)
+def test_bool_scorer_matches_bruteforce(
+    tok_docs, n_must, n_should, with_phrase, with_neg, with_allow, k
+):
+    from searchenginer_spark.plans.bm25 import _score_part_bool
+
+    rows, df, n_docs, avgdl = _encode_pos(tok_docs)
+    vocab = sorted(df)
+    must = vocab[:n_must]
+    should = [t for t in vocab[n_must:n_must + n_should]]
+    phrases = ((0, 1),) if with_phrase and len(vocab) >= 2 else ()
+    neg_t = vocab[-1] if with_neg and len(vocab) > n_must + n_should else None
+    must = [t for t in must if t != neg_t]
+    should = [t for t in should if t != neg_t]
+    phrase_terms = [t for p in phrases for t in p]
+    positive = must + should + phrase_terms
+    if not positive or (neg_t in phrase_terms if neg_t is not None else False):
+        return
+    from collections import Counter
+
+    qtf = {t: float(c) for t, c in Counter(positive).items()}
+    allow = (
+        np.array(sorted(d for d in tok_docs if d % 3 != 0), dtype=np.int64)
+        if with_allow
+        else None
+    )
+    pos_rows = [g for g in rows if g["term_id"] != neg_t]
+    neg = [g for g in rows if g["term_id"] == neg_t]
+    got_d, got_s = _score_part_bool(
+        pos_rows, must, should, qtf, k, phrases, None, neg, allow, ()
+    )
+
+    # brute force, straight from the documented semantics
+    def phrase_hits(toks, slots):
+        slots = list(slots)
+        return any(
+            toks[i:i + len(slots)] == slots
+            for i in range(len(toks) - len(slots) + 1)
+        )
+
+    docs_tf = {d: {t: toks.count(t) for t in set(toks)}
+               for d, toks in tok_docs.items()}
+    scores = _brute(docs_tf, df, n_docs, avgdl, qtf)
+    want = {}
+    for d, toks in tok_docs.items():
+        if allow is not None and d % 3 == 0:
+            continue
+        if neg_t is not None and neg_t in docs_tf[d]:
+            continue
+        if any(t not in docs_tf[d] for t in must):
+            continue
+        if any(not phrase_hits(toks, p) for p in phrases):
+            continue
+        if d not in scores:
+            continue
+        # candidate generation: must-intersection, else phrase survivors,
+        # else pure disjunction — all reduce to "scores > 0 here"
+        want[d] = scores[d]
+    top = _topk_ref(want, k)
+    assert got_d == [d for d, _ in top], (must, should, phrases, neg_t, with_allow)
+    for g, (_, w) in zip(got_s, top):
+        assert abs(g - w) < 1e-9
