@@ -583,13 +583,43 @@ def _score_part_near(
     return _topk(out_ids, out_scores, k)
 
 
+def _lev_within(a: str, b: str, maxd: int) -> int:
+    """Levenshtein distance of ``a``/``b`` when it is <= ``maxd``, else
+    ``maxd + 1`` (any value past the cutoff is equivalent). Classic DP
+    with a row-min early abandon — once every cell of a row exceeds
+    ``maxd`` no later row can come back under it. Matches Spark's
+    ``levenshtein`` on the same inputs (plain unit-cost edits)."""
+    if abs(len(a) - len(b)) > maxd:
+        return maxd + 1
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            if v < row_min:
+                row_min = v
+        if row_min > maxd:
+            return maxd + 1
+        prev = cur
+    return prev[-1] if prev[-1] <= maxd else maxd + 1
+
+
 _REGEX_META = set(".^$*+?{}[]|()\\")
 
 
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix of a regex (chars before the first
     metacharacter). A quantifier (* ? {) modifies its PRECEDING char, so
-    that char is dropped from the literal run — 'abc*' has prefix 'ab'."""
+    that char is dropped from the literal run — 'abc*' has prefix 'ab'.
+
+    NOT alternation-safe on its own: 'cat|dog' would yield 'cat', which
+    is a prefix of only the first branch — callers must split top-level
+    alternations first (:func:`_split_top_level_alternation`) and take
+    each branch's prefix separately."""
     out: list[str] = []
     for ch in pattern:
         if ch in _REGEX_META:
@@ -598,6 +628,43 @@ def _regex_literal_prefix(pattern: str) -> str:
             break
         out.append(ch)
     return "".join(out)
+
+
+def _split_top_level_alternation(pattern: str) -> list[str]:
+    """Branches of a top-level alternation — '|' at paren depth 0, outside
+    any character class, not backslash-escaped. ``[pattern]`` itself when
+    there is none. 'cat|dog' -> ['cat', 'dog']; 'ca(t|d)' -> ['ca(t|d)']
+    (the group-internal '|' is the group's business, 'ca' is still a
+    mandatory prefix of the whole pattern)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            buf.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
 
 
 def _is_number(s: str) -> bool:
@@ -781,18 +848,27 @@ def _compile_spec(
 
 
 def read_dict_version(spark: SparkSession, root: str):
-    """Modification stamp of the index's ``dict_version`` marker file, or
-    None when it does not exist (pre-versioning roots). One filesystem
-    metadata op — microseconds on a local/HDFS namenode, a HEAD request on
-    an object store (where a handle held across folds should batch queries
-    anyway)."""
+    """Content of the index's ``dict_version`` marker file (the uuid the
+    writer stamped), or None when it does not exist (pre-versioning
+    roots). The CONTENT is the version: bump_dict_version always writes a
+    constant-length uuid, so an (mtime, len) stamp would miss two bumps
+    inside the filesystem's mtime granularity (1 s on some local/NFS
+    mounts) and serve a stale dict cache. One small read — microseconds
+    on a local/HDFS namenode, a GET on an object store (where a handle
+    held across folds should batch queries anyway)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{root}/dict_version")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return None
-    st = fs.getFileStatus(p)
-    return (st.getModificationTime(), st.getLen())
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        line = reader.readLine()
+    finally:
+        reader.close()
+    return line or ""
 
 
 def bump_dict_version(spark: SparkSession, root: str) -> None:
@@ -897,6 +973,7 @@ class Bm25CompressedIndex:
         self._sorted_terms: list[str] | None = None
         self._sorted_ids: np.ndarray | None = None
         self._sorted_dfs: np.ndarray | None = None
+        self._sorted_lens: np.ndarray | None = None
 
     def _check_version(self) -> None:
         """Drop caches + re-snapshot the tables when a writer bumped the
@@ -908,12 +985,21 @@ class Bm25CompressedIndex:
             return
         self._seen_version = v
         # parquet DataFrames pin their file listing at read time, so a
-        # version bump means BOTH the cache and the snapshots are stale
+        # version bump means BOTH the cache and the snapshots are stale.
+        # Release any persisted partitions (serving_mode's coalesced
+        # cache) BEFORE dropping the handles, or a long-lived serving
+        # session leaks a full cached copy per incremental fold.
+        for df in (self.postings, self.term_dict):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
         self.postings = self.spark.read.parquet(f"{self._root}/postings")
         self.term_dict = self.spark.read.parquet(f"{self._root}/term_dict")
         self._dict_cache = None
         self._dict_cache_checked = False
         self._sorted_terms = self._sorted_ids = self._sorted_dfs = None
+        self._sorted_lens = None
 
     def _maybe_cache_dict(self) -> dict[str, int] | None:
         self._check_version()
@@ -936,6 +1022,13 @@ class Bm25CompressedIndex:
                 )
                 self._sorted_dfs = np.fromiter(
                     (r["df"] for r in rows), dtype=np.int64, count=len(rows)
+                )
+                # per-term lengths: fuzzy expansion's length band
+                # (|len(term) - len(word)| <= dist) is a vectorized mask
+                self._sorted_lens = np.fromiter(
+                    (len(t) for t in self._sorted_terms),
+                    dtype=np.int64,
+                    count=len(rows),
                 )
         return self._dict_cache
 
@@ -963,6 +1056,12 @@ class Bm25CompressedIndex:
         per warm query, 1.9 -> 3.2 q/s."""
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         self.spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+        # repeated serving_mode() calls must not stack persisted copies
+        for df in (self.postings, self.term_dict):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
         self.postings = self.postings.coalesce(n_partitions).persist()
         self.term_dict = self.term_dict.persist()
         self.postings.count()
@@ -1134,9 +1233,34 @@ class Bm25CompressedIndex:
         ``word``, ranked distance-then-df-desc-then-term (deterministic),
         capped at max_expansions — the Lucene FuzzyQuery expansion analog
         over the external term dictionary (suggest's ranking, applied as
-        query expansion). Length pre-filter bounds the levenshtein scan."""
+        query expansion). Length pre-filter bounds the levenshtein scan.
+
+        Cached path (mirrors _expand_prefix/_expand_regexp): a vectorized
+        length-band mask over the cached arrays picks candidates, a
+        row-min-cutoff DP scores them in-process — zero Spark jobs, which
+        matters because a point query otherwise pays the ~0.3 s job floor
+        PER fuzzy term. Uncached dicts keep the parallel Spark
+        levenshtein probe (O(V/cores), the web-scale shape)."""
         if not word:
             return []
+        if self._maybe_cache_dict() is not None:
+            band = np.nonzero(
+                np.abs(self._sorted_lens - len(word)) <= dist
+            )[0]
+            terms = self._sorted_terms
+            dfs = self._sorted_dfs
+            # candidates iterate in term order, sorted() is stable, so the
+            # (distance asc, df desc) key leaves term-asc ties in place —
+            # identical ranking to the Spark path's orderBy
+            cands = []
+            for i in band:
+                d = _lev_within(word, terms[i], dist)
+                if d <= dist:
+                    cands.append((d, -dfs[i], i))
+            cands.sort()
+            return self._sorted_ids[
+                [i for _, _, i in cands[:max_expansions]]
+            ].tolist()
         rows = (
             self.term_dict.filter(
                 F.length("term").between(len(word) - dist, len(word) + dist)
@@ -1214,26 +1338,33 @@ class Bm25CompressedIndex:
         """term_ids of dictionary terms FULLY matching ``pattern``
         (Lucene-RegexpQuery whole-term semantics), df-ranked and capped.
 
-        Cached path: the regex's literal prefix (chars before the first
+        Cached path: the pattern is split on top-level alternation
+        (``cat|dog`` has no single mandatory prefix — each branch does),
+        each branch's literal prefix (chars before its first
         metacharacter, quantifier-adjusted) bisects the sorted term arrays
         — the spirit of Lucene's automaton/term-index intersection — and
-        Python re fullmatch scans only that range; a pattern with no
-        literal prefix, or no cache, falls back to a Catalyst ``rlike``
-        probe over the dict table (parallel O(V/cores), the right shape at
-        web-scale vocabularies). Patterns should stick to the regex subset
-        valid in both Python and Java (the two evaluation engines)."""
+        Python re fullmatch of the WHOLE pattern scans only the union of
+        those ranges (any full match satisfies some branch, so it starts
+        with that branch's prefix). A pattern with any prefix-less branch,
+        or no cache, falls back to a Catalyst ``rlike`` probe over the
+        dict table (parallel O(V/cores), the right shape at web-scale
+        vocabularies). Patterns should stick to the regex subset valid in
+        both Python and Java (the two evaluation engines)."""
         if not pattern:
             return []
         rx = re.compile(pattern)
         cache = self._maybe_cache_dict()
-        lit = _regex_literal_prefix(pattern)
-        if cache is not None and lit:
-            lo, hi = self._sorted_range(lit)
+        lits = [
+            _regex_literal_prefix(b)
+            for b in _split_top_level_alternation(pattern)
+        ]
+        if cache is not None and all(lits):
             terms = self._sorted_terms
-            idxs = np.fromiter(
-                (i for i in range(lo, hi) if rx.fullmatch(terms[i])),
-                dtype=np.int64,
-            )
+            hit: set[int] = set()
+            for lit in lits:
+                lo, hi = self._sorted_range(lit)
+                hit.update(i for i in range(lo, hi) if rx.fullmatch(terms[i]))
+            idxs = np.fromiter(sorted(hit), dtype=np.int64)
             return self._take_ranked(idxs, max_expansions)
         rows = (
             self.term_dict.filter(F.col("term").rlike(f"^(?:{pattern})$"))

@@ -314,3 +314,165 @@ def test_search_fields_weighted_sum(engines, spark, docs_sf0001):
         "data value", k=10, mode="or", round_to=6,
     ).collect()
     assert [(r["doc_id"], r["score"]) for r in got11] != got
+
+
+# ---------------------------------------------------------------- r5 fixes
+
+
+def test_split_top_level_alternation_pure():
+    from searchenginer_spark.plans.bm25 import (
+        _regex_literal_prefix,
+        _split_top_level_alternation,
+    )
+
+    assert _split_top_level_alternation("cat|dog") == ["cat", "dog"]
+    assert _split_top_level_alternation("ca(t|d)") == ["ca(t|d)"]
+    assert _split_top_level_alternation("a[|]b") == ["a[|]b"]
+    assert _split_top_level_alternation(r"a\|b") == [r"a\|b"]
+    assert _split_top_level_alternation("a|b|c") == ["a", "b", "c"]
+    assert _split_top_level_alternation("cat|") == ["cat", ""]
+    assert _split_top_level_alternation("plain") == ["plain"]
+    # branch prefixes: the group-internal '|' keeps 'ca' mandatory
+    assert _regex_literal_prefix("ca(t|d)") == "ca"
+    assert _regex_literal_prefix("abc*") == "ab"
+    assert _regex_literal_prefix(".any") == ""
+
+
+def test_search_regexp_alternation_cached_matches_fallback(engines, spark):
+    """/quer[a-z]*|data/ — the cached literal-prefix path must not drop
+    the second branch (r4 bug: chars before a top-level '|' were treated
+    as a mandatory prefix, silently losing every 'data' match)."""
+    import re as _re
+
+    m1, comp = engines
+    pat = "quer[a-z]*|data"
+    rx = _re.compile(pat)
+    terms = sorted(
+        r["term"] for r in m1.dft.select("term").collect() if rx.fullmatch(r["term"])
+    )
+    assert "data" in terms and len(terms) > 1, "fixture needs both branches"
+    want = [
+        (r["doc_id"], r["score"])
+        for r in m1.search(" ".join(terms), k=10, mode="or", round_to=4).collect()
+    ]
+    comp._maybe_cache_dict()
+    assert comp._dict_cache is not None, "cached path must be active"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in comp.search_regexp(pat, k=10, round_to=4).collect()
+    ]
+    assert got == want
+    # uncached rlike fallback agrees
+    comp2 = Bm25CompressedIndex(spark, comp.postings, comp.term_dict)
+    comp2._dict_cache_checked = True
+    got2 = [
+        (r["doc_id"], r["score"])
+        for r in comp2.search_regexp(pat, k=10, round_to=4).collect()
+    ]
+    assert got2 == want
+    # a prefix-less branch ('cat|.og') still routes to the rlike path
+    from searchenginer_spark.plans.bm25 import (
+        _regex_literal_prefix,
+        _split_top_level_alternation,
+    )
+
+    assert not all(
+        _regex_literal_prefix(b) for b in _split_top_level_alternation("quer.*|.ata")
+    )
+
+
+def test_lev_within_matches_bruteforce():
+    import itertools
+    import random
+
+    from searchenginer_spark.plans.bm25 import _lev_within
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abc_") for _ in range(rng.randint(0, 6)))
+             for _ in range(40)]
+    for a, b in itertools.product(words[:20], words[20:]):
+        for maxd in (0, 1, 2):
+            d = lev(a, b)
+            got = _lev_within(a, b, maxd)
+            assert got == (d if d <= maxd else maxd + 1), (a, b, maxd)
+
+
+def test_expand_fuzzy_cached_matches_spark_and_runs_no_job(engines, spark):
+    """Cached fuzzy expansion (length-banded in-process DP) must rank
+    identically to the Spark levenshtein probe — and must never touch
+    term_dict (i.e. zero Spark jobs on the warm path)."""
+    m1, comp = engines
+    comp._maybe_cache_dict()
+    assert comp._dict_cache is not None
+
+    comp2 = Bm25CompressedIndex(spark, comp.postings, comp.term_dict)
+    comp2._dict_cache_checked = True  # force the Spark fallback path
+    for word, dist in [("quer", 1), ("data", 1), ("dat", 2), ("zzzz", 1), ("", 1)]:
+        want = comp2._expand_fuzzy(word, dist, 1 << 20)
+        got = comp._expand_fuzzy(word, dist, 1 << 20)
+        assert got == want, (word, dist)
+    # cap respected with the same ranking prefix
+    full = comp._expand_fuzzy("dat", 2, 1 << 20)
+    assert comp._expand_fuzzy("dat", 2, 3) == full[:3]
+
+    # no-job assertion: the cached path must not read self.term_dict
+    saved = comp.term_dict
+    comp.term_dict = None
+    try:
+        assert comp._expand_fuzzy("quer", 1, 1 << 20) == comp2._expand_fuzzy(
+            "quer", 1, 1 << 20
+        )
+    finally:
+        comp.term_dict = saved
+
+
+def test_dict_version_two_rapid_bumps_distinct(spark, tmp_path):
+    """Two bumps inside the filesystem's mtime granularity must still
+    produce distinct versions — the version is the marker's CONTENT
+    (uuid), not an (mtime, len) stamp."""
+    from searchenginer_spark.plans.bm25 import bump_dict_version, read_dict_version
+
+    root = str(tmp_path / "vroot")
+    assert read_dict_version(spark, root) is None
+    bump_dict_version(spark, root)
+    v1 = read_dict_version(spark, root)
+    bump_dict_version(spark, root)  # immediately — same mtime tick on 1s fs
+    v2 = read_dict_version(spark, root)
+    assert v1 and v2 and v1 != v2
+    assert len(v1) == 32  # uuid4 hex
+
+
+def test_serving_mode_repeat_does_not_stack_persisted_rdds(spark, docs_sf0001):
+    """serving_mode() called twice (and _check_version refreshes) must
+    unpersist the previous coalesced cache instead of leaking it."""
+    m1 = Bm25DataFrameIndex.build(docs_sf0001, text_col="text", persist=False)
+    td = build_term_dict(m1.dft)
+    post = build_postings(m1.tf, m1.dl, td, m1.stats, docs_per_part=128)
+    comp = Bm25CompressedIndex(spark, post, td, docs_per_part=128)
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    comp.serving_mode(n_partitions=4)
+    first = n_persisted()
+    comp.serving_mode(n_partitions=4)
+    comp.serving_mode(n_partitions=4)
+    # unpersist is async, so the count can transiently dip below `first`;
+    # the leak regression (r4) made it GROW by 1-2 per call
+    assert n_persisted() <= first, "repeated serving_mode stacked caches"
+    # teardown
+    for df in (comp.postings, comp.term_dict):
+        df.unpersist()
+    assert n_persisted() <= base
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
