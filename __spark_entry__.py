@@ -1448,6 +1448,87 @@ LIMIT 10
 """
 
 
+#: out-of-vocabulary CJK phrases: none is a DEFAULT_DICT word and no
+#: dictionary word spans an insert boundary in the corpus below, so the
+#: MP route always yields each phrase as a run of single-char pieces and
+#: the HMM OOV pass re-groups exactly that run
+_CJK_OOV_POOL = ["阿里巴巴", "张伟明", "未登录词"]
+
+
+def _cjk_oov_fixture_path(sf_dir: str) -> str:
+    import os
+
+    return f"{_IVF_FIXTURE_ROOT}/cjk_oov_tf_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _q_cjk_oov_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM OOV segmentation end to end (r5): docs mix dictionary words
+    with OUT-OF-VOCABULARY phrases; tokenizer='dict_cjk' now runs the Mix
+    composition (MP route + derived-BEMS Viterbi over runs of single-char
+    pieces, functions/cjk_segment.MixSegmenter — the reference's
+    MixSegment.hpp:46-86 shape), so the OOV phrases surface as multi-char
+    index terms, and an AND query over two OOV terms must hit exactly the
+    docs containing both. Oracle: IVF fixture pattern — the segmented tf
+    table is materialized and DuckDB recomputes full BM25 from it; the
+    segmentation itself is pinned by golden cuts in test_cjk_segment."""
+    from searchenginer_spark.deploy import ship_package
+    from searchenginer_spark.operators import stats as S
+
+    ship_package(spark)
+    rows = []
+    for i in range(300):
+        words = [_CJK_WORD_POOL[(i * 7 + j * 5) % len(_CJK_WORD_POOL)]
+                 for j in range(4 + i % 4)]
+        # OOV inserts are always separated by a dictionary word, so each
+        # OOV run reaches the HMM as its own buffer
+        if i % 3 == 0:
+            words.insert(1, _CJK_OOV_POOL[0])
+        if i % 4 == 0:
+            words.insert(3, _CJK_OOV_POOL[1])
+        if i % 5 == 0:
+            words.append(_CJK_OOV_POOL[2])
+        rows.append((i, "".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = S.term_frequencies(docs, text_col="text", tokenizer="dict_cjk")
+    tf.write.mode("overwrite").parquet(_cjk_oov_fixture_path(sf_dir))
+    tf = spark.read.parquet(_cjk_oov_fixture_path(sf_dir))
+    dl = S.doc_lengths(tf)
+    dft = S.document_frequencies(tf)
+    st = S.corpus_stats(dl)
+    td = build_term_dict(dft)
+    postings = build_postings(tf, dl, td, st, docs_per_part=64)
+    idx = Bm25CompressedIndex(spark, postings, td, docs_per_part=64)
+    return idx.search(
+        f"{_CJK_OOV_POOL[0]} {_CJK_OOV_POOL[1]}", k=10, mode="and", round_to=4,
+        pattern="[A-Za-z_][A-Za-z0-9_]*|[一-鿿]+",
+    )
+
+
+def _cjk_oov_search_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return f"""
+WITH tf AS (SELECT doc_id, term, tf
+            FROM read_parquet('{_cjk_oov_fixture_path(sf_dir)}/*.parquet')),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term, qtf) AS (VALUES ('{_CJK_OOV_POOL[0]}', 1), ('{_CJK_OOV_POOL[1]}', 1)),
+scored AS (
+  SELECT tf.doc_id,
+         sum(q.qtf
+             * ln(((SELECT n_docs FROM st) - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM st)))) AS score,
+         count(*) AS m
+  FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE m = 2
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 10
+"""
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (FAISS IVF shape, server.pb_skeleton.cc:288-302 analog):
     seeded-KMeans coarse quantizer, probe the nprobe nearest lists, exact
@@ -1735,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # item 1). The two generic-SQL composite suites close the dict.
         "phrase_search": _q_phrase_search,
         "cjk_dict_search": _q_cjk_dict_search,
+        "cjk_oov_search": _q_cjk_oov_search,
         "near_search": _q_near_search,
         "bm25_query_boosted": _q_bm25_query_boosted,
         "bm25_query_fuzzy": _q_bm25_query_fuzzy,
@@ -1791,6 +1873,7 @@ def oracle_sql() -> dict[str, str]:
             allow_pred="lang IN ('de', 'en') AND n_chars >= 120 AND n_chars <= 200",
         ),
         "cjk_dict_search": _cjk_dict_search_sql(),
+        "cjk_oov_search": _cjk_oov_search_sql(),
         "near_search": _NEAR_COMBINED_SQL,
         "bm25_query_boosted": _bm25_sql("data data spark", "or", exclude=("merge",)),
         "bm25_query_fuzzy": _BM25_QUERY_FUZZY_SQL,

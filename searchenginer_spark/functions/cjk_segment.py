@@ -14,11 +14,18 @@ right-to-left DP pass:
     route[i] = max over edges (i, j):  logp(s[i:j+1]) + route[j+1]
 
 This module is an ORIGINAL implementation of that public algorithm — no
-code or data is copied from cppjieba/jieba. Out-of-vocabulary characters
-get a one-occurrence floor probability and surface as single codepoints
-(the reference's HMM OOV pass is a documented non-goal here; 'jieba'
-remains the plug-in parity tokenizer where installable, and the JVM
-bigram fallback needs no dictionary at all).
+code or data is copied from cppjieba/jieba. :class:`MixSegmenter` adds
+the reference's OOV pass (MixSegment.hpp:46-86 composition: runs of
+consecutive single-char MP pieces that do not themselves form a
+dictionary word are re-segmented by a BEMS hidden-Markov Viterbi decode,
+HMMSegment.hpp): the HMM here is likewise original — its emission,
+transition, and start tables are DERIVED deterministically from the
+word/frequency dictionary itself (B/M/E/S positional char counts,
+word-length mass for transitions, Laplace smoothing) rather than copied
+from any trained model, so OOV behavior is reproducible from the same
+single input every deployment already supplies. 'jieba' remains the
+plug-in parity tokenizer where installable, and the JVM bigram fallback
+needs no dictionary at all.
 
 The bundled :data:`DEFAULT_DICT` is likewise original: a small
 hand-written word/frequency table (common Chinese vocabulary around this
@@ -136,15 +143,179 @@ class MPSegmenter:
         return out
 
 
+class HMMSegmenter:
+    """BEMS-Viterbi segmenter for out-of-vocabulary CJK runs — the public
+    HMM character-tagging formulation (states Begin/Middle/End/Single,
+    structural transitions B->M|E, M->M|E, E->B|S, S->B|S; decode the
+    max-probability state path, cut after every E or S).
+
+    ORIGINAL parameter derivation (no trained tables are shipped): all
+    three distributions come from the word/frequency dictionary —
+      * emissions: each word of frequency f contributes f to its first
+        char's B weight, last char's E weight, interior chars' M weights
+        (single-char words weight S); Laplace-smoothed over the dict's
+        char vocabulary, so chars seen mid-word in the dictionary pull
+        OOV runs toward the same positions they occupy in known words.
+      * transitions within a word: length mass (len-2 words drive B->E,
+        len>=3 drive B->M / M->M / M->E).
+      * cross-word transitions and start probs: the dict's multi- vs
+        single-char word mass (E->B vs E->S etc.), +1 smoothed.
+    Deterministic given the dict — the same reproducibility contract as
+    the MP route."""
+
+    _STATES = "BMES"
+    #: predecessor states allowed by the BEMS structure
+    _PREV = {"B": "ES", "M": "BM", "E": "BM", "S": "ES"}
+
+    def __init__(self, word_freq: dict[str, int]):
+        emit = {s: {} for s in self._STATES}
+        trans = {s: dict.fromkeys(self._STATES, 0.0) for s in self._STATES}
+        mass_multi = mass_single = 0.0
+        for w, f in word_freq.items():
+            if not w:
+                continue
+            if len(w) == 1:
+                emit["S"][w] = emit["S"].get(w, 0.0) + f
+                mass_single += f
+                continue
+            mass_multi += f
+            emit["B"][w[0]] = emit["B"].get(w[0], 0.0) + f
+            emit["E"][w[-1]] = emit["E"].get(w[-1], 0.0) + f
+            for ch in w[1:-1]:
+                emit["M"][ch] = emit["M"].get(ch, 0.0) + f
+            if len(w) == 2:
+                trans["B"]["E"] += f
+            else:
+                trans["B"]["M"] += f
+                trans["M"]["M"] += f * (len(w) - 3)
+                trans["M"]["E"] += f
+        for s in "ES":  # word-to-word prior: what does the NEXT word look like
+            trans[s]["B"] = mass_multi
+            trans[s]["S"] = mass_single
+        vocab = {c for d in emit.values() for c in d} | {""}
+        self._nV = len(vocab)
+        self._emit_logp = {}
+        self._emit_floor = {}
+        for s in self._STATES:
+            total = sum(emit[s].values())
+            denom = math.log(total + self._nV)
+            self._emit_logp[s] = {
+                c: math.log(w + 1.0) - denom for c, w in emit[s].items()
+            }
+            self._emit_floor[s] = -denom  # log(1 / (total + V))
+        self._trans_logp = {}
+        for s in self._STATES:
+            total = sum(trans[s].values())
+            allowed = "ME" if s in "BM" else "BS"
+            self._trans_logp[s] = {
+                t: math.log(trans[s][t] + 1.0) - math.log(total + len(allowed))
+                for t in allowed
+            }
+        start_denom = math.log(mass_multi + mass_single + 2.0)
+        self._start_logp = {
+            "B": math.log(mass_multi + 1.0) - start_denom,
+            "S": math.log(mass_single + 1.0) - start_denom,
+        }
+
+    def _emit(self, state: str, ch: str) -> float:
+        return self._emit_logp[state].get(ch, self._emit_floor[state])
+
+    def cut(self, run: str) -> list[str]:
+        """Viterbi decode + split after E/S. ``run`` is one CJK run."""
+        n = len(run)
+        if n == 0:
+            return []
+        if n == 1:
+            return [run]
+        NEG = float("-inf")
+        prob = {s: NEG for s in self._STATES}
+        back: list[dict[str, str]] = []
+        for s in "BS":
+            prob[s] = self._start_logp[s] + self._emit(s, run[0])
+        for ch in run[1:]:
+            nxt = {}
+            bp = {}
+            for s in self._STATES:
+                best_p, best_prev = NEG, None
+                for p in self._PREV[s]:
+                    if prob[p] == NEG:
+                        continue
+                    cand = prob[p] + self._trans_logp[p][s]
+                    if cand > best_p:
+                        best_p, best_prev = cand, p
+                if best_prev is not None:
+                    nxt[s] = best_p + self._emit(s, ch)
+                    bp[s] = best_prev
+                else:
+                    nxt[s] = NEG
+            prob = nxt
+            back.append(bp)
+        last = "E" if prob["E"] >= prob["S"] else "S"
+        states = [last]
+        for bp in reversed(back):
+            states.append(bp[states[-1]])
+        states.reverse()
+        out: list[str] = []
+        start = 0
+        for i, s in enumerate(states):
+            if s in "ES":
+                out.append(run[start : i + 1])
+                start = i + 1
+        if start < n:  # decode ended mid-word (can't happen, but be safe)
+            out.append(run[start:])
+        return out
+
+
+class MixSegmenter(MPSegmenter):
+    """MP route + HMM OOV pass — the reference's default tokenizer shape
+    (MixSegment.hpp:46-86 composition, original implementation): walk the
+    MP output buffering consecutive single-char pieces; a buffer of >= 2
+    chars that is not itself a dictionary word is re-segmented by the
+    HMM, so OOV runs (names, new compounds) come out as multi-char words
+    instead of isolated codepoints. In-dictionary text segments exactly
+    like :class:`MPSegmenter`."""
+
+    def __init__(self, word_freq: dict[str, int] | None = None):
+        super().__init__(word_freq)
+        self._hmm = HMMSegmenter(self.freq)
+
+    def cut_cjk(self, run: str) -> list[str]:
+        out: list[str] = []
+        buf: list[str] = []
+        for w in super().cut_cjk(run):
+            if len(w) == 1:
+                buf.append(w)
+                continue
+            self._flush(buf, out)
+            buf = []
+            out.append(w)
+        self._flush(buf, out)
+        return out
+
+    def _flush(self, buf: list[str], out: list[str]) -> None:
+        if not buf:
+            return
+        if len(buf) == 1:
+            out.append(buf[0])
+            return
+        joined = "".join(buf)
+        if joined in self.freq:
+            # MP already rejected the whole word on probability; honor it
+            out.extend(buf)
+        else:
+            out.extend(self._hmm.cut(joined))
+
+
 def dict_cjk_tokens_pandas_udf(word_freq: dict[str, int] | None = None):
     """Arrow-vectorized dict_cjk tokenizer (factory — pandas_udf needs an
     active session). The word table rides the UDF closure to executors;
-    the segmenter builds once per worker process."""
+    the segmenter builds once per worker process. Uses the Mix (MP + HMM
+    OOV) composition — the reference's default."""
     table = dict(word_freq or DEFAULT_DICT)
 
     @pandas_udf("array<string>")
     def _seg(text: pd.Series) -> pd.Series:
-        seg = MPSegmenter(table)
+        seg = MixSegmenter(table)
         return text.fillna("").map(seg.cut)
 
     return _seg

@@ -53,9 +53,10 @@ def explode_tokens(
 
     ``tokenizer`` selects the token source: None (default) = JVM regex
     ``pattern``; 'cjk_bigram' = identifier runs + CJK bigrams (JVM);
-    'dict_cjk' = dictionary max-probability DAG segmentation (pure-Python
-    Arrow UDF, functions/cjk_segment.py — the reference's MPSegment
-    algorithm, runnable in-sandbox with the bundled mini-dictionary);
+    'dict_cjk' = dictionary segmentation, MP max-probability DAG route
+    plus a derived-BEMS HMM pass over OOV runs (pure-Python Arrow UDF,
+    functions/cjk_segment.MixSegmenter — the reference's MixSegment
+    composition, runnable in-sandbox with the bundled mini-dictionary);
     'jieba' = real dictionary segmentation via the jieba package (Arrow
     pandas UDF) — plug-in parity with the reference's cppjieba MixSegment
     on clusters where jieba is installed; raises ImportError otherwise.

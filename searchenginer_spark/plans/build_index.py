@@ -157,7 +157,7 @@ def build_index(
     regex; 'cjk_bigram' / 'dict_cjk' / 'jieba' — see
     functions.tokenize.explode_tokens). Recorded in the meta table; query
     strings must be tokenized/segmented consistently (e.g.
-    cjk_segment.MPSegmenter for dict_cjk).
+    cjk_segment.MixSegmenter for dict_cjk).
 
     Returns a summary dict (n_docs, parts_built, parts_total, wall_s).
     """

@@ -8,11 +8,14 @@ import pytest
 
 from searchenginer_spark.functions.cjk_segment import (
     DEFAULT_DICT,
+    HMMSegmenter,
+    MixSegmenter,
     MPSegmenter,
     dict_cjk_tokens_pandas_udf,
 )
 
 SEG = MPSegmenter()
+MIX = MixSegmenter()
 
 GOLDEN = [
     # compounds must beat their own decompositions (DAG route, not greedy)
@@ -21,7 +24,8 @@ GOLDEN = [
     ("倒排索引构建", ["倒排索引", "构建"]),
     # mixed latin + CJK: identifier runs pass through lowercased
     ("Spark构建倒排索引index_v2", ["spark", "构建", "倒排索引", "index_v2"]),
-    # OOV CJK surfaces as single codepoints (documented: no HMM pass)
+    # OOV CJK surfaces as single codepoints under the bare MP route
+    # (the Mix/HMM pass groups them — see GOLDEN_MIX)
     ("未登录词", ["未", "登", "录", "词"]),
     ("", []),
 ]
@@ -30,6 +34,47 @@ GOLDEN = [
 @pytest.mark.parametrize("text,want", GOLDEN)
 def test_golden_segmentations(text, want):
     assert SEG.cut(text) == want
+
+
+GOLDEN_MIX = [
+    # OOV runs become multi-char words via the derived-BEMS Viterbi pass
+    ("未登录词", ["未登录词"]),
+    ("张伟明在阿里巴巴工作", ["张伟明在", "阿里巴巴", "工作"]),
+    ("词嵌入向量", ["词嵌入", "向量"]),
+    # in-dictionary text is untouched by the OOV pass
+    ("我们使用搜索引擎查询中文文档", ["我们", "使用", "搜索引擎", "查询", "中文", "文档"]),
+    ("倒排索引构建", ["倒排索引", "构建"]),
+    # a LONE single-char piece between dict words stays single (the HMM
+    # only fires on runs of >= 2 consecutive single-char pieces)
+    ("机器学习算法和自然语言处理", ["机器学习", "算法", "和", "自然语言处理"]),
+    ("Spark构建倒排索引index_v2", ["spark", "构建", "倒排索引", "index_v2"]),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,want", GOLDEN_MIX)
+def test_golden_mix_segmentations(text, want):
+    assert MIX.cut(text) == want
+
+
+def test_hmm_structural_invariants():
+    """Every HMM cut concatenates back to the input, has no empty pieces,
+    and is deterministic across instances (tables derive from the dict)."""
+    h1 = HMMSegmenter(DEFAULT_DICT)
+    h2 = HMMSegmenter(DEFAULT_DICT)
+    for run in ["未登录词", "张伟明", "一", "数擎", "阿里巴巴云计算平台"]:
+        cut = h1.cut(run)
+        assert "".join(cut) == run
+        assert all(cut)
+        assert cut == h2.cut(run)
+
+
+def test_mix_equals_mp_on_pure_dictionary_text():
+    """Texts fully covered by dictionary words must segment identically
+    under MP and Mix — the OOV pass must never rewrite in-dict output."""
+    for text, want in GOLDEN:
+        if text and all(len(w) > 1 or not ("一" <= w <= "鿿") for w in SEG.cut(text)):
+            assert MIX.cut(text) == SEG.cut(text), text
 
 
 def test_route_prefers_whole_dictionary_word():
@@ -84,7 +129,7 @@ def test_spark_dict_cjk_tokenizer(spark):
     want = {}
     for doc_id, text in [(0, "我们使用搜索引擎查询中文文档"),
                          (1, "搜索引擎支持中文分词"), (2, "机器学习模型")]:
-        for t, c in Counter(SEG.cut(text)).items():
+        for t, c in Counter(MIX.cut(text)).items():
             want[(doc_id, t)] = c
     assert got == want
     # df of the shared term
