@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing here is REAL and tested — schemas, Arrow batch
-shapes, mapInPandas signatures, partitioning — while the actual media
-decoding is stubbed: the sandbox has no image/audio libraries, so
-``decoder='fake'`` runs a deterministic stand-in (header-derived features)
-and ``decoder='real'`` raises NotImplementedError at the exact seam where
-PIL/libsndfile/ffmpeg would plug in. A cluster deployment swaps the decode
-function; nothing else changes.
+shapes, mapInPandas signatures, partitioning. Decoding (r5): the
+``decoder='real'`` path now REALLY decodes the dependency-free formats in
+numpy inside the Arrow UDFs — PPM (P6 binary / P3 ascii) and 24-bit
+uncompressed BMP images (:func:`decode_image`), PCM16 RIFF/WAVE audio
+(:func:`decode_wav`), plus a nearest-neighbor :func:`resize_image` — and
+raises NotImplementedError only for formats that genuinely need external
+codecs (PNG/JPEG -> PIL/opencv, video containers -> ffmpeg), at the same
+plug-in seam. ``decoder='fake'`` keeps the deterministic byte-histogram
+stand-in for corpus-scale tests with arbitrary bytes.
 
 Media table shape:
     media(doc_id long, kind string, data binary,
@@ -15,6 +18,7 @@ Media table shape:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,9 +31,129 @@ MEDIA_SCHEMA = (
 )
 
 IMAGE_FEATURES_SCHEMA = "doc_id long, width int, height int, features array<float>"
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, features array<float>"
+)
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 N_IMAGE_FEATURES = 16
+N_AUDIO_FEATURES = 8
+
+
+# ------------------------------------------------------------ real decoders
+
+
+def _ppm_decode(data: bytes) -> np.ndarray:
+    """PPM P6 (binary) / P3 (ascii) -> (h, w, 3) uint8. Header grammar:
+    magic, width, height, maxval as whitespace-separated tokens with
+    ``#`` comments, one whitespace byte, then the raster."""
+    magic = data[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    w, h, maxval = fields
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"PPM maxval {maxval} unsupported (8-bit only)")
+    pos += 1  # the single whitespace byte after maxval
+    if magic == b"P6":
+        raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    else:  # P3: ascii sample values
+        raster = np.array(data[pos:].split()[: w * h * 3], dtype=np.uint8)
+    if raster.size != w * h * 3:
+        raise ValueError("PPM raster truncated")
+    return raster.reshape(h, w, 3)
+
+
+def _bmp_decode(data: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP -> (h, w, 3) uint8 in RGB order.
+    Rows are 4-byte aligned and stored bottom-up (top-down when the
+    header height is negative)."""
+    if len(data) < 54:
+        raise ValueError("BMP header truncated")
+    off_bits = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bitcount = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP {bitcount}-bit/compression={compression} needs PIL — "
+            "only 24-bit BI_RGB decodes dependency-free"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off_bits)
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB for the dependency-free formats (PPM P6/P3,
+    24-bit BMP); NotImplementedError for formats needing external codecs
+    (PNG/JPEG/...) — the documented PIL/opencv plug-in seam."""
+    if data[:2] in (b"P6", b"P3"):
+        return _ppm_decode(data)
+    if data[:2] == b"BM":
+        return _bmp_decode(data)
+    raise NotImplementedError(
+        f"image format {data[:4]!r} needs PIL/opencv — plug in here "
+        "(PPM/24-bit BMP decode dependency-free)"
+    )
+
+
+def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure index mapping — no interpolation
+    libraries). Output (height, width, channels)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // max(height, 1), h - 1)
+    xs = np.minimum((np.arange(width) * w) // max(width, 1), w - 1)
+    return img[ys][:, xs]
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 RIFF/WAVE -> (samples float32 in [-1, 1] shaped (n, ch),
+    sample_rate). Walks the chunk list (fmt / data; others skipped);
+    compressed/float formats raise NotImplementedError (libsndfile
+    seam)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"audio container {data[:4]!r} needs libsndfile/ffmpeg — "
+            "plug in here (PCM16 WAV decodes dependency-free)"
+        )
+    pos = 12
+    rate = channels = None
+    samples: np.ndarray | None = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format={fmt}/bits={bits} needs libsndfile — "
+                    "only PCM16 decodes dependency-free"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    out = (samples.astype(np.float32) / 32768.0).reshape(-1, channels)
+    return out, int(rate)
 
 
 def _fake_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
@@ -42,22 +166,48 @@ def _fake_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
     return (hist / max(arr.size, 1)).astype(np.float32)
 
 
-def extract_image_features(
-    media: DataFrame, decoder: str = "fake", batch_hint: int = 1024
-) -> DataFrame:
+def image_features(img: np.ndarray) -> np.ndarray:
+    """16-dim features from a decoded (h, w, 3) image: per-channel
+    mean/std (scaled to [0, 1]) + a 10-bin normalized luminance
+    histogram — the classic cheap visual descriptor."""
+    f = img.astype(np.float64)
+    mean = f.mean(axis=(0, 1)) / 255.0
+    std = f.std(axis=(0, 1)) / 255.0
+    lum = f @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=10, range=(0.0, 255.001))
+    return np.concatenate([mean, std, hist / max(lum.size, 1)]).astype(np.float32)
+
+
+def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """(doc_id, width, height, features) via mapInPandas over image rows.
 
     The filter on kind prunes non-image rows BEFORE the Python boundary
     (pushed to the parquet scan); the UDF sees only image bytes.
-    """
+
+    decoder='real': numpy PPM/BMP decode (:func:`decode_image`), actual
+    pixel-space features (:func:`image_features`), width/height from the
+    DECODED raster (metadata can lie; pixels don't). PNG/JPEG rows raise
+    NotImplementedError at the PIL seam. decoder='fake': deterministic
+    byte-histogram features with metadata dimensions."""
     imgs = media.filter(media.kind == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv — plug in here"
+                dims, feats = [], []
+                for d in pdf["data"]:
+                    img = decode_image(bytes(d) if d is not None else b"")
+                    dims.append((img.shape[1], img.shape[0]))
+                    feats.append(image_features(img).tolist())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": [w for w, _ in dims],
+                        "height": [h for _, h in dims],
+                        "features": feats,
+                    }
                 )
+                continue
             feats = [
                 _fake_decode_image(
                     d if d is not None else b"",
@@ -78,6 +228,59 @@ def extract_image_features(
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """8-dim features from decoded samples (n, ch) in [-1, 1]: duration,
+    RMS, zero-crossing rate, peak, plus a 4-bin |amplitude| histogram."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = mono.size
+    if n == 0:
+        return np.zeros(N_AUDIO_FEATURES, dtype=np.float32)
+    zc = np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))
+    hist, _ = np.histogram(np.abs(mono), bins=4, range=(0.0, 1.0001))
+    return np.concatenate(
+        [
+            [n / rate, float(np.sqrt((mono**2).mean())),
+             zc / max(n - 1, 1), float(np.abs(mono).max())],
+            hist / n,
+        ]
+    ).astype(np.float32)
+
+
+def extract_audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """(doc_id, sample_rate, n_samples, features) over audio rows —
+    decoder='real' decodes PCM16 WAV (:func:`decode_wav`) and extracts
+    sample-space features; 'fake' reinterprets the raw bytes as int16
+    with the metadata sample rate (deterministic stand-in)."""
+    aud = media.filter(media.kind == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, feats = [], [], []
+            for d, m in zip(pdf["data"], pdf["meta"]):
+                raw = bytes(d) if d is not None else b""
+                if decoder == "real":
+                    samples, rate = decode_wav(raw)
+                else:
+                    rate = int(m["sample_rate"] or 16000)
+                    samples = (
+                        np.frombuffer(raw[: len(raw) & ~1], dtype="<i2")
+                        .astype(np.float32) / 32768.0
+                    ).reshape(-1, 1)
+                rates.append(rate)
+                counts.append(samples.shape[0])
+                feats.append(audio_features(samples, rate).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "features": feats,
+                }
+            )
+
+    return aud.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, every_n: int = 10, decoder: str = "fake"
 ) -> DataFrame:
@@ -90,6 +293,9 @@ def sample_video_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
+                # video containers (mp4/mkv/webm) genuinely need ffmpeg —
+                # this is the one seam that stays external (images/audio
+                # decode dependency-free above)
                 raise NotImplementedError(
                     "real frame extraction requires ffmpeg — plug in here"
                 )

@@ -158,3 +158,155 @@ def test_real_decoder_raises(spark):
     media = make_fake_media(spark, n=6)
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         extract_image_features(media, decoder="real").collect()
+
+
+# ------------------------------------------------------- r5 real decoders
+
+
+def _make_ppm_p6(img):
+    import numpy as np
+
+    h, w, _ = img.shape
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _make_ppm_p3(img):
+    h, w, _ = img.shape
+    vals = " ".join(str(int(v)) for v in img.reshape(-1))
+    return ("P3\n%d %d\n255\n%s" % (w, h, vals)).encode()
+
+
+def _make_bmp24(img, top_down=False):
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = img[..., ::-1]  # RGB -> BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = b"".join(
+        rows[y].astype(np.uint8).tobytes() + b"\x00" * (stride - w * 3)
+        for y in range(h)
+    )
+    off = 54
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def _make_wav_pcm16(samples, rate):
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    body = pcm.tobytes()
+    ch = samples.shape[1] if samples.ndim == 2 else 1
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def test_decode_image_roundtrip_ppm_and_bmp():
+    import numpy as np
+    import pytest as _pytest
+
+    from searchenginer_spark.functions.multimodal import decode_image, resize_image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_make_ppm_p6(img)), img)
+    assert np.array_equal(decode_image(_make_ppm_p3(img)), img)
+    assert np.array_equal(decode_image(_make_bmp24(img)), img)
+    assert np.array_equal(decode_image(_make_bmp24(img, top_down=True)), img)
+    # resize: nearest-neighbor 2x then back reproduces the original
+    big = resize_image(img, 14, 10)
+    assert big.shape == (10, 14, 3)
+    assert np.array_equal(resize_image(big, 7, 5), img)
+    # PNG magic hits the declared PIL seam
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    # 8-bit palette BMP also needs PIL
+    bad = bytearray(_make_bmp24(img))
+    bad[28:30] = (8).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError, match="24-bit"):
+        decode_image(bytes(bad))
+
+
+def test_decode_wav_roundtrip():
+    import numpy as np
+    import pytest as _pytest
+
+    from searchenginer_spark.functions.multimodal import decode_wav
+
+    t = np.arange(800) / 8000.0
+    mono = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)
+    got, rate = decode_wav(_make_wav_pcm16(mono, 8000))
+    assert rate == 8000 and got.shape == (800, 1)
+    assert np.abs(got - mono).max() < 1e-3
+    stereo = np.stack([mono[:, 0], -mono[:, 0]], axis=1)
+    got2, _ = decode_wav(_make_wav_pcm16(stereo, 8000))
+    assert got2.shape == (800, 2)
+    assert np.abs(got2 - stereo).max() < 1e-3
+    with _pytest.raises(NotImplementedError, match="libsndfile"):
+        decode_wav(b"OggS....")
+
+
+def test_real_decoder_spark_paths(spark):
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        extract_audio_features,
+        extract_image_features,
+        image_features,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    imgs = {}
+    wavs = {}
+    for i in range(6):
+        img = rng.integers(0, 256, size=(4 + i, 6, 3), dtype=np.uint8)
+        imgs[i] = img
+        data = _make_ppm_p6(img) if i % 2 == 0 else _make_bmp24(img)
+        # metadata deliberately WRONG: real decode must report pixel truth
+        rows.append((i, "image", data, {"width": 999, "height": 999,
+                                        "sample_rate": None, "n_frames": None}))
+    for i in range(6, 9):
+        s = rng.standard_normal((200 + i, 1)) * 0.1
+        wavs[i] = s
+        rows.append((i, "audio", _make_wav_pcm16(s, 16000),
+                     {"width": None, "height": None,
+                      "sample_rate": 16000, "n_frames": None}))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["doc_id"]: r for r in
+             extract_image_features(media, decoder="real").collect()}
+    assert set(feats) == set(range(6))
+    for i, img in imgs.items():
+        r = feats[i]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        want = image_features(img)
+        assert np.abs(np.array(r["features"]) - want).max() < 1e-6
+
+    afeats = {r["doc_id"]: r for r in
+              extract_audio_features(media, decoder="real").collect()}
+    assert set(afeats) == {6, 7, 8}
+    for i in afeats:
+        r = afeats[i]
+        assert r["sample_rate"] == 16000 and r["n_samples"] == 200 + i
+        # features recomputed from the QUANTIZED samples the wav holds
+        pcm = (np.clip(wavs[i], -1, 1) * 32767).astype("<i2")
+        deq = (pcm.astype(np.float32) / 32768.0).reshape(-1, 1)
+        want = audio_features(deq, 16000)
+        assert np.abs(np.array(r["features"]) - want).max() < 1e-6
