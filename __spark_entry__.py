@@ -214,6 +214,39 @@ def _q_bm25_compressed_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cindex_prod(spark, sf_dir).search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
 
 
+def release_entry_caches() -> None:
+    """Unpersist every cached handle this module holds (the shared
+    DataFrame/compressed indexes the contract queries reuse) and clear
+    the caches — the explicit counterpart to session teardown for
+    long-lived drivers (r3/r4 hygiene item). Dedup contract queries
+    themselves persist nothing (persist_shared=False throughout), so
+    after this call the session holds zero persisted RDDs."""
+    for m1 in _IDX_CACHE.values():
+        for h in (m1.tf, m1.dl, m1.dft):
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+    from searchenginer_spark.operators.ids import release_plan_checkpoints
+
+    for cache in (_CIDX_CACHE, _CIDX_PROD_CACHE):
+        for idx in cache.values():
+            for h in (idx.postings, idx.term_dict):
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
+            try:
+                # term_dict minting localCheckpoints its pinned partitions;
+                # DataFrame.unpersist never releases checkpoint storage
+                release_plan_checkpoints(idx.term_dict)
+            except Exception:
+                pass
+    _IDX_CACHE.clear()
+    _CIDX_CACHE.clear()
+    _CIDX_PROD_CACHE.clear()
+
+
 def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: BM25 top-k restricted to lang='de' docs via the
     cogrouped allowed-id filter (exact: filter applies inside each part

@@ -84,3 +84,36 @@ def assign_sequential_ids(
 
     schema = T.StructType(list(with_pid.schema.fields) + [T.StructField(id_col, T.LongType())])
     return with_pid.mapInPandas(assign, schema=schema).drop("_pid")
+
+
+def release_plan_checkpoints(df: DataFrame) -> int:
+    """Unpersist every ``localCheckpoint`` ancestor in ``df``'s physical
+    plan lineage; returns how many were released.
+
+    :func:`assign_sequential_ids`' local checkpoint persists its pinned
+    partitions for the life of the session (DataFrame.unpersist only
+    drops cacheManager entries, never RDD-level checkpoint storage).
+    Long-lived drivers that DISCARD a derived table (a term_dict, a doc-id
+    mapping) call this on the discarded handle to reclaim the executors'
+    memory. The checkpoint's lineage truncation means the RDD cannot be
+    recomputed afterwards — only call when every derived DataFrame is
+    dead too."""
+    released = 0
+    seen: set[int] = set()
+
+    def walk(jrdd) -> None:
+        nonlocal released
+        rid = jrdd.id()
+        if rid in seen:
+            return
+        seen.add(rid)
+        lvl = jrdd.getStorageLevel()
+        if (lvl.useMemory() or lvl.useDisk()) and "localCheckpoint" in jrdd.toString():
+            jrdd.unpersist(False)
+            released += 1
+        deps = jrdd.dependencies()
+        for i in range(deps.size()):
+            walk(deps.apply(i).rdd())
+
+    walk(df._jdf.queryExecution().toRdd())
+    return released

@@ -62,3 +62,29 @@ def test_query_matches_oracle(spark, ddb, name):
     assert spark_cols == duck_cols, f"{name}: columns {spark_cols} != {duck_cols}"
     assert len(spark_rows) == len(duck_rows), f"{name}: rowcount"
     assert _norm(spark_rows) == _norm(duck_rows), f"{name}: values differ"
+
+
+def test_release_entry_caches_leaves_no_persisted_rdds(spark):
+    """Contract queries persist only through the module-level index
+    caches; release_entry_caches() must return the session to its
+    pre-query persisted-RDD count (dedup queries persist nothing —
+    persist_shared=False throughout)."""
+    import time
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    for name in ("bm25_compressed_and_topk", "bm25_compressed_prod_geometry",
+                 "dedup_minhash_lsh", "dedup_simhash_pairs",
+                 "dedup_embedding_pairs", "ngram_jaccard_pairs"):
+        qs[name](spark, sf).collect()
+    assert n_persisted() > base, "index caches should be live mid-run"
+    entrymod.release_entry_caches()
+    for _ in range(20):  # unpersist is async
+        if n_persisted() <= base:
+            break
+        time.sleep(0.25)
+    assert n_persisted() <= base

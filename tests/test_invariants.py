@@ -65,3 +65,31 @@ def test_hot_term_group_sizes_bounded(built):
 def test_content_sha_invariant(built):
     docs = built[0]
     assert docs.filter(F.sha2("content", 256) != F.col("content_sha256")).count() == 0
+
+
+def test_release_plan_checkpoints_unpersists_id_minting(spark):
+    """assign_sequential_ids pins partitions via localCheckpoint;
+    release_plan_checkpoints on a derived DataFrame must find and
+    unpersist exactly that storage (session-lifetime leak otherwise)."""
+    from searchenginer_spark.operators.ids import (
+        assign_sequential_ids,
+        release_plan_checkpoints,
+    )
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    df = spark.range(500).selectExpr("concat('t', id) AS term")
+    ids = assign_sequential_ids(df, ["term"], "term_id")
+    derived = ids.selectExpr("term_id", "upper(term) AS u")
+    assert derived.count() == 500
+    assert n_persisted() == base + 1
+    assert release_plan_checkpoints(derived) == 1
+    import time
+
+    for _ in range(20):
+        if n_persisted() <= base:
+            break
+        time.sleep(0.25)
+    assert n_persisted() <= base
