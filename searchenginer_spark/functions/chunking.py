@@ -70,15 +70,24 @@ def pack_chunks(
     group_docs: int = 1 << 16,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Assign chunks to fixed-token-budget training examples
-    (contiguous-fill packing): chunks in deterministic (doc_id, chunk_id)
-    order concatenate into an example until the budget would overflow,
-    then the next example starts. example_id = floor(tokens_before /
-    budget), where tokens_before is the running token total — one window
-    cumsum, exactly reproducible in ANSI SQL. An example can exceed the
-    budget by at most one chunk (cut-at-overflow semantics, the standard
-    streaming-concat packing used by pre-training pipelines); no chunk is
-    ever split.
+    """Assign chunks to fixed-token-budget training examples by
+    TOKEN-OFFSET BUCKETING: chunks in deterministic (doc_id, chunk_id)
+    order get example_id = floor(tokens_before / budget), where
+    tokens_before is the group-wide running token total — one window
+    cumsum, exactly reproducible in ANSI SQL, and no chunk is ever
+    split. An example's chunks are contiguous and hold >= budget tokens
+    (except the group's last example), overflowing past each budget
+    boundary by at most one chunk.
+
+    This is deliberately NOT reset-per-example greedy packing: example
+    boundaries fall at budget multiples of the CONTINUOUS cumsum, so
+    after an example overflows, the next one starts "in debt" and packs
+    fewer tokens — greedy with a per-example reset would instead restart
+    its count at zero and can produce different (usually slightly later)
+    boundaries. The bucketing form is chosen because it is a pure
+    stateless map over the cumsum (no sequential recurrence), making it
+    shard-parallel AND bit-identical between the engine and the SQL
+    oracle; both packings waste at most one chunk of slack per example.
 
     Scale shape: the window is PARTITIONED by a doc-range group
     (``doc_id // group_docs``), never global — a global cumsum would

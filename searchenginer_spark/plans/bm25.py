@@ -1052,8 +1052,9 @@ class Bm25CompressedIndex:
         batch/analytic jobs on the same session should restore them.
         A dict_version refresh (_check_version) re-snapshots the tables
         and drops the coalesced cache — re-call after incremental folds.
-        Measured at bench scale (20k docs, local[32]): 0.53 s -> 0.32 s
-        per warm query, 1.9 -> 3.2 q/s."""
+        The canonical measured gain is bench.py's serving_loop_qps vs
+        warm_loop_qps in the current BENCH json (r4: 2.73 vs 1.68 q/s
+        at 20k docs / local[32]; see PLANS.md §6)."""
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         self.spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
         # repeated serving_mode() calls must not stack persisted copies
@@ -1639,6 +1640,15 @@ class Bm25CompressedIndex:
         post-filter), queries without facets stay unfiltered. Phrase /
         proximity clauses need a positions-enabled index. Unmatchable
         queries (missing required atom) contribute no rows.
+
+        GEOMETRY CONTRACT: ``docs_per_part`` must equal the value the
+        index was BUILT with (``open_index`` handles carry it; bare
+        DataFrame handles must be told) — the allowed-id set is bucketed
+        by ``doc_id // docs_per_part`` so it cogroups against the same
+        part a doc's postings live in. A mismatched value silently
+        lands allowed ids in the wrong cogroup bucket and faceted
+        queries return rows as if their allow-set were empty in the
+        affected parts.
         """
         from ..functions.queryparse import parse_query
 
