@@ -1,0 +1,170 @@
+"""N-gram language model quality scoring — stupid backoff, Spark-native.
+
+Training-data pipelines filter web text by LM score (the KenLM-perplexity
+gate in public corpus recipes); at corpus scale the published choice is
+STUPID BACKOFF (Brants et al. 2007, "Large Language Models in Machine
+Translation"): no discounting or normalization, just raw counts with a
+fixed backoff factor — precisely because counting is the only pass that
+must scale.
+
+    S(w | ctx)  = c(ctx w) / c(ctx)          if c(ctx w) > 0
+                = 0.4 * S(w | shorter ctx)   otherwise
+    S(w)        = c(w) / N;  OOV floors at 1 / (2N)
+
+Everything here is whole-stage-codegen DataFrame work:
+  * training: one slice/zip/transform/explode pass per order ->
+    (gram, n_count) tables (the extraction shape of
+    operators/embed.cooccurrence_counts; one shuffle per order,
+    map-side partials absorb hot grams). The count tables ARE the model.
+  * scoring: the doc's token stream posexplodes once; each position
+    derives its own k-gram strings (k = 1..order) as JVM expressions,
+    LEFT-joins the count tables (broadcast — models are min-count
+    pruned; an uncapped model runs the identical plan with shuffle
+    joins), and ONE nested-coalesce applies the backoff chain. The
+    backoff penalty is relative to each position's AVAILABLE order
+    (early positions have short contexts, which is not an unseen-gram
+    event and carries no penalty). Per-doc aggregate = avg log10 S ->
+    perplexity. No per-row Python anywhere; deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import IDENT_RE
+
+BACKOFF = 0.4
+#: gram-join separator — cannot occur inside IDENT_RE-ish tokens
+_SEP = " "
+
+
+def _tok_arr(text_col: str, pattern: str):
+    return F.array_compact(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), F.lit(0))
+    )
+
+
+def _gram_arrays(toks, n):
+    """array<string> of the token array's n-grams (space-joined), JVM."""
+    if n == 1:
+        return toks
+    size = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, size).alias(f"g{i}") for i in range(n)]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(_SEP, *[s[f"g{i}"] for i in range(n)])
+    )
+
+
+def train_ngram_counts(
+    docs: DataFrame,
+    order: int = 3,
+    text_col: str = "text",
+    pattern: str = IDENT_RE,
+    min_count: int = 1,
+) -> dict[int, DataFrame]:
+    """{n: (gram, n_count)} for 1 <= n <= order. ``min_count`` prunes the
+    long tail of higher-order grams AFTER counting (web-scale models keep
+    only grams seen >= k times); unigrams are never pruned — they anchor
+    the backoff floor."""
+    toks = _tok_arr(text_col, pattern)
+    out = {}
+    for n in range(1, order + 1):
+        g = docs.select(F.explode(_gram_arrays(toks, n)).alias("gram"))
+        counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_count"))
+        if min_count > 1 and n > 1:
+            counts = counts.filter(F.col("n_count") >= min_count)
+        out[n] = counts
+    return out
+
+
+def score_docs(
+    docs: DataFrame,
+    counts: dict[int, DataFrame],
+    order: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = IDENT_RE,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob, perplexity) under stupid backoff.
+
+    Position i scores from its longest available gram k_i = min(i+1,
+    order): S = c_k/c_ctx at the first k whose gram AND context counts
+    exist, times BACKOFF^(k_i - k); unigram term c_1/N; OOV floor
+    1/(2N) with the full accumulated penalty. Short context at the doc
+    start is not an unseen event — no penalty for k_i < order.
+    Empty docs are dropped (nothing to score)."""
+    order = order or max(counts)
+    n_total = counts[1].agg(F.sum("n_count")).collect()[0][0] or 1
+    toks = _tok_arr(text_col, pattern)
+    base = docs.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
+    pos = base.select(id_col, F.posexplode("_t").alias("_i", "_w"), "_t")
+    for k in range(1, order + 1):
+        # the k-gram ENDING at position _i (null while _i < k-1)
+        pos = pos.withColumn(
+            f"_g{k}",
+            F.when(
+                F.col("_i") >= k - 1,
+                F.concat_ws(_SEP, F.slice("_t", F.col("_i") - (k - 2), F.lit(k))),
+            ),
+        )
+    pos = pos.drop("_t", "_w")
+    for k in range(1, order + 1):
+        pos = pos.join(
+            F.broadcast(
+                counts[k].select(
+                    F.col("gram").alias(f"_g{k}"), F.col("n_count").alias(f"_c{k}")
+                )
+            ),
+            on=f"_g{k}",
+            how="left",
+        )
+        if k >= 2:
+            # context = the k-gram's leading (k-1)-gram; its count comes
+            # from the (k-1) table under the same min-count pruning
+            pos = pos.withColumn(
+                f"_x{k}",
+                F.when(
+                    F.col(f"_g{k}").isNotNull(),
+                    F.substring_index(F.col(f"_g{k}"), _SEP, k - 1),
+                ),
+            ).join(
+                F.broadcast(
+                    counts[k - 1].select(
+                        F.col("gram").alias(f"_x{k}"),
+                        F.col("n_count").alias(f"_d{k}"),
+                    )
+                ),
+                on=f"_x{k}",
+                how="left",
+            )
+    avail = F.least(F.col("_i") + 1, F.lit(order)).cast("double")
+    penalty = lambda k: F.pow(F.lit(BACKOFF), avail - k)  # noqa: E731
+    branches = []
+    for k in range(order, 1, -1):
+        branches.append(
+            F.when(
+                F.col(f"_c{k}").isNotNull() & F.col(f"_d{k}").isNotNull(),
+                penalty(k) * F.col(f"_c{k}") / F.col(f"_d{k}"),
+            )
+        )
+    branches.append(
+        F.when(
+            F.col("_c1").isNotNull(),
+            penalty(1) * F.col("_c1") / F.lit(float(n_total)),
+        )
+    )
+    floor = penalty(1) * F.lit(1.0 / (2.0 * n_total))
+    score = F.coalesce(*branches, floor)
+    agg = (
+        pos.select(id_col, F.log10(score).alias("_lp"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("_lp").alias("_avg"))
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.round("_avg", 6).alias("avg_logprob"),
+        F.round(F.pow(F.lit(10.0), -F.col("_avg")), 4).alias("perplexity"),
+    )
