@@ -275,6 +275,46 @@ def main() -> None:
         extras["cjk_seg_docs_per_sec"] = round(n_corpus / dt, 1)
         extras["cjk_seg_tokens"] = int(seg_toks)
 
+        # ---- PPMI embedding training (r5: JVM co-occurrence counting +
+        # driver-side factorization of the vocab-capped matrix) -------------
+        def _embed_train():
+            from searchenginer_spark.operators.embed import (
+                cooccurrence_counts,
+                train_ppmi_vectors,
+            )
+
+            cooc = cooccurrence_counts(docs, text_col="content", window=4)
+            tv = train_ppmi_vectors(cooc, dim=16, top_vocab=1024)
+            return tv.count()
+
+        t = time.monotonic()
+        vocab_n = _embed_train()
+        dt = time.monotonic() - t
+        timings["embed_train"] = round(dt, 3)
+        extras["embed_vocab"] = int(vocab_n)
+        extras["embed_docs_per_sec"] = round(n_corpus / dt, 1)
+
+        # ---- n-gram LM training + perplexity scoring (r5: stupid-backoff
+        # quality gate — count shuffles + broadcast-join scoring, zero
+        # Python rows) -------------------------------------------------------
+        def _lm_score():
+            from searchenginer_spark.operators.ngram_lm import (
+                score_docs as lm_score_docs,
+            )
+            from searchenginer_spark.operators.ngram_lm import train_ngram_counts
+
+            counts = train_ngram_counts(
+                docs, order=3, text_col="content", min_count=2
+            )
+            scored = lm_score_docs(docs, counts, text_col="content")
+            return scored.count()
+
+        t = time.monotonic()
+        lm_docs = _lm_score()
+        dt = time.monotonic() - t
+        timings["lm_train_score"] = round(dt, 3)
+        extras["lm_docs_per_sec"] = round(lm_docs / dt, 1)
+
         # ---- dedup-integrated build (corpus -> simhash dedup -> index) -----
         # single fused tokenize pass (dedup_docs_and_tf): wall should sit at
         # ~index_build + the banded pair join, NOT at 2x tokenize

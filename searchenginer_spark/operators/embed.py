@@ -89,25 +89,45 @@ def train_ppmi_vectors(
     vocab order is (count desc, term asc), eigenvector signs are fixed,
     numpy eigh is reproducible for a fixed matrix.
     """
-    totals = (
-        cooc.groupBy("w").agg(F.sum("n").alias("m"))
-        .unionByName(cooc.groupBy(F.col("c").alias("w")).agg(F.sum("n").alias("m")))
-        .groupBy("w").agg(F.sum("m").alias("m"))
-    )
-    vocab_rows = totals.orderBy(F.desc("m"), F.asc("w")).limit(top_vocab).collect()
-    vocab = [r["w"] for r in vocab_rows]
-    index = {t: i for i, t in enumerate(vocab)}
-    V = len(vocab)
-    if V == 0:
-        raise ValueError("empty co-occurrence table")
-    rows = (
-        cooc.filter(F.col("w").isin(vocab) & F.col("c").isin(vocab))
-        .select("w", "c", "n")
-        .collect()
-    )
+    # the counts table feeds two consumers (vocab totals + the filtered
+    # pull) — persist it so the corpus-sized counting pass runs ONCE
+    cooc = cooc.persist()
+    try:
+        totals = (
+            cooc.groupBy("w").agg(F.sum("n").alias("m"))
+            .unionByName(
+                cooc.groupBy(F.col("c").alias("w")).agg(F.sum("n").alias("m"))
+            )
+            .groupBy("w").agg(F.sum("m").alias("m"))
+        )
+        vocab_rows = (
+            totals.orderBy(F.desc("m"), F.asc("w")).limit(top_vocab).collect()
+        )
+        vocab = [r["w"] for r in vocab_rows]
+        index = {t: i for i, t in enumerate(vocab)}
+        V = len(vocab)
+        if V == 0:
+            raise ValueError("empty co-occurrence table")
+        spark = cooc.sparkSession
+        # broadcast semi-joins, NOT isin(V literals): a 2048-literal In
+        # expression costs seconds of driver planning and defeats codegen;
+        # Arrow toPandas moves the ~V^2-bounded pair list in columnar
+        # batches instead of py4j row objects
+        vocab_df = spark.createDataFrame([(t,) for t in vocab], "t string")
+        pairs = (
+            cooc.join(F.broadcast(vocab_df), cooc["w"] == vocab_df["t"], "leftsemi")
+            .join(F.broadcast(vocab_df), cooc["c"] == vocab_df["t"], "leftsemi")
+            .select("w", "c", "n")
+            .toPandas()
+        )
+    finally:
+        cooc.unpersist()
     M = np.zeros((V, V), dtype=np.float64)
-    for r in rows:
-        M[index[r["w"]], index[r["c"]]] += r["n"]
+    np.add.at(
+        M,
+        (pairs["w"].map(index).to_numpy(), pairs["c"].map(index).to_numpy()),
+        pairs["n"].to_numpy(dtype=np.float64),
+    )
     M = M + M.T  # symmetric counts
 
     total = M.sum()
@@ -131,7 +151,6 @@ def train_ppmi_vectors(
     norms[norms == 0] = 1.0
     U = U / norms[:, None]
 
-    spark = cooc.sparkSession
     return spark.createDataFrame(
         [(t, U[i].tolist()) for t, i in index.items()],
         "term string, vec array<double>",

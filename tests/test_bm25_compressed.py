@@ -476,3 +476,40 @@ def test_serving_mode_repeat_does_not_stack_persisted_rdds(spark, docs_sf0001):
     assert n_persisted() <= base
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_alternation_split_property():
+    """Property: for random regexes over a small alphabet, every vocab
+    term that fullmatches the whole pattern starts with SOME branch's
+    literal prefix — the invariant the cached bisect path relies on.
+    And rejoining the split always reproduces the original pattern."""
+    import random
+    import re as _re
+
+    from searchenginer_spark.plans.bm25 import (
+        _regex_literal_prefix,
+        _split_top_level_alternation,
+    )
+
+    rng = random.Random(99)
+    vocab = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+             for _ in range(300)]
+    pieces = ["a", "b", "c", "ab", "bc", "a*", "b?", "[ab]", "(a|b)", ".", "c+"]
+    for _ in range(400):
+        n_br = rng.randint(1, 3)
+        pat = "|".join(
+            "".join(rng.choice(pieces) for _ in range(rng.randint(1, 3)))
+            for _ in range(n_br)
+        )
+        branches = _split_top_level_alternation(pat)
+        assert "|".join(branches) == pat
+        lits = [_regex_literal_prefix(b) for b in branches]
+        if not all(lits):
+            continue  # would take the rlike path — nothing to verify
+        try:
+            rx = _re.compile(pat)
+        except _re.error:
+            continue
+        for t in vocab:
+            if rx.fullmatch(t):
+                assert any(t.startswith(p) for p in lits), (pat, t, lits)
