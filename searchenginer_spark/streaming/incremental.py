@@ -68,13 +68,35 @@ def incremental_index(
     docs_per_part: int = 1 << 16,
     text_col: str = "content",
     tokenizer: str | None = None,
+    with_positions: bool | None = None,
 ) -> None:
     """Drain new parquet files from ``input_dir`` into the index at ``root``.
 
     Exactly-once per input file via the streaming checkpoint; restart-safe.
     Blocks until the AvailableNow trigger finishes.
+
+    Build-geometry contract (r5): when the root carries a ``meta`` table
+    (every build_index root does), the fold READS its build parameters
+    from it — ``with_positions`` and ``tokenizer`` default to the values
+    the index was built with (so folding a phrase-enabled index keeps
+    encoding positions, and a dict_cjk index keeps segmenting), and a
+    ``docs_per_part`` mismatch raises instead of silently bucketing new
+    docs into parts that disagree with every existing posting row.
     """
     paths = IndexPaths(root)
+    if _table_ready(spark, paths.meta):
+        meta = spark.read.parquet(paths.meta).first()
+        if int(meta["docs_per_part"]) != int(docs_per_part):
+            raise ValueError(
+                f"docs_per_part={docs_per_part} conflicts with the index's "
+                f"build geometry {meta['docs_per_part']} (root meta table); "
+                "part bucketing must match or queries read wrong parts"
+            )
+        if with_positions is None:
+            with_positions = bool(meta["with_positions"])
+        if tokenizer is None:
+            tokenizer = meta["tokenizer"]
+    with_positions = bool(with_positions)
     static = spark.read.parquet(input_dir)
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
@@ -95,7 +117,10 @@ def incremental_index(
             .dropDuplicates(["doc_id"])
         )
 
-        tf = S.term_frequencies(docs, text_col=text_col, tokenizer=tokenizer).persist()
+        tf = S.term_frequencies(
+            docs, text_col=text_col, tokenizer=tokenizer,
+            with_positions=with_positions,
+        ).persist()
         dl = S.doc_lengths(tf)
         term_dict = _append_term_dict(bspark, paths, S.document_frequencies(tf))
 
@@ -114,7 +139,8 @@ def incremental_index(
                 part_stats(
                     S.doc_lengths(
                         S.term_frequencies(
-                            others, text_col=text_col, tokenizer=tokenizer
+                            others, text_col=text_col, tokenizer=tokenizer,
+                            with_positions=with_positions,
                         )
                     ),
                     docs_per_part,

@@ -115,3 +115,43 @@ def test_open_handle_sees_folded_terms(spark, tmp_path_factory):
     # its posting from the newly written part
     hits = idx.search("zzzfreshterm", k=5).collect()
     assert [r["doc_id"] for r in hits] == [1000]
+
+
+def test_fold_preserves_positional_index_from_meta(spark, tmp_path_factory):
+    """r5 geometry contract: folding into a positions-enabled index must
+    KEEP encoding positions (with_positions read from the root's meta
+    table) so phrase search spans old and new docs; and a docs_per_part
+    mismatch raises instead of silently mis-bucketing."""
+    import pytest
+
+    from searchenginer_spark.plans.build_index import build_index, open_index
+
+    base = str(tmp_path_factory.mktemp("incpos"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+
+    d1 = spark.createDataFrame(
+        [(i, f"alpha beta merge part gamma doc{i}") for i in range(40)],
+        "doc_id long, content string",
+    )
+    build_index(d1, root, docs_per_part=DPP, with_positions=True)
+
+    # new docs, half containing the phrase — note NO with_positions arg:
+    # the fold must pick it up from meta
+    d2 = spark.createDataFrame(
+        [(100 + i, ("merge part extra" if i % 2 == 0 else "alpha beta only")
+          + f" doc{100 + i}") for i in range(20)],
+        "doc_id long, content string",
+    )
+    d2.write.mode("append").parquet(input_dir)
+    incremental_index(spark, input_dir, root, ckpt, docs_per_part=DPP)
+
+    idx = open_index(spark, root)
+    assert "positions" in idx.postings.columns
+    got = sorted(r["doc_id"] for r in
+                 idx.search_phrase("merge part", k=1000).collect())
+    want = sorted(list(range(40)) + [100 + i for i in range(20) if i % 2 == 0])
+    assert got == want
+
+    with pytest.raises(ValueError, match="docs_per_part"):
+        incremental_index(spark, input_dir, root, f"{base}/ckpt2",
+                          docs_per_part=DPP * 2)
