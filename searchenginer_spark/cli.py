@@ -9,6 +9,8 @@ Commands:
   search      --root /idx --q 'data +value -merge quer* "a b"~3 lang:de'
               (composed grammar, functions/queryparse; --docs for facets)
   suggest     --root /idx --q "retrun"
+  embed-train --corpus /path --out /vecs        PPMI word vectors (r5)
+  lm-score    --corpus /path --out /ppl         perplexity quality gate (r5)
   bench       (same as bench.py)
 
 The reference's equivalents are the makepage/MakeDictTool binaries and the
@@ -68,6 +70,24 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--pad", action="store_true",
                    help="exactly k rows, '' fillers (reference wire shape)")
+
+    e = sub.add_parser("embed-train",
+                       help="PPMI word vectors from a corpus (operators/embed)")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--text-col", default="content")
+    e.add_argument("--out", required=True, help="term-vector parquet sink")
+    e.add_argument("--dim", type=int, default=16)
+    e.add_argument("--window", type=int, default=4)
+    e.add_argument("--top-vocab", type=int, default=2048)
+
+    lm = sub.add_parser("lm-score",
+                        help="stupid-backoff perplexity gate (operators/ngram_lm)")
+    lm.add_argument("--corpus", required=True, help="training corpus parquet")
+    lm.add_argument("--score", help="table to score (default: the corpus itself)")
+    lm.add_argument("--text-col", default="content")
+    lm.add_argument("--out", required=True, help="(doc_id, perplexity) parquet sink")
+    lm.add_argument("--order", type=int, default=3)
+    lm.add_argument("--min-count", type=int, default=2)
 
     args = ap.parse_args(argv)
 
@@ -136,6 +156,36 @@ def main(argv: list[str] | None = None) -> None:
         term_dict = spark.read.parquet(f"{args.root}/term_dict")
         rows = suggest(term_dict, args.q, k=args.k, pad=args.pad).collect()
         print(json.dumps([{"term": r["term"], "sim": r["sim"]} for r in rows]))
+
+    elif args.cmd == "embed-train":
+        from .operators.embed import cooccurrence_counts, train_ppmi_vectors
+
+        corpus = spark.read.parquet(args.corpus)
+        cooc = cooccurrence_counts(corpus, text_col=args.text_col, window=args.window)
+        tv = train_ppmi_vectors(cooc, dim=args.dim, top_vocab=args.top_vocab)
+        tv.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "vocab": tv.count(), "dim": args.dim}))
+
+    elif args.cmd == "lm-score":
+        from .operators.ngram_lm import score_docs as lm_score
+        from .operators.ngram_lm import train_ngram_counts
+
+        corpus = spark.read.parquet(args.corpus)
+        counts = train_ngram_counts(
+            corpus, order=args.order, text_col=args.text_col,
+            min_count=args.min_count,
+        )
+        from pyspark.sql import functions as F
+
+        target = spark.read.parquet(args.score) if args.score else corpus
+        scored = lm_score(target, counts, text_col=args.text_col)
+        scored.write.mode("overwrite").parquet(args.out)
+        stats = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("perplexity"), 2).alias("mean_ppl"),
+        ).first()
+        print(json.dumps({"written": args.out, "n_docs": stats["n"],
+                          "mean_perplexity": stats["mean_ppl"]}))
 
     if owned:  # don't stop a session we merely joined
         spark.stop()

@@ -404,8 +404,9 @@ def compact_indexes(
     roots: list[str],
     out_root: str,
     docs_per_part: int = 1 << 16,
-    with_positions: bool = False,
+    with_positions: bool | None = None,
     text_col: str = "content",
+    tokenizer: str | None = None,
 ) -> dict:
     """Compact several indexes (e.g. a base + incremental deltas) into one.
 
@@ -414,7 +415,19 @@ def compact_indexes(
     compaction (the incremental path in streaming/incremental.py is the
     in-place delta fold; this is the periodic consolidation that clears its
     accumulated idf staleness). Doc ids must be disjoint across inputs.
+
+    ``with_positions`` / ``tokenizer`` default to the FIRST root's meta
+    table (r5) — a compaction must not silently drop positions or swap
+    the tokenizer of the indexes it consolidates; pass explicit values
+    to deliberately change the geometry of the output index.
     """
+    first = IndexPaths(roots[0])
+    if _table_ready(spark, first.meta):
+        meta = spark.read.parquet(first.meta).first()
+        if with_positions is None:
+            with_positions = bool(meta["with_positions"])
+        if tokenizer is None:
+            tokenizer = meta["tokenizer"]
     docs = None
     for r in roots:
         d = spark.read.parquet(IndexPaths(r).docs).drop("part")
@@ -423,8 +436,9 @@ def compact_indexes(
         docs,
         out_root,
         docs_per_part=docs_per_part,
-        with_positions=with_positions,
+        with_positions=bool(with_positions),
         text_col=text_col,
+        tokenizer=tokenizer,
     )
 
 

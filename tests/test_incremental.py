@@ -155,3 +155,34 @@ def test_fold_preserves_positional_index_from_meta(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="docs_per_part"):
         incremental_index(spark, input_dir, root, f"{base}/ckpt2",
                           docs_per_part=DPP * 2)
+
+
+def test_compact_inherits_meta_geometry(spark, tmp_path_factory):
+    """r5: compacting indexes defaults with_positions/tokenizer from the
+    first root's meta — a dict_cjk positional index stays dict_cjk and
+    positional after consolidation."""
+    from searchenginer_spark.plans.build_index import (
+        build_index,
+        compact_indexes,
+        open_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("cmeta"))
+    d1 = spark.createDataFrame(
+        [(i, "搜索引擎查询文档") for i in range(20)], "doc_id long, content string"
+    )
+    d2 = spark.createDataFrame(
+        [(100 + i, "机器学习模型文档") for i in range(20)], "doc_id long, content string"
+    )
+    build_index(d1, f"{base}/a", docs_per_part=DPP, with_positions=True,
+                tokenizer="dict_cjk")
+    build_index(d2, f"{base}/b", docs_per_part=DPP, with_positions=True,
+                tokenizer="dict_cjk")
+    compact_indexes(spark, [f"{base}/a", f"{base}/b"], f"{base}/out",
+                    docs_per_part=DPP)
+    idx = open_index(spark, f"{base}/out")
+    assert "positions" in idx.postings.columns
+    terms = {r["term"] for r in idx.term_dict.collect()}
+    assert "搜索引擎" in terms and "搜" not in terms  # segmented, not bigrams
+    meta = spark.read.parquet(f"{base}/out/meta").first()
+    assert meta["with_positions"] and meta["tokenizer"] == "dict_cjk"
