@@ -187,3 +187,85 @@ def test_build_index_with_dict_cjk_tokenizer(spark, tmp_path):
     # meta records the tokenizer for consumers
     meta = spark.read.parquet(f"{root}/meta").first()
     assert meta["tokenizer"] == "dict_cjk"
+
+
+# ------------------------------------------------ r5 brute-force oracles
+
+
+def _all_segmentations(run):
+    """Every way to split run into non-empty contiguous pieces."""
+    if not run:
+        yield []
+        return
+    for i in range(1, len(run) + 1):
+        for rest in _all_segmentations(run[i:]):
+            yield [run[:i]] + rest
+
+
+def test_mp_route_is_globally_optimal():
+    """The MP DAG decode must pick the max-log-prob segmentation among
+    ALL 2^(n-1) segmentations (pieces scored by dict logp, single-char
+    OOV floor, multi-char OOV pieces impossible) — exhaustive check on
+    short runs, ties broken toward the route the DP picks."""
+    import math
+
+    seg = MPSegmenter()
+    logp = {w: math.log(f) - math.log(sum(seg.freq.values()))
+            for w, f in seg.freq.items()}
+    floor = seg._floor
+
+    def score(pieces):
+        s = 0.0
+        for p in pieces:
+            if p in logp:
+                s += logp[p]
+            elif len(p) == 1:
+                s += floor
+            else:
+                return None  # unreachable by the DAG
+        return s
+
+    for run in ["搜索引擎", "信息检索系统", "数据库索引", "机器学习算法",
+                "未登录词", "搜索引擎查询"]:
+        got = seg.cut_cjk(run)
+        assert "".join(got) == run
+        best = max(
+            (s for s in map(score, _all_segmentations(run)) if s is not None)
+        )
+        assert abs(score(got) - best) < 1e-12, run
+
+
+def test_hmm_viterbi_is_globally_optimal():
+    """The Viterbi decode must equal the max-probability BEMS path found
+    by exhaustive enumeration of all valid state sequences."""
+    import itertools
+
+    h = HMMSegmenter(DEFAULT_DICT)
+
+    def path_logp(run, states):
+        if states[0] not in "BS" or states[-1] not in "ES":
+            return None
+        p = h._start_logp[states[0]] + h._emit(states[0], run[0])
+        for i in range(1, len(run)):
+            prev, cur = states[i - 1], states[i]
+            if cur not in h._trans_logp[prev]:
+                return None
+            p += h._trans_logp[prev][cur] + h._emit(cur, run[i])
+        return p
+
+    def states_to_cut(run, states):
+        out, start = [], 0
+        for i, s in enumerate(states):
+            if s in "ES":
+                out.append(run[start : i + 1])
+                start = i + 1
+        return out
+
+    for run in ["未登录词", "张伟明", "数擎", "阿里巴巴云"]:
+        best_p, best_states = None, None
+        for states in itertools.product("BMES", repeat=len(run)):
+            p = path_logp(run, states)
+            if p is not None and (best_p is None or p > best_p):
+                best_p, best_states = p, states
+        assert best_states is not None
+        assert h.cut(run) == states_to_cut(run, best_states), run
