@@ -214,13 +214,22 @@ def _q_bm25_compressed_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cindex_prod(spark, sf_dir).search(FLAGSHIP_QUERY, k=10, mode="and", round_to=4)
 
 
-def release_entry_caches() -> None:
+def release_entry_caches(sweep_checkpoints: bool = False) -> None:
     """Unpersist every cached handle this module holds (the shared
-    DataFrame/compressed indexes the contract queries reuse) and clear
-    the caches — the explicit counterpart to session teardown for
-    long-lived drivers (r3/r4 hygiene item). Dedup contract queries
-    themselves persist nothing (persist_shared=False throughout), so
-    after this call the session holds zero persisted RDDs."""
+    DataFrame/compressed indexes the contract queries reuse), release
+    their id-minting checkpoints, and clear the caches — the explicit
+    counterpart to session teardown for long-lived drivers (r3/r4
+    hygiene item). Dedup contract queries persist nothing
+    (persist_shared=False throughout).
+
+    What this does NOT cover by default: queries that build an index
+    INLINE (dedup/stopword/compacted/CJK/positional fixtures) leave
+    their term-dict localCheckpoint storage behind with no reachable
+    handle. ``sweep_checkpoints=True`` additionally unpersists EVERY
+    localCheckpoint RDD registered on the session — correct only for
+    the session's owner (a checkpoint another live index still depends
+    on cannot be recomputed once swept); with it, the session returns
+    to zero module-held persisted RDDs."""
     for m1 in _IDX_CACHE.values():
         for h in (m1.tf, m1.dl, m1.dft):
             try:
@@ -245,6 +254,18 @@ def release_entry_caches() -> None:
     _IDX_CACHE.clear()
     _CIDX_CACHE.clear()
     _CIDX_PROD_CACHE.clear()
+    if sweep_checkpoints:
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            it = (
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .entrySet()
+                .iterator()
+            )
+            while it.hasNext():
+                rdd = it.next().getValue()
+                if "localCheckpoint" in rdd.toString():
+                    rdd.unpersist(False)
 
 
 def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:

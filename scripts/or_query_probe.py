@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
 
-from searchenginer_spark.operators.postings import decode_scores  # noqa: E402
+from searchenginer_spark.operators.postings import BLOCK, decode_scores  # noqa: E402
 from searchenginer_spark.plans import bm25 as B  # noqa: E402
 from searchenginer_spark.plans.build_index import build_index, open_index  # noqa: E402
 from searchenginer_spark.session import get_spark  # noqa: E402
@@ -106,7 +106,7 @@ def or_prune_stats(parts, qtf, k=10):
                 bidx = np.unique(np.searchsorted(bl_t, live))
                 bidx = bidx[bidx < bl_t.size]
                 st["decoded"] += int(bidx.size)
-                st["cand"] += int(bidx.size) * 128
+                st["cand"] += int(bidx.size) * BLOCK
     return stats
 
 

@@ -177,10 +177,15 @@ def main(argv: list[str] | None = None) -> None:
         )
         from pyspark.sql import functions as F
 
+        from .operators.dedup import release_intermediates
+
         target = spark.read.parquet(args.score) if args.score else corpus
         scored = lm_score(target, counts, text_col=args.text_col)
         scored.write.mode("overwrite").parquet(args.out)
-        stats = scored.agg(
+        release_intermediates(scored)
+        # summarize from the WRITTEN table — re-aggregating the lazy plan
+        # would execute the whole scoring pipeline a second time
+        stats = spark.read.parquet(args.out).agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("perplexity"), 2).alias("mean_ppl"),
         ).first()

@@ -71,6 +71,13 @@ def _ppm_decode(data: bytes) -> np.ndarray:
         raster = np.array(data[pos:].split()[: w * h * 3], dtype=np.uint8)
     if raster.size != w * h * 3:
         raise ValueError("PPM raster truncated")
+    if maxval != 255:
+        # netpbm samples are fractions of maxval — rescale to 8-bit like
+        # every standard decoder (otherwise maxval=15 images decode ~17x
+        # too dark and the pixel features silently shift)
+        raster = np.rint(raster.astype(np.float64) * (255.0 / maxval)).astype(
+            np.uint8
+        )
     return raster.reshape(h, w, 3)
 
 
@@ -261,7 +268,7 @@ def extract_audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame
                 if decoder == "real":
                     samples, rate = decode_wav(raw)
                 else:
-                    rate = int(m["sample_rate"] or 16000)
+                    rate = int((m["sample_rate"] if m is not None else None) or 16000)
                     samples = (
                         np.frombuffer(raw[: len(raw) & ~1], dtype="<i2")
                         .astype(np.float32) / 32768.0

@@ -14,8 +14,10 @@ built only from public results and the corpus:
   2. PPMI weighting with context-distribution smoothing (alpha = 0.75)
      — the Levy & Goldberg (2014) result that PPMI-factorized vectors
      match word2vec's implicit objective; all public.
-  3. truncated symmetric eigendecomposition of the (dense, vocab-capped)
-     PPMI matrix on the driver: vec(w) = top-k eigenvectors scaled by
+  3. truncated eigendecomposition of the SYMMETRIZED (dense,
+     vocab-capped) PPMI matrix on the driver (smoothing breaks exact
+     symmetry; word/context roles are averaged): vec(w) = top-k
+     eigenvectors scaled by
      sqrt(eigenvalue), rows L2-normalized, eigenvector SIGNS fixed
      deterministically (largest-|component| positive) so two runs — or
      two clusters — produce bit-identical vectors.
@@ -108,6 +110,13 @@ def train_ppmi_vectors(
         V = len(vocab)
         if V == 0:
             raise ValueError("empty co-occurrence table")
+        if V < dim:
+            # silently returning V-dim vectors would make downstream
+            # element_at('vec', d+1) reads throw under ANSI mode
+            raise ValueError(
+                f"dim={dim} exceeds the usable vocabulary ({V} terms); "
+                "lower dim or provide more text"
+            )
         spark = cooc.sparkSession
         # broadcast semi-joins, NOT isin(V literals): a 2048-literal In
         # expression costs seconds of driver planning and defeats codegen;
@@ -137,6 +146,11 @@ def train_ppmi_vectors(
     with np.errstate(divide="ignore", invalid="ignore"):
         pmi = np.log((M / total) / np.outer(pw, pc))
     ppmi = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+    # context-distribution smoothing makes pc != pw, so this PPMI matrix
+    # is NOT symmetric — and eigh silently reads only one triangle.
+    # Factorize the symmetric part (word/context roles averaged), the
+    # standard move for eigendecomposing a smoothed PPMI
+    ppmi = (ppmi + ppmi.T) / 2.0
 
     vals, vecs = np.linalg.eigh(ppmi)  # ascending eigenvalues
     top = np.argsort(-vals)[:dim]

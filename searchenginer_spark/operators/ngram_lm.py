@@ -94,8 +94,20 @@ def score_docs(
     exist, times BACKOFF^(k_i - k); unigram term c_1/N; OOV floor
     1/(2N) with the full accumulated penalty. Short context at the doc
     start is not an unseen event — no penalty for k_i < order.
-    Empty docs are dropped (nothing to score)."""
+    Empty docs are dropped (nothing to score).
+
+    The count tables are PERSISTED here: each is consumed 2-3 times (the
+    n_total aggregate, its own gram join, the next order's context
+    join), and without a persist every consumer re-runs the full
+    training-corpus counting pass. The handles ride the result as
+    ``_sg_intermediates`` — call
+    :func:`searchenginer_spark.operators.dedup.release_intermediates`
+    after materializing (same caller-owned lifecycle as the dedup
+    operators); session teardown reclaims them otherwise."""
+    from .dedup import _attach_intermediates
+
     order = order or max(counts)
+    counts = {k: counts[k].persist() for k in range(1, order + 1)}
     n_total = counts[1].agg(F.sum("n_count")).collect()[0][0] or 1
     toks = _tok_arr(text_col, pattern)
     base = docs.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
@@ -162,9 +174,10 @@ def score_docs(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("_lp").alias("_avg"))
     )
-    return agg.select(
+    result = agg.select(
         id_col,
         "n_tokens",
         F.round("_avg", 6).alias("avg_logprob"),
         F.round(F.pow(F.lit(10.0), -F.col("_avg")), 4).alias("perplexity"),
     )
+    return _attach_intermediates(result, list(counts.values()))

@@ -403,7 +403,7 @@ def compact_indexes(
     spark: SparkSession,
     roots: list[str],
     out_root: str,
-    docs_per_part: int = 1 << 16,
+    docs_per_part: int | None = None,
     with_positions: bool | None = None,
     text_col: str = "content",
     tokenizer: str | None = None,
@@ -416,14 +416,18 @@ def compact_indexes(
     in-place delta fold; this is the periodic consolidation that clears its
     accumulated idf staleness). Doc ids must be disjoint across inputs.
 
-    ``with_positions`` / ``tokenizer`` default to the FIRST root's meta
-    table (r5) — a compaction must not silently drop positions or swap
-    the tokenizer of the indexes it consolidates; pass explicit values
-    to deliberately change the geometry of the output index.
+    ``docs_per_part`` / ``with_positions`` / ``tokenizer`` default to
+    the FIRST root's meta table (r5) — a compaction must not silently
+    re-bucket, drop positions, or swap the tokenizer of the indexes it
+    consolidates; pass explicit values to deliberately change the
+    geometry of the output index. A meta-less first root falls back to
+    the build defaults (1 << 16, no positions, regex tokenizer).
     """
     first = IndexPaths(roots[0])
     if _table_ready(spark, first.meta):
         meta = spark.read.parquet(first.meta).first()
+        if docs_per_part is None:
+            docs_per_part = int(meta["docs_per_part"])
         if with_positions is None:
             with_positions = bool(meta["with_positions"])
         if tokenizer is None:
@@ -435,7 +439,7 @@ def compact_indexes(
     return build_index(
         docs,
         out_root,
-        docs_per_part=docs_per_part,
+        docs_per_part=int(docs_per_part) if docs_per_part is not None else 1 << 16,
         with_positions=bool(with_positions),
         text_col=text_col,
         tokenizer=tokenizer,

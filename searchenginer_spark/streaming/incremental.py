@@ -65,7 +65,7 @@ def incremental_index(
     input_dir: str,
     root: str,
     checkpoint_dir: str,
-    docs_per_part: int = 1 << 16,
+    docs_per_part: int | None = None,
     text_col: str = "content",
     tokenizer: str | None = None,
     with_positions: bool | None = None,
@@ -77,16 +77,21 @@ def incremental_index(
 
     Build-geometry contract (r5): when the root carries a ``meta`` table
     (every build_index root does), the fold READS its build parameters
-    from it — ``with_positions`` and ``tokenizer`` default to the values
-    the index was built with (so folding a phrase-enabled index keeps
-    encoding positions, and a dict_cjk index keeps segmenting), and a
-    ``docs_per_part`` mismatch raises instead of silently bucketing new
-    docs into parts that disagree with every existing posting row.
+    from it — ``docs_per_part``, ``with_positions``, and ``tokenizer``
+    all default to the values the index was built with (so folding a
+    phrase-enabled index keeps encoding positions, a dict_cjk index
+    keeps segmenting, and part bucketing matches by construction).
+    Passing an EXPLICIT ``docs_per_part`` that conflicts with the meta
+    value raises instead of silently bucketing new docs into parts that
+    disagree with every existing posting row. A brand-new root (no meta
+    yet) falls back to 1 << 16.
     """
     paths = IndexPaths(root)
     if _table_ready(spark, paths.meta):
         meta = spark.read.parquet(paths.meta).first()
-        if int(meta["docs_per_part"]) != int(docs_per_part):
+        if docs_per_part is None:
+            docs_per_part = int(meta["docs_per_part"])
+        elif int(meta["docs_per_part"]) != int(docs_per_part):
             raise ValueError(
                 f"docs_per_part={docs_per_part} conflicts with the index's "
                 f"build geometry {meta['docs_per_part']} (root meta table); "
@@ -96,6 +101,7 @@ def incremental_index(
             with_positions = bool(meta["with_positions"])
         if tokenizer is None:
             tokenizer = meta["tokenizer"]
+    docs_per_part = int(docs_per_part) if docs_per_part is not None else 1 << 16
     with_positions = bool(with_positions)
     static = spark.read.parquet(input_dir)
 

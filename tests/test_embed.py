@@ -77,12 +77,18 @@ def test_train_deterministic_and_structured(docs):
 
 
 def test_vocab_cap(docs):
+    import pytest as _pytest
+
     cooc = cooccurrence_counts(docs, window=2)
-    tv = train_ppmi_vectors(cooc, dim=4, top_vocab=3)
+    tv = train_ppmi_vectors(cooc, dim=2, top_vocab=3)
     assert tv.count() == 3
     # cap keeps the highest co-occurrence-mass terms
     kept = {r["term"] for r in tv.collect()}
     assert {"apple", "banana"} <= kept or {"car", "truck"} <= kept
+    # dim beyond the usable vocabulary fails fast instead of returning
+    # short vectors that blow up downstream element_at reads (ANSI)
+    with _pytest.raises(ValueError, match="exceeds the usable vocabulary"):
+        train_ppmi_vectors(cooc, dim=4, top_vocab=3)
 
 
 def test_doc_vectors_from_trained(docs, spark):

@@ -77,12 +77,15 @@ def test_release_entry_caches_leaves_no_persisted_rdds(spark):
     base = n_persisted()
     sf = "/root/testdata/sf0.001"
     qs = entrymod.queries()
+    # the last entry builds an index INLINE (its term-dict checkpoint has
+    # no reachable handle afterwards) — covered only by the sweep
     for name in ("bm25_compressed_and_topk", "bm25_compressed_prod_geometry",
                  "dedup_minhash_lsh", "dedup_simhash_pairs",
-                 "dedup_embedding_pairs", "ngram_jaccard_pairs"):
+                 "dedup_embedding_pairs", "ngram_jaccard_pairs",
+                 "bm25_stopword_topk"):
         qs[name](spark, sf).collect()
     assert n_persisted() > base, "index caches should be live mid-run"
-    entrymod.release_entry_caches()
+    entrymod.release_entry_caches(sweep_checkpoints=True)
     for _ in range(20):  # unpersist is async
         if n_persisted() <= base:
             break

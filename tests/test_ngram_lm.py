@@ -144,3 +144,22 @@ def test_empty_docs_dropped(spark, train_docs):
     d = spark.createDataFrame([(0, ""), (1, "the quick")], "doc_id long, text string")
     rows = score_docs(d, counts, order=2).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_score_docs_release_intermediates(spark, train_docs, score_docs_df):
+    """score_docs persists its count tables (each feeds 2-3 consumers);
+    the handles ride the result and release_intermediates reclaims them
+    — same caller-owned lifecycle as the dedup operators."""
+    from pyspark import StorageLevel
+
+    from searchenginer_spark.operators.dedup import release_intermediates
+
+    counts = train_ngram_counts(train_docs, order=3)
+    scored = score_docs(score_docs_df, counts)
+    scored.collect()
+    handles = scored._sg_intermediates
+    assert len(handles) == 3  # one persisted count table per order
+    assert all(h.storageLevel != StorageLevel.NONE for h in handles)
+    release_intermediates(scored)
+    assert all(h.storageLevel == StorageLevel.NONE for h in handles)
+    assert scored._sg_intermediates == ()  # idempotent release

@@ -231,6 +231,11 @@ def test_decode_image_roundtrip_ppm_and_bmp():
     big = resize_image(img, 14, 10)
     assert big.shape == (10, 14, 3)
     assert np.array_equal(resize_image(big, 7, 5), img)
+    # low-maxval PPM rescales to 8-bit like standard decoders
+    low = b"P3\n2 1\n15\n15 0 7 3 15 1"
+    import numpy as _np
+    want = _np.rint(_np.array([[ [15,0,7],[3,15,1] ]]) * (255.0/15)).astype("uint8")
+    assert _np.array_equal(decode_image(low), want)
     # PNG magic hits the declared PIL seam
     with _pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
