@@ -269,3 +269,51 @@ def test_hmm_viterbi_is_globally_optimal():
                 best_p, best_states = p, states
         assert best_states is not None
         assert h.cut(run) == states_to_cut(run, best_states), run
+
+
+def test_mix_property_random_dicts_and_runs():
+    """Property (hypothesis): for random dictionaries and random runs,
+    every Mix cut concatenates to the input, has no empty pieces, every
+    multi-char piece is either a dict word or an HMM group of chars that
+    form no dict word, and segmentation is deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    chars = "一二三四五六七八九十百千万口日月水火木金土人大小"
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet=chars, min_size=2, max_size=4), min_size=1,
+            max_size=12, unique=True,
+        ),
+        run=st.text(alphabet=chars, min_size=0, max_size=12),
+        freqs=st.lists(st.integers(1, 1000), min_size=12, max_size=12),
+    )
+    def check(words, run, freqs):
+        d = {w: f for w, f in zip(words, freqs)}
+        seg = MixSegmenter(d)
+        cut = seg.cut_cjk(run)
+        assert "".join(cut) == run
+        assert all(cut)
+        assert cut == MixSegmenter(d).cut_cjk(run)
+        # multi-char pieces are dict words OR HMM groups over a region
+        # the MP route left entirely as single chars; reconstruct the MP
+        # piece stream positionally to check the latter
+        mp = MPSegmenter(d).cut_cjk(run)
+        mp_spans = []
+        i = 0
+        for q in mp:
+            mp_spans.append((i, i + len(q), len(q)))
+            i += len(q)
+        j = 0
+        for p in cut:
+            if len(p) > 1 and p not in d:
+                lo, hi = j, j + len(p)
+                inside = [ln for (a, b, ln) in mp_spans if a >= lo and b <= hi]
+                assert sum(inside) == len(p) and all(ln == 1 for ln in inside), (
+                    run, cut, mp, p,
+                )
+            j += len(p)
+
+    check()
