@@ -10,6 +10,7 @@ Commands:
               (composed grammar, functions/queryparse; --docs for facets)
   suggest     --root /idx --q "retrun"
   embed-train --corpus /path --out /vecs        PPMI word vectors (r5)
+  bpe-train   --corpus /path --out /merges      learned BPE tokenizer (r5)
   lm-score    --corpus /path --out /ppl         perplexity quality gate (r5)
   bench       (same as bench.py)
 
@@ -79,6 +80,16 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--dim", type=int, default=16)
     e.add_argument("--window", type=int, default=4)
     e.add_argument("--top-vocab", type=int, default=2048)
+
+    bp = sub.add_parser("bpe-train",
+                        help="learned BPE merge table + token counts (operators/bpe)")
+    bp.add_argument("--corpus", required=True)
+    bp.add_argument("--text-col", default="content")
+    bp.add_argument("--out", required=True, help="merge-table parquet sink")
+    bp.add_argument("--merges", type=int, default=200)
+    bp.add_argument("--max-words", type=int, default=50_000)
+    bp.add_argument("--counts-out",
+                    help="also write per-doc (doc_id, n_bpe_tokens) parquet")
 
     lm = sub.add_parser("lm-score",
                         help="stupid-backoff perplexity gate (operators/ngram_lm)")
@@ -165,6 +176,24 @@ def main(argv: list[str] | None = None) -> None:
         tv = train_ppmi_vectors(cooc, dim=args.dim, top_vocab=args.top_vocab)
         tv.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"written": args.out, "vocab": tv.count(), "dim": args.dim}))
+
+    elif args.cmd == "bpe-train":
+        from .operators.bpe import bpe_token_counts, train_bpe, word_frequencies
+
+        corpus = spark.read.parquet(args.corpus)
+        wf = word_frequencies(corpus, text_col=args.text_col)
+        merges = train_bpe(wf, n_merges=args.merges, max_words=args.max_words)
+        spark.createDataFrame(
+            [(a, b, i) for i, (a, b) in enumerate(merges)],
+            "pair_a string, pair_b string, rank int",
+        ).write.mode("overwrite").parquet(args.out)
+        summary = {"written": args.out, "n_merges": len(merges)}
+        if args.counts_out:
+            bpe_token_counts(
+                corpus, merges, text_col=args.text_col
+            ).write.mode("overwrite").parquet(args.counts_out)
+            summary["counts_written"] = args.counts_out
+        print(json.dumps(summary))
 
     elif args.cmd == "lm-score":
         from .operators.ngram_lm import score_docs as lm_score

@@ -163,6 +163,9 @@ def bpe_token_counts(
     """(doc_id, n_bpe_tokens) under the LEARNED tokenizer — the exact
     token accounting a training-data budget needs (replaces the
     regex approximation when a trained merge table is available)."""
+    from ..deploy import ship_package
+
+    ship_package(docs.sparkSession)  # UDF closure imports this package
     enc = bpe_encode_pandas_udf(merges, pattern)
     return docs.select(
         F.col(id_col), F.size(enc(F.col(text_col))).alias("n_bpe_tokens")
