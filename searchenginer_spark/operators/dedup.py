@@ -403,3 +403,122 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component_id) — connected components of a similar-pair graph.
+
+    Pair generators (minhash_lsh_pairs, simhash_near_pairs, ...) emit edges;
+    transitive closure turns them into dedup CLUSTERS (A~B, B~C => one
+    cluster even when A!~C directly). ``component_id`` is the smallest
+    doc_id in the component, so "keep doc_id == component_id" reproduces
+    the lowest-id-wins rule of :func:`dedup_by_pairs` extended to chains.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14 — public).
+    Each half-round is one groupBy-min plus one equi-join; the edge list
+    converges to a star per component in O(log n) rounds. Nothing graph-
+    shaped ever sits on the driver — the loop only compares a per-round
+    (count, xxhash-sum) digest, so 100 TB of edges iterate exactly like
+    the test graphs. Lineage is truncated every round with an eager
+    localCheckpoint (on a real cluster with a checkpoint dir configured,
+    ``df.checkpoint`` is the drop-in durable variant).
+    """
+    u, v = F.col("u"), F.col("v")
+    edges = (
+        pairs.select(
+            F.col(id_col).cast("long").alias("u"),
+            F.col(f"{id_col}_2").cast("long").alias("v"),
+        )
+        .filter(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(u.alias("n"))
+        .union(edges.select(v.alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    prev_digest = None
+    e = edges
+    for _ in range(max_iter):
+        # LARGE-STAR: every neighbor larger than u links to min(N(u) ∪ {u})
+        nbrs = e.union(e.select(v.alias("u"), u.alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (
+            nbrs.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+            .distinct()
+        )
+        # SMALL-STAR: point each edge from its larger endpoint; the larger
+        # endpoint and all its ≤-neighbors link to the smallest of them
+        directed = e.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            directed.select("u", "v")
+            .union(directed.select("u", u.alias("v")))
+            .distinct()
+            .join(mins, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+            .distinct()
+            .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        )
+        e = e.localCheckpoint(eager=True)
+        # bit_xor, not sum: order-independent over the distinct edge set
+        # and immune to ANSI-mode long overflow
+        digest = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        if (digest["n"], digest["h"]) == prev_digest:
+            break
+        prev_digest = (digest["n"], digest["h"])
+    else:  # pragma: no cover — 2^25 nodes exceeds any test graph
+        raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+
+    # converged: every edge is (member, root). Roots + isolated nodes map
+    # to themselves (pairs input has no isolated nodes, but be total).
+    assign = e.select(v.alias("n"), u.alias("root"))
+    return (
+        nodes.join(assign, "n", "left")
+        .select(
+            F.col("n").alias(id_col),
+            F.coalesce("root", "n").alias("component_id"),
+        )
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_kept) — transitive MinHash near-dup clusters.
+
+    minhash_lsh_pairs -> connected_components; ``is_kept`` marks the one
+    survivor (smallest doc_id) per cluster. Docs with no near-dup form
+    singleton clusters and are kept."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, **lsh_kwargs)
+    comp = connected_components(pairs, id_col=id_col)
+    release_intermediates(pairs)  # components are materialized by the CC loop
+    all_docs = docs.select(F.col(id_col).cast("long").alias(id_col))
+    return (
+        all_docs.join(F.broadcast(comp), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("component_id", F.col(id_col)) == F.col(id_col)).alias(
+                "is_kept"
+            ),
+        )
+    )

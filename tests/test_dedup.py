@@ -209,3 +209,95 @@ def test_embedding_cosine_pairs_find_injected_dups(spark):
     }
     assert expected, "fixture should contain injected dups"
     assert expected <= got  # every injected exact dup recalled at cos≈1
+
+
+# ---------------------------------------------------------------- components
+
+
+def _uf_components(n_nodes, edges):
+    """Union-find oracle: node -> min node id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 60, 40), (11, 120, 200), (13, 30, 29)])
+def test_connected_components_matches_union_find(spark, seed, n, m):
+    import random
+
+    from searchenginer_spark.operators.dedup import connected_components
+
+    rng = random.Random(seed)
+    edges = {(min(a, b), max(a, b))
+             for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(m))
+             if a != b}
+    oracle = _uf_components(n, edges)
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_id long, doc_id_2 long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    touched = {a for e in edges for a in e}
+    assert got == {i: oracle[i] for i in touched}
+
+
+def test_connected_components_chain_transitivity(spark):
+    from searchenginer_spark.operators.dedup import connected_components
+
+    # a 1000-node path: worst case for naive propagation, log-rounds for
+    # star contraction; plus a disjoint triangle
+    chain = [(i, i + 1) for i in range(1000)]
+    tri = [(5000, 5001), (5001, 5002)]
+    pairs = spark.createDataFrame(chain + tri, "doc_id long, doc_id_2 long")
+    comp = connected_components(pairs).collect()
+    roots = {r["doc_id"]: r["component_id"] for r in comp}
+    assert all(roots[i] == 0 for i in range(1001))
+    assert all(roots[i] == 5000 for i in (5000, 5001, 5002))
+
+
+def test_near_dup_clusters_end_to_end(spark, docs):
+    from searchenginer_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    out = near_dup_clusters(docs, threshold=0.5).collect()
+    assert len(out) == docs.count()
+    by_id = {r["doc_id"]: r for r in out}
+    # survivors are exactly the cluster minima
+    for r in out:
+        assert r["is_kept"] == (r["doc_id"] == r["cluster_id"])
+        assert r["cluster_id"] <= r["doc_id"]
+        assert by_id[r["cluster_id"]]["is_kept"]
+    # clusters = transitive closure of the pair graph (same generator)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    for doc_id, root in comp.items():
+        assert by_id[doc_id]["cluster_id"] == root
+    # every exact duplicate pair must share a cluster
+    dup_groups = (
+        docs.select(F.sha2("text", 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    assert dup_groups, "corpus should contain exact duplicates"
+    for g in dup_groups:
+        assert len({by_id[i]["cluster_id"] for i in g["ids"]}) == 1
