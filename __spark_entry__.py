@@ -1847,6 +1847,62 @@ FROM (
 """
 
 
+def _q_sql_generic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six generic-SQL shapes (TPC-H Q1 pricing summary, hourly events,
+    ROLLUP, broadcast-join top customers, row_number supplier ranking,
+    gap sessionization) in ONE contract row — the (suite, grp, n, v1, v2)
+    normalization lets the whole generic-SQL surface ride a single slot of
+    the driver's 50-query cap, freeing slots for engine operators."""
+    return _q_sql_agg_suite(spark, sf_dir).unionByName(
+        _q_sql_join_window_suite(spark, sf_dir)
+    )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive MinHash near-dup clusters over the duplicate-injected
+    union corpus: LSH pairs -> large-star/small-star connected components
+    -> lowest-id survivor. persist_shared=False + the CC loop's per-round
+    checkpoint release: no persisted RDDs survive this lazy return (the
+    final round's checkpoint blocks are swept by release_entry_caches,
+    same as the inline index builds)."""
+    from searchenginer_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _union_docs(spark, sf_dir), threshold=0.7, persist_shared=False
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """DuckDB twin: same MinHash pair SQL, then transitive closure via a
+    recursive reachability CTE (fine at oracle scale — components are tiny),
+    component id = min reachable node, singletons map to themselves."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({_minhash_lsh_sql()}),
+edges AS (
+  SELECT doc_id AS un, doc_id_2 AS vn FROM pairs
+  UNION
+  SELECT doc_id_2, doc_id FROM pairs
+),
+reach(n, r) AS (
+  SELECT un, vn FROM edges
+  UNION
+  SELECT reach.n, edges.vn FROM reach JOIN edges ON reach.r = edges.un
+),
+comp AS (
+  SELECT n AS doc_id, least(min(r), n) AS cluster_id FROM reach GROUP BY n
+),
+alldocs AS (
+  SELECT doc_id FROM documents
+  UNION ALL SELECT doc_id + 1000 FROM documents
+)
+SELECT a.doc_id,
+       coalesce(c.cluster_id, a.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, a.doc_id) = a.doc_id AS is_kept
+FROM alldocs a LEFT JOIN comp c USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_and_topk": _q_bm25_and,
@@ -1890,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "doc_fingerprints": _q_doc_fingerprints,
         "tfidf_keywords_topn": _q_tfidf_keywords,
@@ -1901,8 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vectors_sample": _q_doc_vectors,
         "vector_search_text": _q_vector_search,
         "dedup_embedding_pairs": _q_dedup_embedding,
-        "sql_agg_suite": _q_sql_agg_suite,
-        "sql_join_window_suite": _q_sql_join_window_suite,
+        "sql_generic_suite": _q_sql_generic_suite,
     }
 
 
@@ -2103,6 +2159,7 @@ SELECT doc_id, n_ws, n_bpe,
 FROM m
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_fingerprints": _doc_fingerprints_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
@@ -2119,8 +2176,7 @@ ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding F
          vec_id
 LIMIT 10
 """,
-        "sql_agg_suite": _SQL_AGG_SUITE_SQL,
-        "sql_join_window_suite": _SQL_JOIN_WINDOW_SUITE_SQL,
+        "sql_generic_suite": _SQL_AGG_SUITE_SQL + " UNION ALL " + _SQL_JOIN_WINDOW_SUITE_SQL,
         "phrase_search": """
 WITH tk AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks

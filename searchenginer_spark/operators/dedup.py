@@ -24,6 +24,18 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import minhash_signatures, simhash_bands, token_shingles
 from ..functions.tokenize import tokens
+from .ids import release_plan_checkpoints
+
+
+class _CheckpointHandle:
+    """Adapter so release_intermediates can reclaim localCheckpoint storage
+    (DataFrame.unpersist never drops RDD-level checkpoint blocks)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self) -> None:
+        release_plan_checkpoints(self._df)
 
 
 def _attach_intermediates(result: DataFrame, handles: list[DataFrame]) -> DataFrame:
@@ -446,6 +458,7 @@ def connected_components(
     )
 
     prev_digest = None
+    prev_cp: DataFrame | None = None
     e = edges
     for _ in range(max_iter):
         # LARGE-STAR: every neighbor larger than u links to min(N(u) ∪ {u})
@@ -473,6 +486,12 @@ def connected_components(
             .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         )
         e = e.localCheckpoint(eager=True)
+        # the previous round's checkpoint blocks are dead once this round
+        # is materialized — reclaim them so a long CC run holds at most
+        # two rounds of edge storage
+        if prev_cp is not None:
+            release_plan_checkpoints(prev_cp)
+        prev_cp = e
         # bit_xor, not sum: order-independent over the distinct edge set
         # and immune to ANSI-mode long overflow
         digest = e.agg(
@@ -488,13 +507,13 @@ def connected_components(
     # converged: every edge is (member, root). Roots + isolated nodes map
     # to themselves (pairs input has no isolated nodes, but be total).
     assign = e.select(v.alias("n"), u.alias("root"))
-    return (
-        nodes.join(assign, "n", "left")
-        .select(
-            F.col("n").alias(id_col),
-            F.coalesce("root", "n").alias("component_id"),
-        )
+    out = nodes.join(assign, "n", "left").select(
+        F.col("n").alias(id_col),
+        F.coalesce("root", "n").alias("component_id"),
     )
+    # the final round's + nodes' checkpoint blocks back the result; the
+    # caller reclaims them via release_intermediates after materializing
+    return _attach_intermediates(out, [_CheckpointHandle(e), _CheckpointHandle(nodes)])
 
 
 def near_dup_clusters(
@@ -510,15 +529,11 @@ def near_dup_clusters(
     singleton clusters and are kept."""
     pairs = minhash_lsh_pairs(docs, text_col, id_col, **lsh_kwargs)
     comp = connected_components(pairs, id_col=id_col)
-    release_intermediates(pairs)  # components are materialized by the CC loop
+    release_intermediates(pairs)  # the CC loop checkpointed everything it needs
     all_docs = docs.select(F.col(id_col).cast("long").alias(id_col))
-    return (
-        all_docs.join(F.broadcast(comp), id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("component_id", F.col(id_col)).alias("cluster_id"),
-            (F.coalesce("component_id", F.col(id_col)) == F.col(id_col)).alias(
-                "is_kept"
-            ),
-        )
+    out = all_docs.join(F.broadcast(comp), id_col, "left").select(
+        id_col,
+        F.coalesce("component_id", F.col(id_col)).alias("cluster_id"),
+        (F.coalesce("component_id", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
     )
+    return _attach_intermediates(out, getattr(comp, "_sg_intermediates", []))
