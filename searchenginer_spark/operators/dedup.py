@@ -531,7 +531,10 @@ def near_dup_clusters(
     comp = connected_components(pairs, id_col=id_col)
     release_intermediates(pairs)  # the CC loop checkpointed everything it needs
     all_docs = docs.select(F.col(id_col).cast("long").alias(id_col))
-    out = all_docs.join(F.broadcast(comp), id_col, "left").select(
+    # no broadcast hint: comp holds every doc in any near-dup pair — a
+    # large corpus fraction in dup-heavy data — so forcing it executor-
+    # resident would OOM at scale; AQE still broadcasts it when small
+    out = all_docs.join(comp, id_col, "left").select(
         id_col,
         F.coalesce("component_id", F.col(id_col)).alias("cluster_id"),
         (F.coalesce("component_id", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
