@@ -386,6 +386,19 @@ def main() -> None:
     qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     timed("ann_cosine_topk", lambda: cosine_topk(emb, qvec, k=10).collect(), reps=2)
 
+    # PQ: one-time train+encode (the write side), then the compressed probe
+    from searchenginer_spark.operators.ann import pq_encode, pq_topk, pq_train
+
+    def _pq_build():
+        cb = pq_train(emb, m=8, n_codes=16, seed=42)
+        coded = pq_encode(emb, cb).select("vec_id", "codes").persist()
+        coded.count()
+        return cb, coded
+
+    pq_cb, pq_coded = timed("ann_pq_encode", _pq_build)
+    timed("ann_pq_topk", lambda: pq_topk(pq_coded, pq_cb, qvec, k=10).collect(), reps=2)
+    pq_coded.unpersist()
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     timed(
         "tpch_pricing_summary",
