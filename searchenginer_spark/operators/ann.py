@@ -256,15 +256,95 @@ def ivf_pq_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     round_to: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """FAISS IVF-PQ search shape: probe the nprobe nearest coarse lists,
     ADC-score only their codes (list_id partition pruning x ~32x column
-    compression — the 100 TB vector-search configuration)."""
+    compression — the 100 TB vector-search configuration).
+
+    ``residual=True`` scores codes produced by ``ivf_pq_build`` (codes
+    quantize v - centroid[list]): score = <q, centroid[list]> +
+    ADC(residual codes). The per-list base term is one more element_at
+    into an n_lists-double literal — still pure codegen."""
     qv = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids - qv) ** 2).sum(axis=1)
     probes = np.argsort(d2)[:nprobe].tolist()
     cand = bucketed_coded.filter(F.col("list_id").isin(probes))
-    return pq_topk(cand, codebooks, query_vec, k=k, id_col=id_col, round_to=round_to)
+    if not residual:
+        return pq_topk(cand, codebooks, query_vec, k=k, id_col=id_col, round_to=round_to)
+    base = centroids @ qv  # [n_lists] <q, c> terms
+    s = F.element_at(
+        _lit_vec(base), F.col("list_id").cast("int") + F.lit(1)
+    ) + _adc_score(codebooks, query_vec)
+    s = F.round(s, round_to) if round_to is not None else s
+    return (
+        cand.select(F.col(id_col), s.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_pq_build(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+    max_iter: int = 15,
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """The full published IVF-PQ write side (Jégou et al. §IV): coarse
+    KMeans lists, then PQ codebooks trained on and codes computed over the
+    RESIDUALS v - centroid[list] — residual energy is much smaller than
+    vector energy, so the same m x n_codes budget quantizes tighter than
+    raw-vector PQ. Returns (centroids, codebooks, coded) where coded
+    carries list_id + codes; query with ``ivf_pq_topk(..., residual=True)``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    centroids, assigned = ivf_build(
+        embeddings, n_lists=n_lists, seed=seed, vec_col=vec_col, max_iter=max_iter
+    )
+    cen = np.ascontiguousarray(centroids, dtype=np.float64)
+    dim = cen.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+
+    # codebooks from a bounded deterministic residual sample
+    pdf = (
+        assigned.select(id_col, F.col(vec_col).cast("array<double>").alias("v"), "list_id")
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
+    res = np.array(pdf["v"].tolist(), dtype=np.float64) - cen[pdf["list_id"].to_numpy()]
+    rng = np.random.default_rng(seed)
+    codebooks = np.stack(
+        [_kmeans_1sub(res[:, j * ds : (j + 1) * ds], n_codes, rng, max_iter) for j in range(m)]
+    )
+    cb = np.ascontiguousarray(codebooks)
+
+    @pandas_udf("array<int>")
+    def enc(vec, lid):
+        import pandas as pd
+
+        x = np.array(vec.tolist(), dtype=np.float64)
+        if not len(x):
+            return pd.Series([], dtype=object)
+        r = (x - cen[lid.to_numpy()]).reshape(len(x), m, ds)
+        cols = [
+            ((r[:, j, None, :] - cb[None, j]) ** 2).sum(-1).argmin(axis=1) for j in range(m)
+        ]
+        codes = np.stack(cols, axis=1).astype(np.int32)
+        return pd.Series([row.tolist() for row in codes])
+
+    coded = assigned.withColumn(
+        "codes", enc(F.col(vec_col).cast("array<double>"), F.col("list_id"))
+    )
+    return centroids, codebooks, coded
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:

@@ -10,6 +10,7 @@ import pytest
 from searchenginer_spark.operators.ann import (
     cosine_topk,
     ivf_build,
+    ivf_pq_build,
     ivf_pq_topk,
     pq_encode,
     pq_topk,
@@ -91,6 +92,61 @@ def test_ivf_pq_compose(embeddings, codebooks):
     assert len(got) == 10
     assert len(set(exact) & {r["vec_id"] for r in got}) / 10 >= 0.3
     coded.unpersist()
+
+
+def test_ivf_pq_residual_build_and_score(embeddings):
+    """Residual IVF-PQ: codes quantize v - centroid[list]; the Spark ADC
+    score must equal the numpy reconstruction score <q, c + dequant(codes)>
+    exactly (same formula, literal LUTs), and recall vs exact cosine holds."""
+    centroids, codebooks, coded = ivf_pq_build(
+        embeddings, n_lists=8, m=8, n_codes=16, seed=42
+    )
+    coded = coded.persist()
+    rows = {r["vec_id"]: r for r in coded.collect()}
+    q = np.asarray(
+        embeddings.filter("vec_id = 0").first()["embedding"], dtype=np.float64
+    )
+    got = ivf_pq_topk(coded, centroids, codebooks, q.tolist(),
+                      k=10, nprobe=8, residual=True).collect()
+    assert len(got) == 10
+    m, _, ds = codebooks.shape
+    for r in got:
+        codes = rows[r["vec_id"]]["codes"]
+        recon = centroids[rows[r["vec_id"]]["list_id"]] + np.concatenate(
+            [codebooks[j, codes[j]] for j in range(m)]
+        )
+        assert abs(r["score"] - float(recon @ q)) < 1e-9
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q.tolist(), k=10).collect()]
+    assert len(set(exact) & {r["vec_id"] for r in got}) / 10 >= 0.4
+    coded.unpersist()
+
+
+def test_residual_codes_beat_raw_reconstruction(embeddings):
+    """The point of residual encoding: with an identical m x n_codes
+    budget, quantizing v - centroid[list] reconstructs closer than
+    quantizing v directly (aggregate squared error over the corpus)."""
+    centroids, codebooks, coded = ivf_pq_build(
+        embeddings, n_lists=8, m=8, n_codes=16, seed=42
+    )
+    raw_cb = pq_train(embeddings, m=8, n_codes=16, seed=42)
+    raw_coded = pq_encode(embeddings, raw_cb)
+    m, _, ds = codebooks.shape
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in embeddings.collect()}
+
+    def sse(rows, recon):
+        return sum(float(((recon(r) - vecs[r["vec_id"]]) ** 2).sum()) for r in rows)
+
+    res_err = sse(
+        coded.collect(),
+        lambda r: centroids[r["list_id"]]
+        + np.concatenate([codebooks[j, r["codes"][j]] for j in range(m)]),
+    )
+    raw_err = sse(
+        raw_coded.collect(),
+        lambda r: np.concatenate([raw_cb[j, r["codes"][j]] for j in range(m)]),
+    )
+    assert res_err < raw_err
 
 
 def test_pq_query_plan_jvm_only(coded, codebooks):
