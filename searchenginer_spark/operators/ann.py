@@ -21,7 +21,11 @@ equivalents:
                     a broadcast-free codegen sum of element_at lookups into
                     per-subspace distance tables — no UDF, no shuffle; the
                     scan reads ONLY the codes column. ivf_pq_topk composes
-                    codes with the IVF lists for probe-pruned scans.
+                    codes with the IVF lists for probe-pruned scans;
+                    ivf_pq_build trains/encodes RESIDUALS v - centroid[list]
+                    (the full published formulation); pq_topk_batch scores a
+                    whole query batch in one job via a broadcast LUT table +
+                    two-phase partial-top-k (the serving shape).
 """
 
 from __future__ import annotations
@@ -281,6 +285,70 @@ def ivf_pq_topk(
         cand.select(F.col(id_col), s.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def pq_topk_batch(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    queries: dict,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, score) — ADC top-k for a whole query batch in
+    ONE job (the serving shape: per-job scheduling cost amortizes across
+    the batch, same finding as search_query_batch).
+
+    Per-query lookup tables ride a broadcast (query_id, luts) table; the
+    score is sum_j luts[j][code_j] in codegen. Top-k per query is the
+    two-phase partial-top-k: per-partition slice(sort_array(collect_list))
+    then a final merge over Q x partitions x k rows — never a global
+    window sort over the scored corpus."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, ds = cb.shape
+    spark = coded.sparkSession
+    rows = []
+    for qid, qv in queries.items():
+        q = np.asarray(qv, dtype=np.float64).reshape(m, ds)
+        rows.append((str(qid), [(cb[j] @ q[j]).tolist() for j in range(m)]))
+    luts = spark.createDataFrame(rows, "query_id string, luts array<array<double>>")
+
+    score = F.lit(0.0).cast("double")
+    for j in range(m):
+        score = score + F.element_at(
+            F.col("luts").getItem(j), F.col("codes").getItem(j).cast("int") + F.lit(1)
+        )
+    if round_to is not None:
+        score = F.round(score, round_to)
+
+    scored = (
+        coded.select(id_col, "codes")
+        .join(F.broadcast(luts))  # Q luts per row — Q is a query batch, tiny
+        .select("query_id", F.col(id_col), score.alias("score"))
+    )
+    # two-phase top-k: (query, partition)-local truncation, then merge
+    part_top = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col(id_col)))),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+    )
+    return (
+        part_top.groupBy("query_id")
+        .agg(F.slice(F.sort_array(F.collect_list("t")), 1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("rank", "t"))
+        .select(
+            "query_id",
+            F.col(f"t.{id_col}").alias(id_col),
+            (-F.col("t.ns")).alias("score"),
+            (F.col("rank") + 1).alias("rank"),
+        )
     )
 
 

@@ -94,6 +94,27 @@ def test_ivf_pq_compose(embeddings, codebooks):
     coded.unpersist()
 
 
+def test_pq_topk_batch_matches_per_query(embeddings, codebooks, coded):
+    """The one-job batch probe must return exactly the per-query pq_topk
+    results (same scores, same doc order) for every query in the batch."""
+    from searchenginer_spark.operators.ann import pq_topk_batch
+
+    vecs = {r["vec_id"]: list(r["embedding"])
+            for r in embeddings.filter("vec_id < 5").collect()}
+    batch = {f"q{i}": v for i, v in vecs.items()}
+    got = pq_topk_batch(coded, codebooks, batch, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(batch)
+    for i, v in vecs.items():
+        want = pq_topk(coded, codebooks, v, k=10).collect()
+        rows = sorted(by_q[f"q{i}"], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in want]
+        for a, b in zip(rows, want):
+            assert abs(a["score"] - b["score"]) < 1e-9
+
+
 def test_ivf_pq_residual_build_and_score(embeddings):
     """Residual IVF-PQ: codes quantize v - centroid[list]; the Spark ADC
     score must equal the numpy reconstruction score <q, c + dequant(codes)>
