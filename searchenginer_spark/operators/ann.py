@@ -352,6 +352,32 @@ def pq_topk_batch(
     )
 
 
+def pq_refine_topk(
+    coded: DataFrame,
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Two-stage search (FAISS IndexRefineFlat shape): ADC over codes
+    selects refine*k candidates, exact cosine re-ranks just those from the
+    float table. The expensive column is read for k*refine rows instead of
+    the corpus — candidate ids are a driver-bounded broadcast semi-join,
+    so compression decides WHO is scored exactly, never the final order."""
+    cand = [
+        r[id_col]
+        for r in pq_topk(coded, codebooks, query_vec, k=k * refine, id_col=id_col).collect()
+    ]
+    exact = embeddings.filter(F.col(id_col).isin(cand))
+    return cosine_topk(
+        exact, query_vec, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )
+
+
 def ivf_pq_build(
     embeddings: DataFrame,
     n_lists: int = 16,

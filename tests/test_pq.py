@@ -170,6 +170,21 @@ def test_residual_codes_beat_raw_reconstruction(embeddings):
     assert res_err < raw_err
 
 
+def test_pq_refine_improves_recall(embeddings, codebooks, coded):
+    """Exact re-rank of refine*k ADC candidates: recall must be at least
+    the pure-PQ recall, and every returned score is the TRUE cosine."""
+    from searchenginer_spark.operators.ann import pq_refine_topk
+
+    q = embeddings.limit(1).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=10).collect()]
+    pq_only = {r["vec_id"] for r in pq_topk(coded, codebooks, q, k=10).collect()}
+    refined = pq_refine_topk(coded, embeddings, codebooks, q, k=10, refine=8).collect()
+    r_ids = [r["vec_id"] for r in refined]
+    assert len(set(exact) & set(r_ids)) >= len(set(exact) & pq_only)
+    assert r_ids[0] == 0  # the query vector itself survives refinement
+    assert abs(refined[0]["cos"] - 1.0) < 1e-9  # true cosine, not ADC
+
+
 def test_pq_query_plan_jvm_only(coded, codebooks):
     """The probe path must be codegen element_at lookups over the codes
     column — no Python/Arrow eval, no shuffle beyond the top-k take."""
