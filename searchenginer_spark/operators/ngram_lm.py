@@ -18,9 +18,11 @@ Everything here is whole-stage-codegen DataFrame work:
     map-side partials absorb hot grams). The count tables ARE the model.
   * scoring: the doc's token stream posexplodes once; each position
     derives its own k-gram strings (k = 1..order) as JVM expressions,
-    LEFT-joins the count tables (broadcast — models are min-count
-    pruned; an uncapped model runs the identical plan with shuffle
-    joins), and ONE nested-coalesce applies the backoff chain. The
+    LEFT-joins the count tables, and ONE nested-coalesce applies the
+    backoff chain. Each count-table join is broadcast-hinted ONLY when
+    the table is actually small (size-gated per table, or forced via
+    ``broadcast_counts``); an uncapped web-scale model runs the
+    identical plan with shuffle joins — no hard hint anywhere. The
     backoff penalty is relative to each position's AVAILABLE order
     (early positions have short contexts, which is not an unseen-gram
     event and carries no penalty). Per-doc aggregate = avg log10 S ->
@@ -86,6 +88,8 @@ def score_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     pattern: str = IDENT_RE,
+    broadcast_counts: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, n_tokens, avg_logprob, perplexity) under stupid backoff.
 
@@ -103,12 +107,30 @@ def score_docs(
     ``_sg_intermediates`` — call
     :func:`searchenginer_spark.operators.dedup.release_intermediates`
     after materializing (same caller-owned lifecycle as the dedup
-    operators); session teardown reclaims them otherwise."""
+    operators); session teardown reclaims them otherwise.
+
+    ``broadcast_counts``: a broadcast HINT overrides Spark's size
+    threshold, so hinting an unpruned web-scale count table would
+    collect it onto the driver until OOM. ``None`` (default) decides
+    PER TABLE: hint only when the (already persisted) table has at
+    most ``broadcast_max_rows`` rows — the row count is a cheap scan
+    of the cached partitions. ``True``/``False`` force all joins
+    broadcast/shuffle (``False`` still lets AQE pick a runtime
+    broadcast when a table turns out tiny — the point is that no HINT
+    overrides the size gate)."""
     from .dedup import _attach_intermediates
 
     order = order or max(counts)
     counts = {k: counts[k].persist() for k in range(1, order + 1)}
     n_total = counts[1].agg(F.sum("n_count")).collect()[0][0] or 1
+    if broadcast_counts is None:
+        hint = {k: counts[k].count() <= broadcast_max_rows for k in counts}
+    else:
+        hint = {k: broadcast_counts for k in counts}
+
+    def _side(df: DataFrame, k: int) -> DataFrame:
+        return F.broadcast(df) if hint[k] else df
+
     toks = _tok_arr(text_col, pattern)
     base = docs.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
     pos = base.select(id_col, F.posexplode("_t").alias("_i", "_w"), "_t")
@@ -124,10 +146,11 @@ def score_docs(
     pos = pos.drop("_t", "_w")
     for k in range(1, order + 1):
         pos = pos.join(
-            F.broadcast(
+            _side(
                 counts[k].select(
                     F.col("gram").alias(f"_g{k}"), F.col("n_count").alias(f"_c{k}")
-                )
+                ),
+                k,
             ),
             on=f"_g{k}",
             how="left",
@@ -142,11 +165,12 @@ def score_docs(
                     F.substring_index(F.col(f"_g{k}"), _SEP, k - 1),
                 ),
             ).join(
-                F.broadcast(
+                _side(
                     counts[k - 1].select(
                         F.col("gram").alias(f"_x{k}"),
                         F.col("n_count").alias(f"_d{k}"),
-                    )
+                    ),
+                    k - 1,
                 ),
                 on=f"_x{k}",
                 how="left",

@@ -99,8 +99,22 @@ def incremental_index(
             )
         if with_positions is None:
             with_positions = bool(meta["with_positions"])
+        elif bool(meta["with_positions"]) != bool(with_positions):
+            raise ValueError(
+                f"with_positions={with_positions} conflicts with the index's "
+                f"build geometry {bool(meta['with_positions'])} (root meta "
+                "table); folding position-less rows into a positional index "
+                "(or vice versa) corrupts phrase/NEAR decoding"
+            )
         if tokenizer is None:
             tokenizer = meta["tokenizer"]
+        elif (tokenizer or "default") != (meta["tokenizer"] or "default"):
+            raise ValueError(
+                f"tokenizer={tokenizer!r} conflicts with the index's build "
+                f"tokenizer {meta['tokenizer']!r} (root meta table); a "
+                "tokenizer mismatch corrupts term consistency with every "
+                "existing posting row"
+            )
     docs_per_part = int(docs_per_part) if docs_per_part is not None else 1 << 16
     with_positions = bool(with_positions)
     static = spark.read.parquet(input_dir)

@@ -155,6 +155,15 @@ def test_fold_preserves_positional_index_from_meta(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="docs_per_part"):
         incremental_index(spark, input_dir, root, f"{base}/ckpt2",
                           docs_per_part=DPP * 2)
+    # an explicit tokenizer or with_positions that disagrees with meta is
+    # just as corrupting (term inconsistency / broken phrase decode) —
+    # same raise-on-conflict contract as docs_per_part
+    with pytest.raises(ValueError, match="tokenizer"):
+        incremental_index(spark, input_dir, root, f"{base}/ckpt3",
+                          tokenizer="dict_cjk")
+    with pytest.raises(ValueError, match="with_positions"):
+        incremental_index(spark, input_dir, root, f"{base}/ckpt4",
+                          with_positions=False)
 
 
 def test_compact_inherits_meta_geometry(spark, tmp_path_factory):

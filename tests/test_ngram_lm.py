@@ -139,6 +139,49 @@ def test_plan_is_jvm_only(train_docs, score_docs_df):
     assert "BroadcastHashJoin" in plan
 
 
+def test_shuffle_join_path_no_broadcast_hint(spark, train_docs, score_docs_df):
+    """The uncapped-model contract: with broadcast_counts=False (what the
+    size gate decides for a web-scale count table) NO broadcast hint is
+    emitted — with auto-broadcast disabled the executed plan joins via
+    shuffle (SortMerge/ShuffledHash), and the scores are IDENTICAL to the
+    broadcast plan. A hard F.broadcast hint would override the size
+    threshold and collect an unpruned table onto the driver."""
+    counts = train_ngram_counts(train_docs, order=3)
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["perplexity"])
+        for r in score_docs(score_docs_df, counts, order=3).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        scored = score_docs(score_docs_df, counts, order=3, broadcast_counts=False)
+        rows = scored.collect()
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["perplexity"]) for r in rows}
+    assert got == want
+
+
+def test_auto_gate_hints_only_small_tables(train_docs, score_docs_df):
+    """broadcast_counts=None (default) must hint PER TABLE by row count:
+    with broadcast_max_rows below the unigram table size, no table gets
+    the hint; with a huge cap, all do."""
+    counts = train_ngram_counts(train_docs, order=2)
+    plan_none = (
+        score_docs(score_docs_df, counts, order=2, broadcast_max_rows=0)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "ResolvedHint" not in plan_none and "broadcast" not in plan_none.lower()
+    plan_all = (
+        score_docs(score_docs_df, counts, order=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_all
+
+
 def test_empty_docs_dropped(spark, train_docs):
     counts = train_ngram_counts(train_docs, order=2)
     d = spark.createDataFrame([(0, ""), (1, "the quick")], "doc_id long, text string")
