@@ -30,6 +30,8 @@ equivalents:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -147,6 +149,21 @@ def _kmeans_1sub(x: np.ndarray, k: int, rng: np.random.Generator, iters: int) ->
     return c
 
 
+def _seeded_sample(df: DataFrame, id_col: str, sample: int, seed: int) -> DataFrame:
+    """The ``sample`` rows with the smallest xxhash64(id, seed) — a bounded
+    TakeOrdered pull regardless of corpus size, deterministic/reproducible
+    like an id sort, but UNBIASED: lowest-id sampling fits codebooks to a
+    content-correlated slice when ids follow time or source order (FAISS
+    trains on random samples for the same reason). The hash picks WHICH
+    rows; the returned sample is re-sorted by id so downstream k-means++
+    seeding consumes a canonical order (and a sample that covers the
+    whole table reproduces the id-ordered pull exactly)."""
+    picked = df.orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    ).limit(sample)
+    return picked.orderBy(id_col)
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = 8,
@@ -157,17 +174,13 @@ def pq_train(
     sample: int = 4096,
     max_iter: int = 15,
 ) -> np.ndarray:
-    """Codebooks [m, n_codes, dim/m] from a deterministic bounded sample.
-
-    The sample is the ``sample`` lowest-id vectors (TakeOrdered — a bounded
-    driver pull regardless of corpus size, the id order makes retraining
-    reproducible). dim must divide evenly by m."""
-    pdf = (
-        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(id_col)
-        .limit(sample)
-        .toPandas()
-    )
+    """Codebooks [m, n_codes, dim/m] from a deterministic bounded sample
+    (seeded-hash order — see :func:`_seeded_sample`). dim must divide
+    evenly by m."""
+    pdf = _seeded_sample(
+        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("v")),
+        id_col, sample, seed,
+    ).toPandas()
     x = np.array(pdf["v"].tolist(), dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
@@ -260,16 +273,21 @@ def ivf_pq_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     round_to: int | None = None,
-    residual: bool = False,
+    residual: bool = True,
 ) -> DataFrame:
     """FAISS IVF-PQ search shape: probe the nprobe nearest coarse lists,
     ADC-score only their codes (list_id partition pruning x ~32x column
     compression — the 100 TB vector-search configuration).
 
-    ``residual=True`` scores codes produced by ``ivf_pq_build`` (codes
-    quantize v - centroid[list]): score = <q, centroid[list]> +
-    ADC(residual codes). The per-list base term is one more element_at
-    into an n_lists-double literal — still pure codegen."""
+    The default ``residual=True`` matches this function's documented
+    companion ``ivf_pq_build`` (codes quantize v - centroid[list]):
+    score = <q, centroid[list]> + ADC(residual codes), where the
+    per-list base term is one more element_at into an n_lists-double
+    literal — still pure codegen. Pass ``residual=False`` ONLY for a
+    hand-rolled composition of ``ivf_build`` + ``pq_encode`` over RAW
+    vectors; scoring one code space with the other's flag returns
+    garbage rankings, so the default follows the build function whose
+    output this probe is named for."""
     qv = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids - qv) ** 2).sum(axis=1)
     probes = np.argsort(d2)[:nprobe].tolist()
@@ -394,7 +412,8 @@ def ivf_pq_build(
     RESIDUALS v - centroid[list] — residual energy is much smaller than
     vector energy, so the same m x n_codes budget quantizes tighter than
     raw-vector PQ. Returns (centroids, codebooks, coded) where coded
-    carries list_id + codes; query with ``ivf_pq_topk(..., residual=True)``.
+    carries list_id + codes; query with ``ivf_pq_topk`` (whose default
+    ``residual=True`` matches this build's code space).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -407,13 +426,11 @@ def ivf_pq_build(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     ds = dim // m
 
-    # codebooks from a bounded deterministic residual sample
-    pdf = (
-        assigned.select(id_col, F.col(vec_col).cast("array<double>").alias("v"), "list_id")
-        .orderBy(id_col)
-        .limit(sample)
-        .toPandas()
-    )
+    # codebooks from a bounded deterministic (seeded-hash, unbiased) residual sample
+    pdf = _seeded_sample(
+        assigned.select(id_col, F.col(vec_col).cast("array<double>").alias("v"), "list_id"),
+        id_col, sample, seed,
+    ).toPandas()
     res = np.array(pdf["v"].tolist(), dtype=np.float64) - cen[pdf["list_id"].to_numpy()]
     rng = np.random.default_rng(seed)
     codebooks = np.stack(
@@ -439,6 +456,93 @@ def ivf_pq_build(
         "codes", enc(F.col(vec_col).cast("array<double>"), F.col("list_id"))
     )
     return centroids, codebooks, coded
+
+
+class IvfPqIndex(NamedTuple):
+    """A stored IVF-PQ index handle: the coded table plus its model
+    arrays AND the flag saying which code space the codes live in —
+    carrying ``residual`` in the handle makes the build/probe mismatch
+    ADVICE r5 flagged impossible for indexes that round-trip disk."""
+
+    centroids: np.ndarray
+    codebooks: np.ndarray
+    coded: DataFrame
+    residual: bool
+
+
+def ivf_pq_write(
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    coded: DataFrame,
+    residual: bool = True,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF(-PQ) index with the 100 TB layout ``ivf_build``
+    promises: the codes table is written ``partitionBy('list_id')`` so a
+    probe's ``list_id IN (probes)`` predicate becomes PARTITION PRUNING —
+    the scan lists and reads only nprobe directories, never the corpus
+    (test_pq asserts the pruned plan + file set). Codes-only projection:
+    the float vectors are deliberately NOT stored here (~32x scan-byte
+    reduction is the point of PQ); keep the raw table separately if
+    exact refine is needed. Model arrays + the residual flag land in
+    side tables, so the opened handle knows its own code space."""
+    spark = coded.sparkSession
+    m, n_codes, ds = np.asarray(codebooks).shape
+    coded.select(id_col, "codes", "list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(np.asarray(centroids))],
+        "list_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, np.asarray(codebooks)[j, c].tolist())
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "j int, code int, vec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(m, n_codes, ds, bool(residual))],
+        "m int, n_codes int, ds int, residual boolean",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_pq_open(spark, path: str) -> IvfPqIndex:
+    """Reopen a written index; the handle carries the stored residual
+    flag, so probing with the wrong code space cannot happen."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    cen_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.zeros((len(cen_rows), meta["ds"] * meta["m"]))
+    for r in cen_rows:
+        centroids[r["list_id"]] = r["centroid"]
+    codebooks = np.zeros((meta["m"], meta["n_codes"], meta["ds"]))
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        codebooks[r["j"], r["code"]] = r["vec"]
+    return IvfPqIndex(
+        centroids, codebooks, spark.read.parquet(f"{path}/codes"),
+        bool(meta["residual"]),
+    )
+
+
+def ivf_pq_query(
+    index: IvfPqIndex,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Probe a stored/opened index: the ``list_id IN probes`` filter on
+    the partitionBy('list_id') layout prunes to nprobe partitions at
+    file-listing time, and the residual flag comes from the handle."""
+    return ivf_pq_topk(
+        index.coded, index.centroids, index.codebooks, query_vec,
+        k=k, nprobe=nprobe, id_col=id_col, round_to=round_to,
+        residual=index.residual,
+    )
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:

@@ -88,7 +88,11 @@ def test_ivf_pq_compose(embeddings, codebooks):
     coded = pq_encode(bucketed, codebooks).persist()
     q = embeddings.limit(1).collect()[0]["embedding"]
     exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=10).collect()]
-    got = ivf_pq_topk(coded, centroids, codebooks, q, k=10, nprobe=4).collect()
+    # hand-rolled raw composition (ivf_build + pq_encode on raw vectors)
+    # must OPT OUT of the residual default that matches ivf_pq_build
+    got = ivf_pq_topk(
+        coded, centroids, codebooks, q, k=10, nprobe=4, residual=False
+    ).collect()
     assert len(got) == 10
     assert len(set(exact) & {r["vec_id"] for r in got}) / 10 >= 0.3
     coded.unpersist()
@@ -183,6 +187,63 @@ def test_pq_refine_improves_recall(embeddings, codebooks, coded):
     assert len(set(exact) & set(r_ids)) >= len(set(exact) & pq_only)
     assert r_ids[0] == 0  # the query vector itself survives refinement
     assert abs(refined[0]["cos"] - 1.0) < 1e-9  # true cosine, not ADC
+
+
+def test_ivf_pq_partitioned_layout_prunes(spark, embeddings, tmp_path_factory):
+    """The write-side promise (ann.py ivf_build docstring): the coded
+    table written partitionBy('list_id') turns the probe's list_id
+    filter into PARTITION PRUNING — the scan plan carries the predicate
+    as a PartitionFilter and the files actually read all live under the
+    probed list_id directories. Also: the stored handle carries the
+    residual flag, so a reopened index probes its own code space, and
+    results match the in-memory probe exactly."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.operators.ann import (
+        ivf_pq_open,
+        ivf_pq_query,
+        ivf_pq_write,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq")) + "/idx"
+    centroids, codebooks, coded = ivf_pq_build(
+        embeddings, n_lists=8, m=8, n_codes=16, seed=42
+    )
+    ivf_pq_write(path, centroids, codebooks, coded, residual=True)
+    idx = ivf_pq_open(spark, path)
+    assert idx.residual is True
+    assert np.allclose(idx.centroids, centroids)
+    assert np.allclose(idx.codebooks, codebooks)
+
+    q = np.asarray(
+        embeddings.filter("vec_id = 0").first()["embedding"], dtype=np.float64
+    )
+    probes = np.argsort(((centroids - q) ** 2).sum(axis=1))[:3].tolist()
+    got = ivf_pq_query(idx, q.tolist(), k=10, nprobe=3).collect()
+    want = ivf_pq_topk(
+        coded, centroids, codebooks, q.tolist(), k=10, nprobe=3, residual=True
+    ).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
+        (r["vec_id"], round(r["score"], 9)) for r in want
+    ]
+
+    # plan-level proof: the list_id predicate is a PartitionFilter on the
+    # parquet scan (pruned at file-listing time, not a post-scan Filter)
+    pruned = idx.coded.filter(F.col("list_id").isin(probes))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "list_id" in pf.group(1), plan
+    # file-level proof: every file the pruned scan reads lives under a
+    # probed list_id= directory, and unprobed lists contribute none
+    files = [
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files
+    seen_lists = {int(re.search(r"list_id=(\d+)", f).group(1)) for f in files}
+    assert seen_lists <= set(probes)
 
 
 def test_pq_query_plan_jvm_only(coded, codebooks):
