@@ -106,17 +106,117 @@ def _bmp_decode(data: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(filt: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the PNG scanline filters (spec §9: None/Sub/Up/Average/
+    Paeth). ``filt`` is the inflated stream reshaped (h, 1 + stride);
+    returns the reconstructed (h, stride) bytes. Up is vectorized
+    row-wide; Sub/Average/Paeth recurse on the left neighbor so they run
+    per-pixel-column — fine inside an Arrow batch at thumbnail scale (a
+    production pipeline plugs PIL at this same seam for bulk decode)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(filt[y, 0])
+        line = filt[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-recursive
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    """8-bit PNG -> (h, w, 3) uint8 RGB, stdlib-only (zlib inflate +
+    numpy unfilter). Color types: 0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+    6 RGBA (alpha dropped — features are RGB-space). Interlaced (Adam7)
+    and 1/2/4/16-bit-depth images raise NotImplementedError (the PIL
+    seam); CRCs are not verified (forgiving decode, like the corpus
+    XML scans)."""
+    import zlib
+
+    pos = len(_PNG_SIG)
+    w = h = None
+    bitdepth = colortype = interlace = 0
+    idat = bytearray()
+    palette: np.ndarray | None = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bitdepth, colortype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG needs PIL — plug in here")
+    if bitdepth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {bitdepth} needs PIL — only 8-bit decodes here"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
+    if channels is None:
+        raise ValueError(f"PNG color type {colortype} invalid")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream truncated")
+    filt = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    px = _png_unfilter(filt, h, stride, channels).reshape(h, w, channels)
+    if colortype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[px[..., 0]]
+    if colortype == 0:
+        return np.repeat(px, 3, axis=2)
+    if colortype == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3].copy()  # 2 = RGB passthrough, 6 = drop alpha
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB for the dependency-free formats (PPM P6/P3,
-    24-bit BMP); NotImplementedError for formats needing external codecs
-    (PNG/JPEG/...) — the documented PIL/opencv plug-in seam."""
+    24-bit BMP, 8-bit PNG via stdlib zlib); NotImplementedError for
+    formats needing external codecs (JPEG, interlaced/deep PNG, ...) —
+    the documented PIL/opencv plug-in seam."""
     if data[:2] in (b"P6", b"P3"):
         return _ppm_decode(data)
     if data[:2] == b"BM":
         return _bmp_decode(data)
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return _png_decode(data)
     raise NotImplementedError(
         f"image format {data[:4]!r} needs PIL/opencv — plug in here "
-        "(PPM/24-bit BMP decode dependency-free)"
+        "(PPM/24-bit BMP/8-bit PNG decode dependency-free)"
     )
 
 

@@ -236,14 +236,110 @@ def test_decode_image_roundtrip_ppm_and_bmp():
     import numpy as _np
     want = _np.rint(_np.array([[ [15,0,7],[3,15,1] ]]) * (255.0/15)).astype("uint8")
     assert _np.array_equal(decode_image(low), want)
-    # PNG magic hits the declared PIL seam
+    # JPEG magic hits the declared PIL seam (PNG decodes since r6)
     with _pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0JFIF....")
     # 8-bit palette BMP also needs PIL
     bad = bytearray(_make_bmp24(img))
     bad[28:30] = (8).to_bytes(2, "little")
     with _pytest.raises(NotImplementedError, match="24-bit"):
         decode_image(bytes(bad))
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+
+def _make_png(img, colortype, filters, palette=None, bitdepth=8, interlace=0):
+    """Hand-rolled PNG encoder (spec-faithful: real CRCs, per-row filter
+    types) so the decoder is tested against independently constructed
+    bytes. ``img`` is (h, w, ch) raw samples for the color type;
+    ``filters`` gives the filter type per row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    h, w, ch = img.shape
+    raw = img.astype(np.int32).reshape(h, w * ch)
+    bpp = ch
+    lines = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = raw[y]
+        prev = raw[y - 1] if y else np.zeros_like(cur)
+        out = np.zeros_like(cur)
+        for x in range(w * ch):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[f]
+            out[x] = (cur[x] - pred) & 0xFF
+        lines += bytes([f]) + out.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, interlace)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    png += chunk(b"IDAT", zlib.compress(bytes(lines)))
+    return png + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters_and_color_types():
+    import numpy as np
+    import pytest as _pytest
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    # each filter type alone, then all five mixed across rows
+    for f in range(5):
+        assert np.array_equal(decode_image(_make_png(img, 2, [f])), img), f
+    assert np.array_equal(decode_image(_make_png(img, 2, [0, 1, 2, 3, 4])), img)
+    # grayscale replicates to RGB
+    gray = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(_make_png(gray, 0, [1, 4])), np.repeat(gray, 3, axis=2)
+    )
+    # gray+alpha: alpha dropped, gray replicated
+    ga = rng.integers(0, 256, size=(3, 4, 2), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(_make_png(ga, 4, [2, 3])), np.repeat(ga[..., :1], 3, axis=2)
+    )
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(_make_png(rgba, 6, [4])), rgba[..., :3])
+    # palette indirection
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 6, 1), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(_make_png(idx, 3, [0, 1], palette=pal)), pal[idx[..., 0]]
+    )
+    # the remaining PNG seams: interlace and deep bit depths need PIL
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_image(_make_png(img, 2, [0], interlace=1))
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        decode_image(_make_png(img, 2, [0], bitdepth=16))
+    # truncated pixel stream (IHDR claims 6 rows, IDAT carries 3) is a
+    # hard error, not garbage pixels — CRCs are deliberately not checked
+    import struct as _s
+    short = _make_png(img[:3], 2, [0])
+    body_at = short.index(b"IHDR") + 4
+    lied = (
+        short[:body_at]
+        + _s.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 0)
+        + short[body_at + 13 :]
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(lied)
 
 
 def test_decode_wav_roundtrip():
