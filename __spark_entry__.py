@@ -1395,7 +1395,18 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, round_to=4)
 
 
-#: IVF fixture root: the ann_ivf_topk query MATERIALIZES its seeded-KMeans
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) AS cos
+FROM embeddings e
+ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) DESC,
+         vec_id
+LIMIT 10
+"""
+
+
+#: IVF fixture root: ann_suite's ivf variant MATERIALIZES its seeded-KMeans
 #: list assignments + probed flag here, and the oracle re-derives the top-k
 #: from that parquet in SQL (exact cosine inside the probed lists). The
 #: centroids are data-trained, so unlike the SRP planes they cannot be
@@ -1626,6 +1637,483 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(
         b, _query_vec(spark, sf_dir), k=10, n_planes=8, seed=42, round_to=4
     )
+
+
+def _q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 consolidation: the three ANN strategies (exact brute-force
+    cosine, SRP-LSH bucket probe, IVF-Flat probe) share one contract row
+    tagged by ``variant`` — each was a separately green r5 row; the
+    union frees driver-cap slots for the trained-model/PQ suites."""
+    exact = _q_ann_cosine(spark, sf_dir).select(
+        F.lit("exact").alias("variant"), "vec_id", "cos"
+    )
+    lsh = _q_ann_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), "vec_id", "cos"
+    )
+    ivf = _q_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "vec_id", "cos"
+    )
+    return exact.unionByName(lsh).unionByName(ivf)
+
+
+def _ann_suite_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{v}' AS variant, * FROM ({sql})"
+        for v, sql in (
+            ("exact", _ANN_COSINE_SQL),
+            ("lsh", _ann_lsh_sql()),
+            ("ivf", _ann_ivf_sql()),
+        )
+    )
+
+
+def _q_bm25_not_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 consolidation: boolean NOT under AND and under OR (MaxScore tau
+    disabled for exactness under exclusion) in one variant-tagged row."""
+    a = _q_bm25_not(spark, sf_dir).select(
+        F.lit("not_and").alias("variant"), "doc_id", "score"
+    )
+    o = _q_bm25_not_or(spark, sf_dir).select(
+        F.lit("not_or").alias("variant"), "doc_id", "score"
+    )
+    return a.unionByName(o)
+
+
+# ------------------------------------------------- PQ / ADC oracle suite
+
+
+def _pq_fixture_root(sf_dir: str) -> str:
+    import os
+
+    return f"{_IVF_FIXTURE_ROOT}/pq_adc_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _q_pq_adc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search, DuckDB-value-checked (r5 verdict
+    item 1): raw PQ (pq_train/pq_encode/pq_topk) and residual IVF-PQ
+    (ivf_pq_build + the probe-pruned ADC with the per-list base term).
+
+    Fixture pattern (ann_ivf's, COVERAGE.md): the coded tables, the
+    query's per-subspace lookup tables <q_j, C[j,c]>, the per-list base
+    inner products <q, centroid>, and the probed flags are materialized
+    as parquet; DuckDB independently recomputes score = (base +)
+    sum_j lut[j][code_j] and the top-k from them — the ADC algebra, the
+    probe pruning, and the ranking are all value-checked; codebook
+    TRAINING is pinned by test_pq's numpy oracles (operators/ann.py)."""
+    import numpy as np
+
+    from searchenginer_spark.operators.ann import (
+        ivf_pq_build,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(_query_vec(spark, sf_dir), dtype=np.float64)
+    root = _pq_fixture_root(sf_dir)
+    m, n_codes = 8, 16
+    qs = q.reshape(m, -1)
+
+    cb = pq_train(emb, m=m, n_codes=n_codes, seed=42)
+    pq_encode(emb, cb).select("vec_id", "codes").write.mode("overwrite").parquet(
+        f"{root}/coded_pq"
+    )
+
+    centroids, rcb, coded_r = ivf_pq_build(emb, n_lists=8, m=m, n_codes=n_codes, seed=42)
+    probes = np.argsort(((centroids - q) ** 2).sum(axis=1))[:3].tolist()
+    coded_r.select(
+        "vec_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        "codes",
+        F.col("list_id").isin(probes).alias("probed"),
+    ).write.mode("overwrite").parquet(f"{root}/coded_ivf")
+
+    luts = [
+        (variant, j, c, float(books[j, c] @ qs[j]))
+        for variant, books in (("pq", cb), ("ivf_pq", rcb))
+        for j in range(m)
+        for c in range(n_codes)
+    ]
+    spark.createDataFrame(
+        luts, "variant string, j int, code int, val double"
+    ).write.mode("overwrite").parquet(f"{root}/luts")
+    spark.createDataFrame(
+        [(int(l), float(centroids[l] @ q)) for l in range(len(centroids))],
+        "list_id int, base double",
+    ).write.mode("overwrite").parquet(f"{root}/base")
+
+    coded_pq = spark.read.parquet(f"{root}/coded_pq")
+    coded_ivf = spark.read.parquet(f"{root}/coded_ivf")
+    res_pq = pq_topk(coded_pq, cb, q.tolist(), k=10, round_to=4).select(
+        F.lit("pq").alias("variant"), "vec_id", "score"
+    )
+    res_ivf = ivf_pq_topk(
+        coded_ivf, centroids, rcb, q.tolist(), k=10, nprobe=3, round_to=4,
+        residual=True,
+    ).select(F.lit("ivf_pq").alias("variant"), "vec_id", "score")
+    return res_pq.unionByName(res_ivf)
+
+
+def _pq_adc_suite_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    root = _pq_fixture_root(sf_dir)
+    return f"""
+WITH luts AS (SELECT * FROM read_parquet('{root}/luts/*.parquet')),
+base AS (SELECT * FROM read_parquet('{root}/base/*.parquet')),
+cpq AS (SELECT * FROM read_parquet('{root}/coded_pq/*.parquet')),
+civ AS (SELECT * FROM read_parquet('{root}/coded_ivf/*.parquet')),
+pq_s AS (
+  SELECT c.vec_id, sum(l.val) AS score
+  FROM cpq c CROSS JOIN range(1, 9) AS r(j)
+  JOIN luts l ON l.variant = 'pq' AND l.j = r.j - 1 AND l.code = c.codes[r.j]
+  GROUP BY c.vec_id
+),
+iv_s AS (
+  SELECT c.vec_id, min(b.base) + sum(l.val) AS score
+  FROM civ c
+  JOIN base b ON b.list_id = c.list_id
+  CROSS JOIN range(1, 9) AS r(j)
+  JOIN luts l ON l.variant = 'ivf_pq' AND l.j = r.j - 1 AND l.code = c.codes[r.j]
+  WHERE c.probed
+  GROUP BY c.vec_id
+)
+SELECT * FROM (
+  SELECT 'pq' AS variant, vec_id, round(score, 4) AS score FROM pq_s
+  ORDER BY round(score, 4) DESC, vec_id LIMIT 10)
+UNION ALL
+SELECT * FROM (
+  SELECT 'ivf_pq' AS variant, vec_id, round(score, 4) AS score FROM iv_s
+  ORDER BY round(score, 4) DESC, vec_id LIMIT 10)
+"""
+
+
+# ------------------------------------------- trained-model oracle suite
+
+
+def _q_trained_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three trained-model operators (r5 verdict item 1) in one
+    (suite, grp, n, v1, v2) composite row, each DuckDB-value-checked:
+
+    * ``lm``: stupid-backoff n-gram scoring (operators/ngram_lm) —
+      FULLY independent oracle: DuckDB recomputes the count tables from
+      the training split and replays the backoff chain as a CASE.
+      Train/score splits differ so the OOV floor path is exercised.
+    * ``bpe``: learned BPE token accounting (operators/bpe) — the merge
+      table (the model artifact, like the PQ LUTs) is the only fixture;
+      DuckDB re-runs the ENCODE itself with a recursive CTE applying
+      merges in rank order (provably equivalent to greedy
+      lowest-rank-first: any pair involving a merged symbol has a later
+      rank than the merge that created the symbol).
+    * ``embed``: doc vectors from TRAINED PPMI term vectors
+      (operators/embed.doc_vectors_from) — term vectors are the fixture;
+      DuckDB recomputes tf/df/n_docs and the weighted-average + L2
+      normalization (training math is pinned by test_embed's oracles).
+    """
+    from searchenginer_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+        word_frequencies,
+    )
+    from searchenginer_spark.operators.dedup import release_intermediates
+    from searchenginer_spark.operators.embed import (
+        cooccurrence_counts,
+        doc_vectors_from,
+        train_ppmi_vectors,
+    )
+    from searchenginer_spark.operators.ngram_lm import score_docs, train_ngram_counts
+
+    docs = _docs(spark, sf_dir)
+    root = _pq_fixture_root(sf_dir)
+
+    # --- lm: train on doc_id >= 100, score doc_id < 60 (OOV floor live)
+    counts = train_ngram_counts(
+        docs.filter(F.col("doc_id") >= 100), order=3, text_col="text"
+    )
+    lm = score_docs(
+        docs.filter(F.col("doc_id") < 60), counts, order=3, text_col="text"
+    )
+    lm_rows = lm.select(
+        F.lit("lm").alias("suite"),
+        F.col("doc_id").cast("string").alias("grp"),
+        F.col("n_tokens").cast("long").alias("n"),
+        F.col("avg_logprob").cast("double").alias("v1"),
+        F.col("perplexity").cast("double").alias("v2"),
+    )
+    # drop the internal count-table persists right away: the oracle row
+    # is tiny, recompute-on-collect is cheap, and nothing leaks
+    release_intermediates(lm)
+
+    # --- bpe: learn merges on the whole corpus, fixture them, count
+    merges = train_bpe(word_frequencies(docs, text_col="text"), n_merges=60)
+    spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "mrank int, a string, b string",
+    ).write.mode("overwrite").parquet(f"{root}/bpe_merges")
+    bpe_rows = bpe_token_counts(
+        docs.filter(F.col("doc_id") < 100), merges, text_col="text"
+    ).select(
+        F.lit("bpe").alias("suite"),
+        F.col("doc_id").cast("string").alias("grp"),
+        F.col("n_bpe_tokens").cast("long").alias("n"),
+        F.lit(0.0).alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+
+    # --- embed: train term vectors, fixture them, check doc-vector math
+    tv = train_ppmi_vectors(
+        cooccurrence_counts(docs, text_col="text", window=4), dim=8, top_vocab=256
+    )
+    tv.select("term", F.posexplode("vec").alias("d", "val")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/term_vecs")
+    idx = _index(spark, sf_dir)
+    dv = doc_vectors_from(
+        idx.tf.filter(F.col("doc_id") < 30), idx.dft, idx.stats, tv, dim=8
+    )
+    embed_rows = dv.select("doc_id", F.posexplode("vec").alias("d", "val")).select(
+        F.lit("embed").alias("suite"),
+        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("d").cast("string")).alias("grp"),
+        F.lit(0).cast("long").alias("n"),
+        F.round(F.col("val"), 4).alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    return lm_rows.unionByName(bpe_rows).unionByName(embed_rows)
+
+
+def _trained_model_suite_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    root = _pq_fixture_root(sf_dir)
+    return f"""
+WITH RECURSIVE
+tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks
+       FROM documents),
+-- ===== lm: recompute count tables from the training split ============
+trn_pos AS (
+  SELECT toks, u.j
+  FROM (SELECT toks FROM tk WHERE doc_id >= 100) t,
+       unnest(range(1, len(toks) + 1)) AS u(j)
+),
+c1 AS (SELECT toks[j] AS g, count(*) AS c FROM trn_pos GROUP BY 1),
+c2 AS (SELECT toks[j-1] || ' ' || toks[j] AS g, count(*) AS c
+       FROM trn_pos WHERE j >= 2 GROUP BY 1),
+c3 AS (SELECT toks[j-2] || ' ' || toks[j-1] || ' ' || toks[j] AS g, count(*) AS c
+       FROM trn_pos WHERE j >= 3 GROUP BY 1),
+nt AS (SELECT sum(c)::DOUBLE AS n FROM c1),
+sc AS (
+  SELECT doc_id, toks, u.j
+  FROM tk, unnest(range(1, len(toks) + 1)) AS u(j)
+  WHERE doc_id < 60 AND len(toks) > 0
+),
+j3 AS (
+  SELECT s.doc_id, least(s.j, 3)::DOUBLE AS avail,
+         g1.c AS u1, b2.c AS u2, d2.c AS x2, b3.c AS u3, d3.c AS x3
+  FROM sc s
+  LEFT JOIN c1 g1 ON g1.g = s.toks[s.j]
+  LEFT JOIN c2 b2 ON s.j >= 2 AND b2.g = s.toks[s.j-1] || ' ' || s.toks[s.j]
+  LEFT JOIN c1 d2 ON s.j >= 2 AND d2.g = s.toks[s.j-1]
+  LEFT JOIN c3 b3 ON s.j >= 3
+       AND b3.g = s.toks[s.j-2] || ' ' || s.toks[s.j-1] || ' ' || s.toks[s.j]
+  LEFT JOIN c2 d3 ON s.j >= 3 AND d3.g = s.toks[s.j-2] || ' ' || s.toks[s.j-1]
+),
+lp AS (
+  SELECT doc_id, log10(CASE
+    WHEN u3 IS NOT NULL AND x3 IS NOT NULL THEN pow(0.4, avail - 3) * u3 / x3
+    WHEN u2 IS NOT NULL AND x2 IS NOT NULL THEN pow(0.4, avail - 2) * u2 / x2
+    WHEN u1 IS NOT NULL THEN pow(0.4, avail - 1) * u1 / (SELECT n FROM nt)
+    ELSE pow(0.4, avail - 1) * 0.5 / (SELECT n FROM nt) END) AS l
+  FROM j3
+),
+lm AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, avg(l) AS a FROM lp GROUP BY 1),
+-- ===== bpe: recursive-CTE encode applying fixture merges in rank order
+merges AS (SELECT * FROM read_parquet('{root}/bpe_merges/*.parquet')),
+occ AS (
+  SELECT doc_id, u.t AS word
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS u(t)
+  WHERE doc_id < 100
+),
+enc AS (
+  SELECT word,
+         ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), ' ') || ' ' AS s,
+         0 AS r
+  FROM (SELECT DISTINCT word FROM occ)
+  UNION ALL
+  SELECT e.word,
+         replace(e.s, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+         e.r + 1
+  FROM enc e JOIN merges m ON m.mrank = e.r + 1
+),
+fin AS (
+  SELECT word, len(string_split(trim(s), ' ')) AS n_sub
+  FROM enc WHERE r = (SELECT coalesce(max(mrank), 0) FROM merges)
+),
+bt AS (SELECT o.doc_id, sum(f.n_sub)::BIGINT AS n FROM occ o JOIN fin f USING (word) GROUP BY 1),
+-- ===== embed: doc-vector math over the fixture term vectors ==========
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, lower(u.t) AS term
+             FROM documents, unnest(regexp_extract_all(text, '{IDENT_SQL_RE}')) AS u(t))
+       GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+tv AS (SELECT term, d, val FROM read_parquet('{root}/term_vecs/*.parquet')),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * log2((SELECT n_docs FROM st) / (dft.df + 1.0)) AS wt
+  FROM tf JOIN dft USING (term) WHERE tf.doc_id < 30
+),
+s AS (
+  SELECT w.doc_id, tv.d, sum(tv.val * w.wt) AS sd
+  FROM w JOIN tv USING (term) WHERE w.wt > 0 GROUP BY 1, 2
+),
+nrm AS (SELECT doc_id, sqrt(sum(sd * sd)) AS nr FROM s GROUP BY 1)
+SELECT 'lm' AS suite, doc_id::VARCHAR AS grp, n_tokens AS n,
+       round(a, 6) AS v1, round(pow(10, -a), 4) AS v2 FROM lm
+UNION ALL
+SELECT 'bpe', d.doc_id::VARCHAR, coalesce(bt.n, 0), 0.0, 0.0
+FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d LEFT JOIN bt USING (doc_id)
+UNION ALL
+SELECT 'embed', s.doc_id::VARCHAR || '_' || s.d::VARCHAR, 0::BIGINT,
+       round(CASE WHEN nrm.nr > 0 THEN s.sd / nrm.nr ELSE 0.0 END, 4), 0.0
+FROM s JOIN nrm USING (doc_id)
+"""
+
+
+# --------------------------- multimodal decode + stateful-streaming suite
+
+
+def _q_multimodal_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last two pytest-only operators (r5 verdict item 1), one
+    composite row:
+
+    * ``img``: REAL image decode + feature extraction end to end. A
+      deterministic synthetic image set is generated as numpy pixels,
+      ENCODED to PPM P6 bytes, and fed through
+      extract_image_features(decoder='real') (mapInPandas decode). The
+      GENERATOR's pixels — not anything the decoder produced — are the
+      fixture; DuckDB recomputes the per-channel mean/std and luminance
+      histogram from them, so decode + features are checked end to end
+      (width/height ride every row as n = w*100000 + h, derived on the
+      oracle side from the pixel grid itself).
+    * ``sdedup``: streaming stateful dedup (applyInPandasWithState).
+      The duplicate-injected union corpus is drained through a real
+      Structured Streaming query (availableNow, parquet sink, fresh
+      checkpoint); one input file = one micro-batch, so the
+      lowest-doc_id-wins batch semantics are deterministic and the
+      oracle is plain first-occurrence-per-text SQL.
+    """
+    import shutil
+
+    import numpy as np
+
+    from searchenginer_spark.deploy import ship_package
+    from searchenginer_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+    from searchenginer_spark.streaming.stateful import streaming_dedup
+
+    # the mapInPandas/applyInPandasWithState closures reference this
+    # package by module — python workers need the zip before the first job
+    ship_package(spark)
+    root = _pq_fixture_root(sf_dir)
+
+    # --- img
+    rng = np.random.default_rng(1234)
+    media_rows, px_rows = [], []
+    for i in range(8):
+        w, h = 4 + i, 3 + i % 3
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ppm = b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+        media_rows.append((i, "image", bytearray(ppm), (w, h, None, None)))
+        for y in range(h):
+            for x in range(w):
+                px_rows.append(
+                    (i, y, x, int(img[y, x, 0]), int(img[y, x, 1]), int(img[y, x, 2]))
+                )
+    spark.createDataFrame(
+        px_rows, "doc_id long, y int, x int, r int, g int, b int"
+    ).write.mode("overwrite").parquet(f"{root}/img_pixels")
+    media = spark.createDataFrame(media_rows, MEDIA_SCHEMA)
+    feats = extract_image_features(media, decoder="real")
+    img_rows = feats.select(
+        "doc_id",
+        (F.col("width").cast("long") * 100000 + F.col("height")).alias("n"),
+        F.posexplode("features").alias("i", "val"),
+    ).select(
+        F.lit("img").alias("suite"),
+        F.concat_ws("_", F.col("doc_id").cast("string"), F.col("i").cast("string")).alias("grp"),
+        "n",
+        F.round(F.col("val").cast("double"), 4).alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+
+    # --- sdedup: run the stream to completion, then read the sink
+    inp, ckpt, out = f"{root}/sdedup_in", f"{root}/sdedup_ckpt", f"{root}/sdedup_out"
+    for p in (ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
+    u = _union_docs(spark, sf_dir)
+    u.coalesce(1).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(u.schema).parquet(inp)
+    q = (
+        streaming_dedup(stream, text_col="text")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sd_rows = spark.read.parquet(out).select(
+        F.lit("sdedup").alias("suite"),
+        F.col("doc_id").cast("string").alias("grp"),
+        F.length("text").cast("long").alias("n"),
+        F.lit(0.0).alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    return img_rows.unionByName(sd_rows)
+
+
+def _multimodal_stateful_suite_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    root = _pq_fixture_root(sf_dir)
+    return f"""
+WITH px AS (SELECT * FROM read_parquet('{root}/img_pixels/*.parquet')),
+dims AS (
+  SELECT doc_id, (max(x) + 1)::BIGINT * 100000 + (max(y) + 1) AS n,
+         count(*)::DOUBLE AS npx
+  FROM px GROUP BY 1
+),
+mstd AS (
+  SELECT doc_id,
+         avg(r) / 255.0 AS m0, avg(g) / 255.0 AS m1, avg(b) / 255.0 AS m2,
+         stddev_pop(r) / 255.0 AS s0, stddev_pop(g) / 255.0 AS s1,
+         stddev_pop(b) / 255.0 AS s2
+  FROM px GROUP BY 1
+),
+hist AS (
+  SELECT doc_id,
+         least(floor((0.299 * r + 0.587 * g + 0.114 * b) * 10 / 255.001), 9)::INT AS b10,
+         count(*)::DOUBLE AS c
+  FROM px GROUP BY 1, 2
+),
+grid AS (SELECT d.doc_id, d.n, d.npx, r.j - 1 AS b10 FROM dims d CROSS JOIN range(1, 11) AS r(j)),
+feat AS (
+  SELECT doc_id, 0 AS i, m0 AS val FROM mstd
+  UNION ALL SELECT doc_id, 1, m1 FROM mstd
+  UNION ALL SELECT doc_id, 2, m2 FROM mstd
+  UNION ALL SELECT doc_id, 3, s0 FROM mstd
+  UNION ALL SELECT doc_id, 4, s1 FROM mstd
+  UNION ALL SELECT doc_id, 5, s2 FROM mstd
+  UNION ALL
+  SELECT g.doc_id, 6 + g.b10, coalesce(h.c, 0) / g.npx
+  FROM grid g LEFT JOIN hist h USING (doc_id, b10)
+),
+{_UNION_SQL}
+SELECT 'img' AS suite, f.doc_id::VARCHAR || '_' || f.i::VARCHAR AS grp, d.n,
+       round(CAST(f.val AS REAL)::DOUBLE, 4) AS v1, 0.0 AS v2
+FROM feat f JOIN dims d USING (doc_id)
+UNION ALL
+SELECT 'sdedup', min(doc_id)::VARCHAR, min(length(text))::BIGINT, 0.0, 0.0
+FROM u GROUP BY text
+"""
 
 
 def _q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,8 +2396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_bm25_and,
         "bm25_or_topk": _q_bm25_or,
         "bm25_repeated_term": _q_bm25_repeated_term,
-        "bm25_not_topk": _q_bm25_not,
-        "bm25_not_or_topk": _q_bm25_not_or,
+        # r6: NOT-under-AND + NOT-under-OR merged into one variant-tagged
+        # row (both were green r5 rows); the freed slot funds the
+        # trained-model/PQ/multimodal oracle suites below
+        "bm25_not_suite": _q_bm25_not_suite,
         "bm25_compressed_and_topk": _q_bm25_compressed_and,
         "bm25_compressed_or_topk": _q_bm25_compressed_or,
         "bm25_compressed_prod_geometry": _q_bm25_compressed_prod,
@@ -1952,9 +2442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_topn": _q_tfidf_keywords,
         "suggest_terms": _q_suggest,
         "quality_scores": _q_quality_scores,
-        "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
+        # r6: exact/LSH/IVF merged into ann_suite (all were green r5
+        # rows); pq_adc_suite, trained_model_suite and
+        # multimodal_stateful_suite spend the freed slots on the six
+        # formerly pytest-only operators (r5 verdict item 1)
+        "ann_suite": _q_ann_suite,
+        "pq_adc_suite": _q_pq_adc_suite,
+        "trained_model_suite": _q_trained_model_suite,
+        "multimodal_stateful_suite": _q_multimodal_stateful_suite,
         "doc_vectors_sample": _q_doc_vectors,
         "vector_search_text": _q_vector_search,
         "dedup_embedding_pairs": _q_dedup_embedding,
@@ -1967,8 +2462,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_or_topk": _bm25_sql("spark merge window", "or"),
         "bm25_repeated_term": _bm25_sql("the the fast", "and"),
-        "bm25_not_topk": _bm25_sql(FLAGSHIP_QUERY, "and", exclude=("merge",)),
-        "bm25_not_or_topk": _bm25_sql("spark merge window", "or", exclude=("fast",)),
+        "bm25_not_suite": (
+            "SELECT 'not_and' AS variant, * FROM ("
+            + _bm25_sql(FLAGSHIP_QUERY, "and", exclude=("merge",))
+            + ") UNION ALL SELECT 'not_or', * FROM ("
+            + _bm25_sql("spark merge window", "or", exclude=("fast",))
+            + ")"
+        ),
         "bm25_compressed_and_topk": _bm25_sql(FLAGSHIP_QUERY, "and"),
         "bm25_compressed_or_topk": _bm25_sql("spark merge window", "or"),
         "bm25_compressed_prod_geometry": _bm25_sql(FLAGSHIP_QUERY, "and"),
@@ -2162,20 +2662,13 @@ FROM m
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "doc_fingerprints": _doc_fingerprints_sql(),
-        "ann_lsh_topk": _ann_lsh_sql(),
-        "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_suite": _ann_suite_sql(),
+        "pq_adc_suite": _pq_adc_suite_sql(),
+        "trained_model_suite": _trained_model_suite_sql(),
+        "multimodal_stateful_suite": _multimodal_stateful_suite_sql(),
         "doc_vectors_sample": _doc_vectors_sql(),
         "vector_search_text": _vector_search_sql(VEC_QUERY),
         "dedup_embedding_pairs": _embedding_pairs_sql(),
-        "ann_cosine_topk": """
-WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id,
-       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) AS cos
-FROM embeddings e
-ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) DESC,
-         vec_id
-LIMIT 10
-""",
         "sql_generic_suite": _SQL_AGG_SUITE_SQL + " UNION ALL " + _SQL_JOIN_WINDOW_SUITE_SQL,
         "phrase_search": """
 WITH tk AS (
