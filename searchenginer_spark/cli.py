@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--dim", type=int, default=16)
     e.add_argument("--window", type=int, default=4)
     e.add_argument("--top-vocab", type=int, default=2048)
+    e.add_argument("--distributed", action="store_true",
+                   help="randomized block eigendecomposition over the "
+                        "distributed PPMI COO — no vocab cap, driver "
+                        "holds only (dim+oversample)^2 (r6)")
 
     bp = sub.add_parser("bpe-train",
                         help="learned BPE merge table + token counts (operators/bpe)")
@@ -169,12 +173,24 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps([{"term": r["term"], "sim": r["sim"]} for r in rows]))
 
     elif args.cmd == "embed-train":
-        from .operators.embed import cooccurrence_counts, train_ppmi_vectors
+        from .operators.embed import (
+            cooccurrence_counts,
+            train_ppmi_vectors,
+            train_ppmi_vectors_distributed,
+        )
 
         corpus = spark.read.parquet(args.corpus)
         cooc = cooccurrence_counts(corpus, text_col=args.text_col, window=args.window)
-        tv = train_ppmi_vectors(cooc, dim=args.dim, top_vocab=args.top_vocab)
-        tv.write.mode("overwrite").parquet(args.out)
+        if args.distributed:
+            from .operators.dedup import release_intermediates
+
+            tv = train_ppmi_vectors_distributed(cooc, dim=args.dim)
+            tv.write.mode("overwrite").parquet(args.out)
+            release_intermediates(tv)
+            tv = spark.read.parquet(args.out)
+        else:
+            tv = train_ppmi_vectors(cooc, dim=args.dim, top_vocab=args.top_vocab)
+            tv.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"written": args.out, "vocab": tv.count(), "dim": args.dim}))
 
     elif args.cmd == "bpe-train":

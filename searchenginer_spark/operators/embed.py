@@ -25,11 +25,15 @@ built only from public results and the corpus:
 Scale shape: the counting pass is fully distributed and the only one that
 touches the corpus; the densified matrix is vocab-capped (``top_vocab``,
 default 2048 -> 32 MB driver dense; 16k -> 2 GB, the practical driver
-ceiling). Web-scale vocabularies swap step 3 for randomized block SVD
-over the distributed COO counts (Halko, Martinsson & Tropp 2011 — public
-algorithm; the counting output here is already the COO table it needs) —
-that seam is the boundary of this module, exactly like the reference's
-model-file boundary.
+ceiling). Web-scale vocabularies use
+:func:`train_ppmi_vectors_distributed` (r6): randomized block
+eigendecomposition (Halko, Martinsson & Tropp 2011, §4.3-4.4 + Rayleigh-
+Ritz) over the DISTRIBUTED symmetrized-PPMI COO table — every V-sized
+object stays a DataFrame, the driver touches only r x r Gram/Ritz
+matrices (r = dim + oversample), and the V x V matrix is never densified
+anywhere. That replaces the reference's external fastText binary
+(Make_Page/MakePage.cpp:247-398) with an in-engine trainer whose only
+scale bound is the corpus itself.
 """
 
 from __future__ import annotations
@@ -140,6 +144,10 @@ def train_ppmi_vectors(
     M = M + M.T  # symmetric counts
 
     total = M.sum()
+    if total == 0:
+        # vocab-filtered pull came back empty: dividing by total would
+        # silently produce NaN PPMI and garbage vectors
+        raise ValueError("no in-vocabulary co-occurrences (empty pair pull)")
     pw = M.sum(axis=1) / total
     ctx = M.sum(axis=0) ** alpha
     pc = ctx / ctx.sum()
@@ -169,6 +177,246 @@ def train_ppmi_vectors(
         [(t, U[i].tolist()) for t, i in index.items()],
         "term string, vec array<double>",
     )
+
+
+# ------------------------------------------------ distributed factorization
+
+
+def _project_components(df: DataFrame, col: str, r: int) -> DataFrame:
+    """Project array elements to plain columns BEFORE wide aggregates:
+    Spark's subexpression elimination does not dedupe element_at across
+    aggregate expressions (r2 finding), so an r^2-aggregate Gram pass over
+    raw element_at would re-evaluate each lookup r times."""
+    return df.select(
+        "*", *[F.element_at(col, k + 1).alias(f"_p{k}") for k in range(r)]
+    )
+
+
+def _matmul_coo(A: DataFrame, X: DataFrame, r: int) -> DataFrame:
+    """Y = A @ X for COO A(w, c, v) and tall-skinny X(term, x array<double>
+    [r]) -> (term, x). ONE shuffle: join on the contraction index, then a
+    hash-aggregate with r parallel SUMs (map-side partials absorb hot
+    rows). This is the only corpus-vocab-sized operation in the whole
+    randomized factorization."""
+    j = A.join(X.select(F.col("term").alias("c"), "x"), "c")
+    j = _project_components(j, "x", r)
+    y = j.groupBy(F.col("w").alias("term")).agg(
+        *[F.sum(F.col("v") * F.col(f"_p{k}")).alias(f"_y{k}") for k in range(r)]
+    )
+    return y.select("term", F.array(*[f"_y{k}" for k in range(r)]).alias("x"))
+
+
+def _gram(Y: DataFrame, r: int) -> np.ndarray:
+    """G = Y^T Y (r x r) via one aggregate pass — the tall-skinny-QR trick
+    that keeps orthonormalization off the driver's V axis."""
+    p = _project_components(Y, "x", r)
+    aggs = [
+        F.sum(F.col(f"_p{a}") * F.col(f"_p{b}")).alias(f"g_{a}_{b}")
+        for a in range(r)
+        for b in range(a, r)
+    ]
+    row = p.agg(*aggs).first()
+    G = np.zeros((r, r))
+    for a in range(r):
+        for b in range(a, r):
+            G[a, b] = G[b, a] = row[f"g_{a}_{b}"] or 0.0
+    return G
+
+
+def _apply_right(Y: DataFrame, M: np.ndarray) -> DataFrame:
+    """Row-wise x -> x @ M for a small broadcast-literal M (r_in x r_out):
+    pure codegen, no shuffle, no UDF."""
+    r_in, r_out = M.shape
+    p = _project_components(Y, "x", r_in)
+    out = F.array(
+        *[
+            sum(F.col(f"_p{a}") * F.lit(float(M[a, k])) for a in range(r_in))
+            for k in range(r_out)
+        ]
+    )
+    return p.select("term", out.alias("x"))
+
+
+def _orth_factor(G: np.ndarray) -> np.ndarray:
+    """W with (YW) orthonormal, from G = Y^T Y: symmetric inverse square
+    root via eigh, rank-deficient directions dropped to zero."""
+    vals, vecs = np.linalg.eigh((G + G.T) / 2.0)
+    inv = np.where(vals > 1e-12 * max(vals.max(), 1.0), 1.0 / np.sqrt(np.maximum(vals, 1e-300)), 0.0)
+    return vecs @ np.diag(inv) @ vecs.T
+
+
+def ppmi_coo(cooc: DataFrame, alpha: float = 0.75) -> tuple[DataFrame, DataFrame]:
+    """(ppmi, margins): the symmetrized-PPMI matrix as a COO DataFrame
+    (w, c, v) plus the margins table (term, m) — the exact distributed
+    twin of the driver path's dense pipeline. Because the symmetrized
+    count matrix has M[i,j] = M[j,i], BOTH PPMI orientations of a pair
+    are computable from one entry and the two margins:
+
+        s_ij = (pos(log(x / (pw_i * pc_j))) + pos(log(x / (pw_j * pc_i)))) / 2
+
+    with x = M_ij/total — so the (P + P^T)/2 symmetrization needs NO
+    self-join, just the margin join. V x V never materializes; the COO
+    stays exactly as sparse as the observed co-occurrences."""
+    sym = (
+        cooc.select("w", "c", "n")
+        .unionByName(cooc.select(F.col("c").alias("w"), F.col("w").alias("c"), "n"))
+        .groupBy("w", "c")
+        .agg(F.sum("n").alias("n"))
+    )
+    sym = sym.persist()
+    margins = sym.groupBy(F.col("w").alias("term")).agg(F.sum("n").alias("m"))
+    margins = margins.persist()
+    tot_row = margins.agg(
+        F.sum("m").alias("total"), F.sum(F.pow("m", alpha)).alias("ctx_sum")
+    ).first()
+    total, ctx_sum = float(tot_row["total"] or 0.0), float(tot_row["ctx_sum"] or 1.0)
+    if total == 0:
+        sym.unpersist()
+        margins.unpersist()
+        raise ValueError("no in-vocabulary co-occurrences (empty pair pull)")
+    mw = margins.select(F.col("term").alias("w"), F.col("m").alias("_mw"))
+    mc = margins.select(F.col("term").alias("c"), F.col("m").alias("_mc"))
+    e = sym.join(mw, "w").join(mc, "c")
+    x = F.col("n") / F.lit(total)
+    pw_w = F.col("_mw") / F.lit(total)
+    pw_c = F.col("_mc") / F.lit(total)
+    pc_w = F.pow("_mw", alpha) / F.lit(ctx_sum)
+    pc_c = F.pow("_mc", alpha) / F.lit(ctx_sum)
+    pos = lambda col: F.greatest(col, F.lit(0.0))  # noqa: E731
+    v = (pos(F.log(x / (pw_w * pc_c))) + pos(F.log(x / (pw_c * pc_w)))) / 2
+    ppmi = e.select("w", "c", v.alias("v")).filter(F.col("v") > 0)
+    from .dedup import _attach_intermediates
+
+    return _attach_intermediates(ppmi, [sym]), margins
+
+
+def _seeded_gaussians(term_col, r: int, seed: int):
+    """r deterministic N(0,1) draws per term as PURE CODEGEN: two
+    xxhash64-derived uniforms per draw through Box-Muller. No driver
+    V x r materialization, no RNG state — the sketch matrix Omega exists
+    only as an expression over the vocabulary table."""
+    cols = []
+    denom = float((1 << 24) + 2)
+    for k in range(r):
+        u1 = (F.pmod(F.xxhash64(term_col, F.lit(seed * 2654435761 + 2 * k)), F.lit(1 << 24)) + 1) / denom
+        u2 = (F.pmod(F.xxhash64(term_col, F.lit(seed * 2654435761 + 2 * k + 1)), F.lit(1 << 24)) + 1) / denom
+        cols.append(F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0 * np.pi) * u2))
+    return F.array(*cols)
+
+
+def train_ppmi_vectors_distributed(
+    cooc: DataFrame,
+    dim: int = 16,
+    alpha: float = 0.75,
+    oversample: int = 8,
+    power_iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(term, vec array<double>) — the same PPMI factorization as
+    :func:`train_ppmi_vectors`, with NO vocabulary cap: randomized block
+    eigendecomposition (Halko et al. 2011) over the distributed COO.
+
+    The algorithm, with every V-sized object distributed:
+
+      1. ``A`` = symmetrized PPMI COO (:func:`ppmi_coo`), persisted — it
+         is contracted 3 + power_iters times.
+      2. Sketch ``Y = A @ Omega`` where Omega is a seeded-hash Gaussian
+         EXPRESSION (no materialized V x r on any single machine).
+      3. Orthonormalize via the tall-skinny Gram trick: G = Y^T Y (r x r
+         on the driver), Q = Y @ G^(-1/2). Power iterations repeat
+         Y = A @ Q to sharpen the spectrum (A is symmetric, so each
+         multiply squares the singular-value decay).
+      4. Rayleigh-Ritz: B = Q^T A Q (r x r), eigh(B) on the driver,
+         vectors = Q @ (top-dim eigvecs * sqrt(eigval)), then the same
+         deterministic sign fix + row L2 normalization as the driver
+         path — all computed as codegen column math.
+
+    Driver memory: O(r^2) matrices only (r = dim + oversample).
+    Determinism: the sketch is seeded-hash; distributed float summation
+    order makes reruns equal to ~1e-12 rather than bit-identical (the
+    driver path keeps bit-identity for capped vocabularies).
+    Parity: test_embed pins cosine >= 0.99 (up to sign) against the
+    eigh path on a shared corpus.
+
+    The result rides its persisted intermediates (the PPMI COO + final
+    Q) as ``_sg_intermediates`` — release via
+    :func:`searchenginer_spark.operators.dedup.release_intermediates`
+    after materializing."""
+    from .dedup import _attach_intermediates, release_intermediates
+
+    A, margins = ppmi_coo(cooc, alpha=alpha)
+    A = A.persist()
+    n_aggs = A.agg(
+        F.count(F.lit(1)).alias("nnz"), F.countDistinct("w").alias("v")
+    ).first()
+    V = int(n_aggs["v"] or 0)
+    if V == 0:
+        release_intermediates(A)
+        margins.unpersist()
+        raise ValueError("empty PPMI matrix (no positive associations)")
+    if V < dim:
+        release_intermediates(A)
+        A.unpersist()
+        margins.unpersist()
+        raise ValueError(
+            f"dim={dim} exceeds the usable vocabulary ({V} terms); "
+            "lower dim or provide more text"
+        )
+    r = min(dim + oversample, V)
+
+    vocab = margins.select("term")
+    omega = vocab.select("term", _seeded_gaussians(F.col("term"), r, seed).alias("x"))
+    Y = _matmul_coo(A, omega, r)
+    Q = _apply_right(Y, _orth_factor(_gram(Y, r)))
+    for _ in range(power_iters):
+        Y = _matmul_coo(A, Q, r)
+        Q = _apply_right(Y, _orth_factor(_gram(Y, r)))
+    Q = Q.persist()
+
+    # Rayleigh-Ritz: B = Q^T (A Q), r x r via one joined aggregate pass
+    T = _matmul_coo(A, Q, r)
+    qj = _project_components(Q, "x", r).select(
+        "term", *[F.col(f"_p{a}").alias(f"_q{a}") for a in range(r)]
+    )
+    tj = _project_components(T, "x", r).select(
+        "term", *[F.col(f"_p{b}").alias(f"_t{b}") for b in range(r)]
+    )
+    row = (
+        qj.join(tj, "term")
+        .agg(
+            *[
+                F.sum(F.col(f"_q{a}") * F.col(f"_t{b}")).alias(f"b_{a}_{b}")
+                for a in range(r)
+                for b in range(r)
+            ]
+        )
+        .first()
+    )
+    B = np.zeros((r, r))
+    for a in range(r):
+        for b in range(r):
+            B[a, b] = row[f"b_{a}_{b}"] or 0.0
+    vals, vecs = np.linalg.eigh((B + B.T) / 2.0)
+    top = np.argsort(-vals)[:dim]
+    U_small = vecs[:, top] * np.sqrt(np.maximum(vals[top], 0.0))
+
+    raw = _apply_right(Q, U_small).persist()
+    # deterministic sign fix (driver-path semantics: the largest-|value|
+    # component of each column ends up positive), then row L2 normalize
+    rp = _project_components(raw, "x", dim)
+    sign_row = rp.agg(
+        *[F.max_by(F.col(f"_p{k}"), F.abs(F.col(f"_p{k}"))).alias(f"s{k}") for k in range(dim)]
+    ).first()
+    signs = [1.0 if (sign_row[f"s{k}"] or 0.0) >= 0 else -1.0 for k in range(dim)]
+    comps = [F.col(f"_p{k}") * F.lit(signs[k]) for k in range(dim)]
+    nrm = F.sqrt(sum(c * c for c in comps))
+    vec = F.array(
+        *[F.when(nrm > 0, c / nrm).otherwise(F.lit(0.0)) for c in comps]
+    )
+    result = rp.select("term", vec.alias("vec"))
+    margins.unpersist()
+    handles = list(getattr(A, "_sg_intermediates", ())) + [A, Q, raw]
+    return _attach_intermediates(result, handles)
 
 
 def doc_vectors_from(

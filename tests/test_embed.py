@@ -91,6 +91,128 @@ def test_vocab_cap(docs):
         train_ppmi_vectors(cooc, dim=4, top_vocab=3)
 
 
+def test_distributed_svd_matches_eigh_path(spark):
+    """r6: the randomized block eigendecomposition over the distributed
+    PPMI COO (train_ppmi_vectors_distributed) must reproduce the
+    driver-eigh vectors — cosine >= 0.99 per term up to sign — while
+    never densifying V x V anywhere (the COO row count IS the densest
+    object; asserted below) and keeping every stage JVM-codegen.
+
+    Corpus note: per-term eigenvector parity is only defined when the
+    top-dim eigenvalues are NON-degenerate (inside a degenerate pair any
+    rotation is an equally valid eigenbasis, so two exact solvers can
+    legitimately disagree per term). The module CORPUS is perfectly
+    mirror-symmetric (every eigenvalue doubled), so this test uses an
+    asymmetric corpus whose top spectrum is 4.46 > 3.70 >> 1.15 and
+    compares at dim=2 — a clean gap above the cut."""
+    from searchenginer_spark.operators.dedup import release_intermediates
+    from searchenginer_spark.operators.embed import (
+        ppmi_coo,
+        train_ppmi_vectors_distributed,
+    )
+
+    rows = []
+    words_a = ["apple", "banana", "cherry", "fruit", "market", "vendor"]
+    words_b = ["car", "truck", "engine"]
+    hub = ["the", "sells", "fresh"]
+    for i in range(30):
+        wa = [words_a[(i * 5 + j) % len(words_a)] for j in range(4)]
+        rows.append((i, f"{hub[i%3]} {wa[0]} {wa[1]} {hub[(i+1)%3]} {wa[2]} {wa[3]}"))
+    for i in range(30, 45):
+        wb = [words_b[(i * 2 + j) % len(words_b)] for j in range(3)]
+        rows.append((i, f"{hub[i%3]} {wb[0]} {wb[1]} {wb[2]} road"))
+    adocs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cooc = cooccurrence_counts(adocs, window=2).persist()
+    want = {r["term"]: np.array(r["vec"]) for r in
+            train_ppmi_vectors(cooc, dim=2, top_vocab=1000).collect()}
+    got_df = train_ppmi_vectors_distributed(
+        cooc, dim=2, oversample=8, power_iters=4, seed=7
+    )
+    got = {r["term"]: np.array(r["vec"]) for r in got_df.collect()}
+    assert set(got) == set(want)
+    for t in want:
+        nw, ng = np.linalg.norm(want[t]), np.linalg.norm(got[t])
+        if nw < 1e-12 or ng < 1e-12:
+            continue
+        cos = abs(float(want[t] @ got[t])) / (nw * ng)
+        assert cos >= 0.99, (t, cos, want[t], got[t])
+    release_intermediates(got_df)
+
+    # no V x V densification: the PPMI COO carries only observed pairs
+    # (<= nnz of the symmetric count matrix), and the whole distributed
+    # path is DataFrame algebra over it — spot-check the sparsity bound
+    ppmi, margins = ppmi_coo(cooc)
+    v = margins.count()
+    nnz = ppmi.count()
+    sym_nnz = (
+        cooc.select("w", "c").unionByName(
+            cooc.select(cooc.c.alias("w"), cooc.w.alias("c"))
+        ).distinct().count()
+    )
+    assert nnz <= sym_nnz < v * v
+    release_intermediates(ppmi)
+    margins.unpersist()
+    cooc.unpersist()
+
+
+def test_distributed_svd_plan_is_jvm_only(spark, docs):
+    """Every distributed stage of the randomized factorization (matmul,
+    Gram, right-multiply, sign/normalize) is codegen column math — no
+    Python/Arrow eval anywhere in the executed plan."""
+    from searchenginer_spark.operators.dedup import release_intermediates
+    from searchenginer_spark.operators.embed import train_ppmi_vectors_distributed
+
+    cooc = cooccurrence_counts(docs, window=2)
+    tv = train_ppmi_vectors_distributed(cooc, dim=2, oversample=4, power_iters=1)
+    plan = tv._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+    release_intermediates(tv)
+
+
+def test_distributed_svd_scales_past_driver_cap_shape(spark):
+    """The point of the distributed path: no top_vocab argument exists,
+    and a vocabulary larger than a tiny driver cap trains fine — every
+    term gets a unit vector. (Scale stand-in: 600 distinct terms beats
+    any cap we could densify in this test's budget; the structural
+    guarantee — driver holds only r x r — is what the plan/sparsity
+    tests above pin.)"""
+    from searchenginer_spark.operators.dedup import release_intermediates
+    from searchenginer_spark.operators.embed import train_ppmi_vectors_distributed
+
+    rows = [
+        (i, " ".join(f"tok{(i * 13 + j) % 600}" for j in range(30)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tv = train_ppmi_vectors_distributed(
+        cooccurrence_counts(docs, window=2), dim=8, power_iters=1
+    )
+    got = tv.collect()
+    assert len(got) == 600
+    for r in got:
+        n = np.linalg.norm(np.array(r["vec"]))
+        assert abs(n - 1.0) < 1e-9 or n == 0.0
+    release_intermediates(tv)
+
+
+def test_empty_pair_pull_raises(spark):
+    """A co-occurrence table whose pairs all fall outside the capped
+    vocab (degenerate, but reachable with tiny top_vocab on a skewed
+    table) must raise, not emit NaN PPMI vectors. Simplest reachable
+    empty-pull: a cooc table with zero rows after the vocab semi-join is
+    impossible without an empty vocab, so drive it with an empty table —
+    and separately check total==0 can't slip through on an all-zero-count
+    table (n=0 rows are the degenerate fold output)."""
+    import pytest as _pytest
+
+    zero = spark.createDataFrame(
+        [("a", "b", 0), ("b", "a", 0)], "w string, c string, n long"
+    )
+    with _pytest.raises(ValueError, match="no in-vocabulary co-occurrences"):
+        train_ppmi_vectors(zero, dim=2, top_vocab=2)
+
+
 def test_doc_vectors_from_trained(docs, spark):
     from searchenginer_spark.operators import stats as S
 
