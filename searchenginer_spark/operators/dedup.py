@@ -144,8 +144,10 @@ def dedup_docs_and_tf(
     from .stats import corpus_stats, doc_lengths, document_frequencies, term_frequencies
 
     out = dedup_exact(docs, text_col, id_col)
-    if how not in ("exact", "simhash"):
-        raise ValueError(f"unknown dedup mode {how!r} (use 'exact' or 'simhash')")
+    if how not in ("exact", "simhash", "minhash_cc"):
+        raise ValueError(
+            f"unknown dedup mode {how!r} (use 'exact', 'simhash' or 'minhash_cc')"
+        )
     named = out if id_col == "doc_id" else out.withColumnRenamed(id_col, "doc_id")
     tf = term_frequencies(
         named, text_col=text_col, with_positions=with_positions,
@@ -153,6 +155,29 @@ def dedup_docs_and_tf(
     ).persist()
     if how == "exact":
         return out, tf, [tf]
+    if how == "minhash_cc":
+        # transitive MinHash clustering (r6): LSH pairs -> large-star/
+        # small-star connected components -> lowest-id survivor per
+        # cluster. The shingle pass is minhash's own text scan (it needs
+        # n-gram shingles, not the tf terms), so unlike simhash this mode
+        # costs one extra pass over the exact-deduped text — the price of
+        # TRANSITIVE near-dup semantics (A~B~C collapses to one doc even
+        # when A!~C directly). Losers join without a broadcast hint: in
+        # dup-heavy corpora they are a large corpus fraction (AQE still
+        # broadcasts when small).
+        clusters = near_dup_clusters(named, text_col=text_col)
+        losers = clusters.filter(~F.col("is_kept")).select("doc_id").persist()
+        kept_tf = tf.join(losers, "doc_id", "left_anti")
+        kept_docs = (
+            out.join(
+                losers if id_col == "doc_id"
+                else losers.withColumnRenamed("doc_id", id_col),
+                id_col,
+                "left_anti",
+            )
+        )
+        handles = [tf, losers] + list(getattr(clusters, "_sg_intermediates", ()))
+        return kept_docs, kept_tf, handles
     dft = document_frequencies(tf)
     stats = corpus_stats(doc_lengths(tf))
     pairs = simhash_near_pairs(

@@ -147,11 +147,15 @@ def build_index(
     remaining tokens — the dl used in per-posting impacts and the stored
     avgdl always describe the same token stream.
 
-    ``dedup``: 'exact' or 'simhash' runs operators.dedup.dedup_docs BEFORE
-    any stats/partitioning, reproducing the reference's dedup-inside-store
-    pipeline (Make_Page/rcc.cpp:146-202) with lowest-doc_id-wins semantics;
-    dropped ids leave gaps, parts stay doc-range-disjoint. Deterministic, so
-    resume runs re-derive the identical deduped set.
+    ``dedup``: 'exact', 'simhash' or 'minhash_cc' runs the dedup stage
+    BEFORE any stats/partitioning, reproducing the reference's
+    dedup-inside-store pipeline (Make_Page/rcc.cpp:146-202) with
+    lowest-doc_id-wins semantics; dropped ids leave gaps, parts stay
+    doc-range-disjoint. Deterministic, so resume runs re-derive the
+    identical deduped set. 'minhash_cc' (r6) is the TRANSITIVE variant:
+    MinHash-LSH pairs -> connected components -> one survivor per
+    near-dup cluster (operators.dedup.near_dup_clusters), so chains
+    A~B~C collapse even when A and C are not direct pairs.
 
     ``tokenizer``: token source for every tf pass of the build (None = JVM
     regex; 'cjk_bigram' / 'dict_cjk' / 'jieba' — see

@@ -70,6 +70,45 @@ def test_dedup_docs_simhash_drops_near_dups(spark):
     docs.unpersist()
 
 
+def test_build_with_minhash_cc_dedup(spark, tmp_path_factory):
+    """r6: dedup='minhash_cc' reachable from the one-call build pipeline.
+    The built index's surviving doc set must equal near_dup_clusters'
+    is_kept set over the exact-deduped corpus (parity with the
+    dedup_clusters contract row), and the index must be IDENTICAL to a
+    clean build over exactly those survivors."""
+    from searchenginer_spark.operators.dedup import (
+        dedup_exact,
+        near_dup_clusters,
+        release_intermediates,
+    )
+
+    docs = build_docs(spark, 200, seed=42, num_partitions=4).persist()
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+
+    cc_root = str(tmp_path_factory.mktemp("ccidx"))
+    summary = build_index(dup, cc_root, docs_per_part=64, dedup="minhash_cc")
+
+    exact = dedup_exact(dup.withColumnRenamed("content", "text"), "text")
+    clusters = near_dup_clusters(exact, text_col="text")
+    want_kept = sorted(
+        r["doc_id"] for r in clusters.filter("is_kept").collect()
+    )
+    release_intermediates(clusters)
+
+    built_docs = spark.read.parquet(IndexPaths(cc_root).docs)
+    got_kept = sorted(r["doc_id"] for r in built_docs.select("doc_id").collect())
+    assert got_kept == want_kept
+    assert summary["n_docs"] == len(want_kept)
+
+    clean_root = str(tmp_path_factory.mktemp("ccclean"))
+    survivors = dup.filter(F.col("doc_id").isin([int(d) for d in want_kept]))
+    build_index(survivors, clean_root, docs_per_part=64)
+    assert _postings_fingerprint(spark, cc_root) == _postings_fingerprint(
+        spark, clean_root
+    )
+    docs.unpersist()
+
+
 def test_assign_ids_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir mode must mint the same dense ids as localCheckpoint."""
     from searchenginer_spark.operators.ids import assign_sequential_ids
