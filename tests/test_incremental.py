@@ -117,6 +117,50 @@ def test_open_handle_sees_folded_terms(spark, tmp_path_factory):
     assert [r["doc_id"] for r in hits] == [1000]
 
 
+def test_expansion_caches_refresh_after_fold(spark, tmp_path_factory):
+    """r5 verdict item 8: the prefix/fuzzy/regexp expansion caches
+    (_sorted_terms/_sorted_lens snapshots in the driver) must be
+    invalidated by a fold that ADDS dictionary terms — expand once
+    (warm the caches), fold in new matching terms, expand again on the
+    SAME handle, and the new ids' docs must appear. Covers all three
+    expansion kinds in one composed query."""
+    from searchenginer_spark.plans.build_index import build_index, open_index
+
+    base = str(tmp_path_factory.mktemp("incexp"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+
+    docs = spark.createDataFrame(
+        [(i, f"qalpha{i % 3} stable filler doc{i}") for i in range(60)],
+        "doc_id long, content string",
+    )
+    build_index(docs, root, docs_per_part=DPP, text_col="content")
+    idx = open_index(spark, root)
+
+    # warm ALL THREE expansion caches (prefix bisect array, fuzzy length
+    # bands, regexp literal-prefix) — none matches the future terms yet
+    warm = idx.search_query("qalpha* qexact~1 /qreg[0-9]+/", k=100).collect()
+    assert all(r["doc_id"] < 60 for r in warm)
+
+    new = spark.createDataFrame(
+        [
+            (1000, "qalphanew folded prefix match"),
+            (1001, "qexact fuzzy target folded"),
+            (1002, "qreg7 regexp target folded"),
+        ],
+        "doc_id long, content string",
+    )
+    new.write.mode("append").parquet(input_dir)
+    incremental_index(spark, input_dir, root, ckpt, docs_per_part=DPP)
+
+    # SAME handle: each expansion kind must now surface its folded doc
+    got_prefix = {r["doc_id"] for r in idx.search_query("qalpha*", k=200).collect()}
+    assert 1000 in got_prefix
+    got_fuzzy = {r["doc_id"] for r in idx.search_query("qexact~1", k=200).collect()}
+    assert 1001 in got_fuzzy
+    got_re = {r["doc_id"] for r in idx.search_query("/qreg[0-9]+/", k=200).collect()}
+    assert 1002 in got_re
+
+
 def test_fold_preserves_positional_index_from_meta(spark, tmp_path_factory):
     """r5 geometry contract: folding into a positions-enabled index must
     KEEP encoding positions (with_positions read from the root's meta
