@@ -29,6 +29,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_CPUPROBE = r"""
+import time, multiprocessing as mp, json
+def cpu(_):
+    t = time.monotonic(); n = 0; x = 12345
+    while time.monotonic() - t < 2.0:
+        for _ in range(100000):
+            x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        n += 1
+    return n
+out = {}
+for nproc in (1, {nproc}):
+    with mp.Pool(nproc) as p:
+        out[str(nproc)] = sum(p.map(cpu, range(nproc)))
+print(json.dumps(out))
+"""
+
+
+def cpu_probe(nproc: int) -> float:
+    """Register-resident multi-process scaling efficiency (nproc vs 1) —
+    the in-window hypervisor-steal indicator the scaling harness uses
+    (scripts/run_isolated_scaling.py). ~1.0 = clean window; <0.8 = the
+    wall numbers in this artifact are contaminated by host contention.
+    Embedded IN the bench JSON (r5 verdict item 3) so every artifact can
+    prove — or disclaim — its own window."""
+    import json as _json
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-c", _CPUPROBE.replace("{nproc}", str(max(nproc, 2)))],
+        capture_output=True, text=True, check=True,
+    )
+    d = _json.loads(out.stdout.strip().splitlines()[-1])
+    n = str(max(nproc, 2))
+    return round(d[n] / (int(n) * d["1"]), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -60,6 +96,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {"cpus": cpus, "corpus_docs": n_corpus}
+    extras["cpu_probe_pre"] = cpu_probe(min(cpus, 16))
 
     def timed(name: str, fn, reps: int = 1):
         """Record fn's wall. reps>1 = best-of-N (first result kept): the
@@ -399,6 +436,35 @@ def main() -> None:
     timed("ann_pq_topk", lambda: pq_topk(pq_coded, pq_cb, qvec, k=10).collect(), reps=2)
     pq_coded.unpersist()
 
+    # IVF-PQ on the PARTITIONED disk layout (r6): build + partitionBy
+    # write is the one-time cost; the probe reads only nprobe list_id
+    # directories (partition pruning) and ADC-scores codes-only rows —
+    # the 100 TB vector-serving configuration end to end
+    from searchenginer_spark.operators.ann import (
+        ivf_pq_build,
+        ivf_pq_open,
+        ivf_pq_query,
+        ivf_pq_write,
+    )
+
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    try:
+        def _ivfpq_build_write():
+            centroids, cbs, coded = ivf_pq_build(
+                emb, n_lists=16, m=8, n_codes=16, seed=42
+            )
+            ivf_pq_write(f"{ivf_dir}/idx", centroids, cbs, coded, residual=True)
+            return ivf_pq_open(spark, f"{ivf_dir}/idx")
+
+        ivfidx = timed("ann_ivfpq_build_write", _ivfpq_build_write)
+        timed(
+            "ann_ivfpq_partitioned_probe",
+            lambda: ivf_pq_query(ivfidx, qvec, k=10, nprobe=4).collect(),
+            reps=2,
+        )
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     timed(
         "tpch_pricing_summary",
@@ -421,6 +487,7 @@ def main() -> None:
         .collect(),
     )
 
+    extras["cpu_probe_post"] = cpu_probe(min(cpus, 16))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -246,6 +246,56 @@ def test_ivf_pq_partitioned_layout_prunes(spark, embeddings, tmp_path_factory):
     assert seen_lists <= set(probes)
 
 
+def test_ivfpq_recall_at_documented_default(spark):
+    """The accuracy claim PLANS.md §9 documents: residual IVF-PQ at the
+    default search setting (nprobe=4 of 32 lists, refine=2 exact
+    re-rank) achieves recall@10 >= 0.9 on a planted-neighbor corpus
+    (the honest recall fixture — scripts/pq_recall_grid.py measures the
+    full 100k grid; this is the same construction at test scale, driven
+    through the REAL Spark probe: ivf_pq_topk candidates -> exact
+    cosine re-rank of refine*k rows)."""
+    import pandas as pd
+
+    from searchenginer_spark.operators.ann import ivf_pq_build
+
+    n, dim, n_q, plant = 20_000, 64, 8, 15
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((64, dim))
+    x = centers[rng.integers(0, 64, size=n)] + 0.35 * rng.standard_normal((n, dim))
+    queries = rng.standard_normal((n_q, dim))
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    x[: n_q * plant] = np.concatenate(
+        [q[None] + 0.03 * rng.standard_normal((plant, dim)) for q in queries]
+    )
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(x)})
+    )
+    centroids, codebooks, coded = ivf_pq_build(
+        emb, n_lists=32, m=8, n_codes=16, seed=42
+    )
+    coded = coded.persist()
+    coded.count()
+
+    hits = 0
+    for qi in range(n_q):
+        q = queries[qi]
+        exact = set(np.argsort(-(x @ q))[:10].tolist())
+        cand = [
+            r["vec_id"]
+            for r in ivf_pq_topk(
+                coded, centroids, codebooks, q.tolist(), k=20, nprobe=4
+            ).collect()
+        ]
+        re_ranked = cosine_topk(
+            emb.filter(emb.vec_id.isin(cand)), q.tolist(), k=10
+        ).collect()
+        hits += len({r["vec_id"] for r in re_ranked} & exact)
+    coded.unpersist()
+    assert hits / (10 * n_q) >= 0.9, hits / (10 * n_q)
+
+
 def test_pq_query_plan_jvm_only(coded, codebooks):
     """The probe path must be codegen element_at lookups over the codes
     column — no Python/Arrow eval, no shuffle beyond the top-k take."""
