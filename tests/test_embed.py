@@ -156,6 +156,42 @@ def test_distributed_svd_matches_eigh_path(spark):
     cooc.unpersist()
 
 
+def test_ppmi_coo_matches_dense_pipeline(spark, docs):
+    """The distributed symmetrized-PPMI COO must equal the driver path's
+    dense matrix entry for entry (the per-entry two-orientation formula
+    replaces the (P + P^T)/2 self-join — only valid because the count
+    matrix is symmetric; this pins it)."""
+    from searchenginer_spark.operators.dedup import release_intermediates
+    from searchenginer_spark.operators.embed import ppmi_coo
+
+    cooc = cooccurrence_counts(docs, window=2).persist()
+    rows = cooc.collect()
+    vocab = sorted({r["w"] for r in rows} | {r["c"] for r in rows})
+    idx = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+    M = np.zeros((V, V))
+    for r in rows:
+        M[idx[r["w"]], idx[r["c"]]] += r["n"]
+    M = M + M.T
+    total = M.sum()
+    pw = M.sum(1) / total
+    ctx = M.sum(0) ** 0.75
+    pc = ctx / ctx.sum()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log((M / total) / np.outer(pw, pc))
+    P = np.where(np.isfinite(pmi) & (pmi > 0), pmi, 0.0)
+    P = (P + P.T) / 2
+
+    ppmi, margins = ppmi_coo(cooc)
+    D = np.zeros((V, V))
+    for r in ppmi.collect():
+        D[idx[r["w"]], idx[r["c"]]] = r["v"]
+    assert np.abs(P - D).max() < 1e-12
+    release_intermediates(ppmi)
+    margins.unpersist()
+    cooc.unpersist()
+
+
 def test_distributed_svd_plan_is_jvm_only(spark, docs):
     """Every distributed stage of the randomized factorization (matmul,
     Gram, right-multiply, sign/normalize) is codegen column math — no
