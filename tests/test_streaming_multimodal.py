@@ -342,6 +342,41 @@ def test_decode_png_all_filters_and_color_types():
         decode_image(lied)
 
 
+def test_decode_png_property_roundtrip():
+    """Property (hypothesis): for random sizes, color types, pixel
+    contents, and per-row filter choices, decode(encode(img)) is exact —
+    the unfilter recursion (left/up/upper-left dependencies) has no
+    shape- or content-dependent edge cases."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        colortype=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    )
+    def run(w, h, colortype, seed, filters):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        got = decode_image(_make_png(img, colortype, filters))
+        if colortype == 2:
+            want = img
+        elif colortype == 6:
+            want = img[..., :3]
+        else:
+            want = np.repeat(img[..., :1], 3, axis=2)
+        assert np.array_equal(got, want)
+
+    run()
+
+
 def test_decode_wav_roundtrip():
     import numpy as np
     import pytest as _pytest
