@@ -343,7 +343,13 @@ def main() -> None:
             counts = train_ngram_counts(
                 docs, order=3, text_col="content", min_count=2
             )
-            scored = lm_score_docs(docs, counts, text_col="content")
+            # broadcast_counts=True: this model is min_count-pruned and
+            # corpus-bounded — the documented explicit fast path. The
+            # safe default instead sizes each table first (one extra
+            # counting pass, ~2x this phase's wall at bench scale).
+            scored = lm_score_docs(
+                docs, counts, text_col="content", broadcast_counts=True
+            )
             return scored.count()
 
         t = time.monotonic()

@@ -112,20 +112,42 @@ def score_docs(
     ``broadcast_counts``: a broadcast HINT overrides Spark's size
     threshold, so hinting an unpruned web-scale count table would
     collect it onto the driver until OOM. ``None`` (default) decides
-    PER TABLE: hint only when the (already persisted) table has at
-    most ``broadcast_max_rows`` rows — the row count is a cheap scan
-    of the cached partitions. ``True``/``False`` force all joins
-    broadcast/shuffle (``False`` still lets AQE pick a runtime
+    PER TABLE: hint only when the table has at most
+    ``broadcast_max_rows`` rows, sized by ONE union-of-aggregates job
+    that doubles as the n_total pass and fills the caches the scorer
+    reads. The gate is a real extra counting pass (~2x this function's
+    wall at bench scale, measured r6) — callers who KNOW their model is
+    bounded (min_count-pruned, capped corpus) should pass ``True``
+    explicitly, the documented fast path. ``True``/``False`` force all
+    joins broadcast/shuffle (``False`` still lets AQE pick a runtime
     broadcast when a table turns out tiny — the point is that no HINT
     overrides the size gate)."""
     from .dedup import _attach_intermediates
 
     order = order or max(counts)
     counts = {k: counts[k].persist() for k in range(1, order + 1)}
-    n_total = counts[1].agg(F.sum("n_count")).collect()[0][0] or 1
     if broadcast_counts is None:
-        hint = {k: counts[k].count() <= broadcast_max_rows for k in counts}
+        # ONE job sizes every table AND computes n_total: per-table
+        # aggregates unioned, so the gate costs a single pass that fills
+        # the caches the scorer needs anyway (separate count() jobs per
+        # table measured ~3x the whole broadcast path's wall, r6)
+        stats = [
+            counts[k]
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                (F.sum("n_count") if k == 1 else F.lit(None).cast("long")).alias("s"),
+            )
+            .select(F.lit(k).alias("k"), "c", "s")
+            for k in counts
+        ]
+        merged = stats[0]
+        for st in stats[1:]:
+            merged = merged.unionByName(st)
+        rows = {r["k"]: r for r in merged.collect()}
+        n_total = rows[1]["s"] or 1
+        hint = {k: rows[k]["c"] <= broadcast_max_rows for k in counts}
     else:
+        n_total = counts[1].agg(F.sum("n_count")).collect()[0][0] or 1
         hint = {k: broadcast_counts for k in counts}
 
     def _side(df: DataFrame, k: int) -> DataFrame:
