@@ -3,11 +3,12 @@
 The Spark-side plumbing here is REAL and tested — schemas, Arrow batch
 shapes, mapInPandas signatures, partitioning. Decoding (r5): the
 ``decoder='real'`` path now REALLY decodes the dependency-free formats in
-numpy inside the Arrow UDFs — PPM (P6 binary / P3 ascii) and 24-bit
-uncompressed BMP images (:func:`decode_image`), PCM16 RIFF/WAVE audio
-(:func:`decode_wav`), plus a nearest-neighbor :func:`resize_image` — and
-raises NotImplementedError only for formats that genuinely need external
-codecs (PNG/JPEG -> PIL/opencv, video containers -> ffmpeg), at the same
+numpy inside the Arrow UDFs — PPM (P6 binary / P3 ascii), 24-bit
+uncompressed BMP, 8-bit PNG (stdlib zlib), and baseline JPEG
+(:func:`decode_image`), PCM16 RIFF/WAVE audio (:func:`decode_wav`), plus
+a nearest-neighbor :func:`resize_image` — and raises NotImplementedError
+only for formats that genuinely need external codecs (progressive JPEG /
+interlaced PNG -> PIL/opencv, video containers -> ffmpeg), at the same
 plug-in seam. ``decoder='fake'`` keeps the deterministic byte-histogram
 stand-in for corpus-scale tests with arbitrary bytes.
 
@@ -203,20 +204,263 @@ def _png_decode(data: bytes) -> np.ndarray:
     return px[..., :3].copy()  # 2 = RGB passthrough, 6 = drop alpha
 
 
+# JPEG zigzag scan order (ITU T.81 figure 5): zigzag index -> natural index
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)  # fmt: skip
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 orthonormal DCT-II basis T: spatial = T.T @ coeffs @ T."""
+    n = np.arange(8)
+    t = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0) / 2.0
+    t[0, :] = 1.0 / np.sqrt(8.0)
+    return t
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded interval (already
+    unstuffed). Reads past the end return 0 bits — T.81's pad-bit rule;
+    a truncated stream surfaces as a garbage block, not a crash."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self) -> int:
+        if self.pos >= len(self.data):
+            return 0
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+
+def _huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_entropy_intervals(data: bytes, pos: int) -> list[bytes]:
+    """Slice the post-SOS entropy stream into restart intervals:
+    unstuff 0xFF00, split at RSTn, stop at any other marker."""
+    out, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: new interval, markers carry no len
+            out.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next scan header
+            break
+    out.append(bytes(cur))
+    return out
+
+
+def _jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0/SOF1 Huffman) -> (h, w, 3) uint8 RGB,
+    dependency-free: segment parse, canonical Huffman decode, dequant,
+    numpy matrix IDCT, nearest-neighbor chroma upsample, JFIF YCbCr ->
+    RGB. Restart markers (DRI) and 1/3-component scans supported;
+    progressive (SOF2) and arithmetic-coded variants raise
+    NotImplementedError (the PIL seam). The bit loop is per-symbol
+    Python — fine for thumbnail-scale Arrow batches, same caveat as the
+    PNG unfilter; bulk decode plugs PIL at the same seam."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    scan = None  # [(comp_idx, dc_id, ac_id), ...]
+    restart = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless markers
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT — one or more tables per segment
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 15
+                i += 1
+                if prec:  # 16-bit entries
+                    tbl = np.frombuffer(body, dtype=">u2", count=64, offset=i)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(body, dtype=np.uint8, count=64, offset=i)
+                    i += 64
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_JPEG_ZIGZAG] = tbl  # stored zigzag; used natural
+                qt[tid] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT — canonical code build per T.81 C.2
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                i += 17
+                table, code = {}, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = body[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            _, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "progressive/arithmetic JPEG needs PIL — plug in here "
+                "(baseline SOF0/SOF1 decodes dependency-free)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            ids = [c[0] for c in frame[2]]
+            scan = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((ids.index(cid), tabs >> 4, tabs & 15))
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        for _, hs, vs, _ in comps
+    ]
+    T = _dct_matrix()
+    intervals = _jpeg_entropy_intervals(data, pos)
+    bits = _JpegBits(intervals[0])
+    interval_i = 0
+    pred = [0] * len(comps)
+    coef = np.zeros(64, dtype=np.float64)
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            interval_i += 1  # RSTn: next interval, DC predictors reset
+            bits = _JpegBits(intervals[interval_i])
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, dc_id, ac_id in scan:
+            _, hs, vs, tq = comps[ci]
+            dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef[:] = 0.0
+                    s = _huff_decode(bits, dc_tab)
+                    pred[ci] += _extend(bits.receive(s), s)
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(bits, ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        coef[_JPEG_ZIGZAG[k]] = _extend(bits.receive(s), s)
+                        k += 1
+                    block = T.T @ (coef.reshape(8, 8) * qt[tq]) @ T
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    full = []
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        p = np.repeat(np.repeat(planes[ci], vmax // vs, 0), hmax // hs, 1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB for the dependency-free formats (PPM P6/P3,
-    24-bit BMP, 8-bit PNG via stdlib zlib); NotImplementedError for
-    formats needing external codecs (JPEG, interlaced/deep PNG, ...) —
-    the documented PIL/opencv plug-in seam."""
+    24-bit BMP, 8-bit PNG via stdlib zlib, baseline JPEG);
+    NotImplementedError for formats needing external codecs
+    (progressive JPEG, interlaced/deep PNG, ...) — the documented
+    PIL/opencv plug-in seam."""
     if data[:2] in (b"P6", b"P3"):
         return _ppm_decode(data)
     if data[:2] == b"BM":
         return _bmp_decode(data)
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return _png_decode(data)
+    if data[:2] == b"\xff\xd8":
+        return _jpeg_decode(data)
     raise NotImplementedError(
         f"image format {data[:4]!r} needs PIL/opencv — plug in here "
-        "(PPM/24-bit BMP/8-bit PNG decode dependency-free)"
+        "(PPM/24-bit BMP/8-bit PNG/baseline JPEG decode dependency-free)"
     )
 
 
@@ -291,11 +535,12 @@ def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame
     The filter on kind prunes non-image rows BEFORE the Python boundary
     (pushed to the parquet scan); the UDF sees only image bytes.
 
-    decoder='real': numpy PPM/BMP decode (:func:`decode_image`), actual
-    pixel-space features (:func:`image_features`), width/height from the
-    DECODED raster (metadata can lie; pixels don't). PNG/JPEG rows raise
-    NotImplementedError at the PIL seam. decoder='fake': deterministic
-    byte-histogram features with metadata dimensions."""
+    decoder='real': numpy PPM/BMP/PNG/baseline-JPEG decode
+    (:func:`decode_image`), actual pixel-space features
+    (:func:`image_features`), width/height from the DECODED raster
+    (metadata can lie; pixels don't). Progressive-JPEG/interlaced-PNG
+    rows raise NotImplementedError at the PIL seam. decoder='fake':
+    deterministic byte-histogram features with metadata dimensions."""
     imgs = media.filter(media.kind == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -236,9 +236,10 @@ def test_decode_image_roundtrip_ppm_and_bmp():
     import numpy as _np
     want = _np.rint(_np.array([[ [15,0,7],[3,15,1] ]]) * (255.0/15)).astype("uint8")
     assert _np.array_equal(decode_image(low), want)
-    # JPEG magic hits the declared PIL seam (PNG decodes since r6)
+    # unknown magic hits the declared PIL seam (PNG + baseline JPEG
+    # decode since r6)
     with _pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0JFIF....")
+        decode_image(b"GIF89a..")
     # 8-bit palette BMP also needs PIL
     bad = bytearray(_make_bmp24(img))
     bad[28:30] = (8).to_bytes(2, "little")
@@ -373,6 +374,338 @@ def test_decode_png_property_roundtrip():
         else:
             want = np.repeat(img[..., :1], 3, axis=2)
         assert np.array_equal(got, want)
+
+    run()
+
+
+# --------------------------------------------------------------- JPEG
+# Test-side baseline JFIF encoder, written independently of the decoder
+# (forward DCT + quantization + canonical Huffman from hand-chosen code
+# lengths). The Huffman tables are deliberately simple — DC: all 12
+# categories at 5 bits; AC: 255 symbols at 9 bits + symbol 255 at 10 —
+# which still exercises the decoder's canonical DHT build across two
+# code lengths without Annex-K constant blobs.
+
+
+def _jpeg_dct_T():
+    import numpy as np
+
+    n = np.arange(8)
+    t = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0) / 2.0
+    t[0, :] = 1.0 / np.sqrt(8.0)
+    return t
+
+
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]  # fmt: skip
+
+
+def _jpeg_tables():
+    dc_bits = [0, 0, 0, 0, 12] + [0] * 11
+    ac_bits = [0] * 8 + [255, 1] + [0] * 6
+    def enc_map(bits):
+        m, code, sym = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                m[sym] = (length, code)
+                code += 1
+                sym += 1
+            code <<= 1
+        return m
+    return dc_bits, enc_map(dc_bits), ac_bits, enc_map(ac_bits)
+
+
+class _JpegBW:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # T.81 pad bits are 1s
+
+
+def _jpeg_pad(plane, mh, mw):
+    """Edge-replicate a (h, w) plane up to multiples of (mh, mw)."""
+    import numpy as np
+
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, -h % mh), (0, -w % mw)), mode="edge"
+    )
+
+
+def _rgb_to_ycbcr(img):
+    import numpy as np
+
+    f = img.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+    cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+    return y, cb, cr
+
+
+def _block_avg(plane, fy, fx):
+    h, w = plane.shape
+    return plane.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3))
+
+
+def _jpeg_encode(img, quant=1, subsample=(1, 1), restart=0):
+    """img: (h, w) uint8 grayscale or (h, w, 3) uint8 RGB. ``quant``
+    fills both quant tables uniformly (1 = near-lossless); ``subsample``
+    = Y's (hs, vs) sampling factors (chroma stays 1x1, so (2, 2) is
+    4:2:0); ``restart`` inserts RSTn every that many MCUs."""
+    import struct as s
+
+    import numpy as np
+
+    T = _jpeg_dct_T()
+    gray = img.ndim == 2
+    hs, vs = (1, 1) if gray else subsample
+    h, w = img.shape[:2]
+    if gray:
+        planes = [(_jpeg_pad(img.astype(np.float64), 8, 8), 0)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(img)
+        ypad = _jpeg_pad(y, 8 * vs, 8 * hs)
+        planes = [
+            (ypad, 0),
+            (_block_avg(_jpeg_pad(cb, 8 * vs, 8 * hs), vs, hs), 1),
+            (_block_avg(_jpeg_pad(cr, 8 * vs, 8 * hs), vs, hs), 1),
+        ]
+    qtab = np.full((8, 8), quant, dtype=np.float64)
+    dc_bits, dc_map, ac_bits, ac_map = _jpeg_tables()
+
+    def put_val(bw, table, v):
+        mag = abs(v)
+        cat = mag.bit_length()
+        length, code = table[cat] if table is dc_map else table[cat]
+        bw.put(code, length)
+        if cat:
+            bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+    def encode_block(bw, block, pred):
+        d = T @ (block - 128.0) @ T.T
+        q = np.rint(d / qtab).astype(np.int64)
+        zz = [int(q.flat[_JZZ[i]]) for i in range(64)]
+        diff = zz[0] - pred
+        put_val(bw, dc_map, diff)
+        k, run = 1, 0
+        last = max([i for i in range(1, 64) if zz[i]] or [0])
+        while k <= last:
+            if zz[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                length, code = ac_map[0xF0]
+                bw.put(code, length)  # ZRL
+                run -= 16
+            v = zz[k]
+            cat = abs(v).bit_length()
+            length, code = ac_map[(run << 4) | cat]
+            bw.put(code, length)
+            bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+            k += 1
+        if last < 63:
+            length, code = ac_map[0x00]
+            bw.put(code, length)  # EOB
+        return zz[0]
+
+    # --- entropy-coded data: MCU-interleaved scan
+    mcus_x = -(-w // (8 * hs))
+    mcus_y = -(-h // (8 * vs))
+    comp_geom = [(hs, vs)] + ([(1, 1), (1, 1)] if not gray else [])
+    data = bytearray()
+    bw = _JpegBW()
+    pred = [0] * len(planes)
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            bw.flush()
+            data += bw.out
+            data += b"\xff" + bytes([0xD0 + (rst & 7)])
+            rst += 1
+            bw = _JpegBW()
+            pred = [0] * len(planes)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, ((chs, cvs), (plane, _)) in enumerate(zip(comp_geom, planes)):
+            for by in range(cvs):
+                for bx in range(chs):
+                    y0 = (my * cvs + by) * 8
+                    x0 = (mx * chs + bx) * 8
+                    pred[ci] = encode_block(
+                        bw, plane[y0 : y0 + 8, x0 : x0 + 8], pred[ci]
+                    )
+    bw.flush()
+    data += bw.out
+
+    # --- segments
+    def seg(marker, body):
+        return b"\xff" + bytes([marker]) + s.pack(">H", len(body) + 2) + body
+
+    zzq = bytes(int(qtab.flat[_JZZ[i]]) for i in range(64))
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + zzq + bytes([0x01]) + zzq)
+    ncomp = 1 if gray else 3
+    sof = s.pack(">BHHB", 8, h, w, ncomp)
+    sof += bytes([1, (hs << 4) | vs, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC0, sof)
+    for cls, tid, bits in ((0, 0, dc_bits), (1, 0, ac_bits),
+                           (0, 1, dc_bits), (1, 1, ac_bits)):
+        syms = bytes(range(sum(bits)))
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + syms)
+    if restart:
+        out += seg(0xDD, s.pack(">H", restart))
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
+    return out + bytes(data) + b"\xff\xd9"
+
+
+def test_decode_jpeg_dc_only_hand_fixture():
+    """Gray 8x8 constant 200, quant 16: the only nonzero coefficient is
+    DC = round(8*(200-128)/16) = 36; decode gives 36*16/8 + 128 = 200
+    exactly — hand-computable end to end."""
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    got = decode_image(_jpeg_encode(img, quant=16))
+    assert got.shape == (8, 8, 3)
+    assert np.all(got == 200)
+
+
+def test_decode_jpeg_gray_and_color_roundtrip():
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    rng = np.random.default_rng(17)
+    # smooth gradient + noise: exercises DC drift across blocks and AC runs
+    gy = np.clip(
+        np.add.outer(np.arange(16) * 6, np.arange(24) * 4)
+        + rng.integers(-20, 20, size=(16, 24)),
+        0,
+        255,
+    ).astype(np.uint8)
+    got = decode_image(_jpeg_encode(gy, quant=1))
+    assert got.shape == (16, 24, 3)
+    assert np.array_equal(got[..., 0], got[..., 1])  # gray replicates
+    err = got[..., 0].astype(int) - gy.astype(int)
+    assert np.abs(err).max() <= 5 and np.abs(err).mean() < 1.5
+
+    # 4:4:4 color: only DCT-rounding + colorspace noise
+    img = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    got = decode_image(_jpeg_encode(img, quant=1))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+
+    # odd dimensions: encoder pads edge-replicated, decoder crops back
+    odd = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    got = decode_image(_jpeg_encode(odd, quant=1))
+    assert got.shape == odd.shape
+    assert np.abs(got.astype(int) - odd.astype(int)).max() <= 8
+
+
+def test_decode_jpeg_420_subsampling_and_restart():
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+    got = decode_image(_jpeg_encode(img, quant=1, subsample=(2, 2)))
+    assert got.shape == img.shape
+    # expected = the SAME subsample pipeline computed independently in
+    # numpy: chroma block-averaged 2x2 then nearest-upsampled
+    y, cb, cr = _rgb_to_ycbcr(img)
+    exp = []
+    for p in (cb, cr):
+        ds = _block_avg(_jpeg_pad(p, 16, 16), 2, 2)
+        exp.append(np.repeat(np.repeat(ds, 2, 0), 2, 1)[:20, :28])
+    cbu, cru = exp
+    rgb = np.stack(
+        [
+            y + 1.402 * (cru - 128),
+            y - 0.344136 * (cbu - 128) - 0.714136 * (cru - 128),
+            y + 1.772 * (cbu - 128),
+        ],
+        axis=2,
+    )
+    want = np.clip(np.rint(rgb), 0, 255)
+    assert np.abs(got.astype(float) - want).max() <= 8
+
+    # restart markers: byte-aligned RSTn resets DC predictors mid-scan
+    gray = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    plain = decode_image(_jpeg_encode(gray, quant=1))
+    rst = decode_image(_jpeg_encode(gray, quant=1, restart=2))
+    assert np.array_equal(plain, rst)
+
+    # progressive SOF2 hits the declared PIL seam
+    prog = bytearray(_jpeg_encode(gray, quant=1))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_image(bytes(prog))
+
+
+def test_decode_jpeg_property_roundtrip():
+    """Property: random shapes / contents / quant / subsampling decode
+    within the quantization error bound (q=1 keeps it tight; q=4 scales
+    the tolerance with the max IDCT amplification of per-coefficient
+    rounding, ~q*4)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 18),
+        gray=st.booleans(),
+        quant=st.sampled_from([1, 4]),
+        sub=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(w, h, gray, quant, sub, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_image(_jpeg_encode(img, quant=quant, subsample=sub))
+        assert got.shape == (h, w, 3)
+        if gray:
+            err = got[..., 0].astype(int) - img.astype(int)
+            assert np.abs(err).max() <= 5 + 4 * quant
+        elif sub == (1, 1):
+            err = got.astype(int) - img.astype(int)
+            assert np.abs(err).max() <= 8 + 4 * quant
+        # subsampled color: shape/validity only — values checked by the
+        # dedicated 4:2:0 pipeline-parity test above
 
     run()
 
