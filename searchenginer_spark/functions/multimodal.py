@@ -473,19 +473,47 @@ def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def _wav_samples(raw: bytes, fmt: int, bits: int) -> np.ndarray:
+    """data-chunk bytes -> flat float32 in [-1, 1] for the uncompressed
+    encodings: integer PCM 8 (unsigned)/16/24/32 and IEEE float 32/64."""
+    if fmt == 1:  # integer PCM
+        if bits == 8:
+            return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        if bits == 16:
+            return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        if bits == 24:
+            b = np.frombuffer(raw[: len(raw) - len(raw) % 3], dtype=np.uint8)
+            b = b.reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            return v.astype(np.float32) / float(1 << 23)
+        if bits == 32:
+            return np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
+    elif fmt == 3:  # IEEE float
+        if bits == 32:
+            return np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        if bits == 64:
+            return np.frombuffer(raw, dtype="<f8").astype(np.float32)
+    raise NotImplementedError(
+        f"WAV format={fmt}/bits={bits} needs libsndfile — uncompressed "
+        "PCM 8/16/24/32 and float 32/64 decode dependency-free"
+    )
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """PCM16 RIFF/WAVE -> (samples float32 in [-1, 1] shaped (n, ch),
-    sample_rate). Walks the chunk list (fmt / data; others skipped);
-    compressed/float formats raise NotImplementedError (libsndfile
-    seam)."""
+    """Uncompressed RIFF/WAVE -> (samples float32 in [-1, 1] shaped
+    (n, ch), sample_rate). Walks the chunk list (fmt / data; others
+    skipped); integer PCM 8/16/24/32-bit, IEEE float 32/64-bit, and the
+    WAVE_FORMAT_EXTENSIBLE wrapper all decode; compressed codecs
+    (mp3/ADPCM/a-law...) raise NotImplementedError (libsndfile seam)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotImplementedError(
             f"audio container {data[:4]!r} needs libsndfile/ffmpeg — "
-            "plug in here (PCM16 WAV decodes dependency-free)"
+            "plug in here (uncompressed WAV decodes dependency-free)"
         )
     pos = 12
-    rate = channels = None
-    samples: np.ndarray | None = None
+    rate = channels = fmt = bits = None
+    raw: bytes | None = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -493,18 +521,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"WAV format={fmt}/bits={bits} needs libsndfile — "
-                    "only PCM16 decodes dependency-free"
-                )
+            if fmt == 0xFFFE:  # EXTENSIBLE: real format leads the GUID
+                if len(body) < 26:
+                    raise ValueError("WAV extensible fmt chunk truncated")
+                fmt = struct.unpack_from("<H", body, 24)[0]
         elif cid == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
+            raw = bytes(body)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
-    out = (samples.astype(np.float32) / 32768.0).reshape(-1, channels)
-    return out, int(rate)
+    samples = _wav_samples(raw, fmt, bits)
+    return samples.reshape(-1, channels), int(rate)
 
 
 def _fake_decode_image(data: bytes, width: int, height: int) -> np.ndarray:
@@ -633,24 +660,63 @@ def extract_audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame
     return aud.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def _avi_frames(data: bytes) -> list[bytes]:
+    """RIFF-AVI video stream -> per-frame byte blobs, in stream order.
+    Walks LIST/movi (and nested rec ) chunks collecting ``##dc``/``##db``
+    frame chunks; headers/index/audio chunks are skipped. Frame PAYLOADS
+    stay opaque bytes — for MJPEG AVIs each blob is a baseline JPEG that
+    :func:`decode_image` decodes, making the whole video path
+    dependency-free end to end. Non-AVI containers (mp4/mkv/webm) raise
+    NotImplementedError (the ffmpeg seam)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError(
+            f"video container {data[:4]!r} needs ffmpeg — plug in here "
+            "(RIFF-AVI frame extraction, e.g. MJPEG, parses dependency-free)"
+        )
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            if cid == b"LIST":
+                if data[pos + 8 : pos + 12] in (b"movi", b"rec "):
+                    walk(pos + 12, pos + 8 + size)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(bytes(data[pos + 8 : pos + 8 + size]))
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0]))
+    return frames
+
+
 def sample_video_frames(
     media: DataFrame, every_n: int = 10, decoder: str = "fake"
 ) -> DataFrame:
     """(doc_id, frame_idx, frame) — sample every n-th frame of video rows.
 
-    Fake decoder slices the raw byte stream into n_frames equal chunks (the
-    Arrow/batch shape is identical to a real ffmpeg-backed splitter)."""
+    decoder='real' walks RIFF-AVI containers (:func:`_avi_frames`):
+    frame_idx is the stream-order frame number and ``frame`` the raw
+    frame payload (for MJPEG AVIs, a JPEG blob :func:`decode_image`
+    decodes). Other containers raise at the ffmpeg seam. The fake
+    decoder slices the raw byte stream into n_frames equal chunks (the
+    Arrow/batch shape is identical either way)."""
     vids = media.filter(media.kind == "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                # video containers (mp4/mkv/webm) genuinely need ffmpeg —
-                # this is the one seam that stays external (images/audio
-                # decode dependency-free above)
-                raise NotImplementedError(
-                    "real frame extraction requires ffmpeg — plug in here"
+                out_doc, out_idx, out_frame = [], [], []
+                for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                    frames = _avi_frames(bytes(data) if data is not None else b"")
+                    for i in range(0, len(frames), every_n):
+                        out_doc.append(doc_id)
+                        out_idx.append(i)
+                        out_frame.append(frames[i])
+                yield pd.DataFrame(
+                    {"doc_id": out_doc, "frame_idx": out_idx, "frame": out_frame}
                 )
+                continue
             out_doc, out_idx, out_frame = [], [], []
             for doc_id, data, meta in zip(pdf["doc_id"], pdf["data"], pdf["meta"]):
                 n = int(meta["n_frames"] or 0)

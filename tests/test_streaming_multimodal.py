@@ -729,6 +729,165 @@ def test_decode_wav_roundtrip():
         decode_wav(b"OggS....")
 
 
+def _make_wav(samples, rate, fmt, bits, extensible=False):
+    """Generic test-side WAV writer for the uncompressed encodings."""
+    import struct
+
+    import numpy as np
+
+    x = np.clip(samples, -1, 1)
+    ch = x.shape[1] if x.ndim == 2 else 1
+    if fmt == 1 and bits == 8:
+        body = (np.rint(x * 127) + 128).astype(np.uint8).tobytes()
+    elif fmt == 1 and bits == 16:
+        body = np.rint(x * 32767).astype("<i2").tobytes()
+    elif fmt == 1 and bits == 24:
+        v = np.rint(x * ((1 << 23) - 1)).astype(np.int64).ravel()
+        v = np.where(v < 0, v + (1 << 24), v)
+        b = np.zeros((v.size, 3), dtype=np.uint8)
+        b[:, 0], b[:, 1], b[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+        body = b.tobytes()
+    elif fmt == 1 and bits == 32:
+        body = np.rint(x * ((1 << 31) - 1)).astype("<i4").tobytes()
+    elif fmt == 3 and bits == 32:
+        body = x.astype("<f4").tobytes()
+    elif fmt == 3 and bits == 64:
+        body = x.astype("<f8").tobytes()
+    else:
+        raise AssertionError("unsupported test encoding")
+    block = ch * bits // 8
+    if extensible:
+        guid = struct.pack("<H", fmt) + b"\x00\x00" + bytes(
+            [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+             0x00, 0x38, 0x9B, 0x71]
+        )
+        fmtc = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, ch, rate, rate * block, block, bits,
+            22, bits, (1 << ch) - 1,
+        ) + guid
+    else:
+        fmtc = struct.pack("<HHIIHH", fmt, ch, rate, rate * block, block, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmtc) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def _make_mjpeg_avi(frames, with_rec=False):
+    """Minimal spec-shaped AVI: LIST/hdrl stub, LIST/movi holding 00dc
+    JPEG frame chunks interleaved with a skippable 01wb audio chunk,
+    trailing idx1. ``with_rec`` nests the frames one level deeper in a
+    LIST/rec  group (the interleaved-AVI layout)."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def list_chunk(ltype, body):
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+    avih = chunk(b"avih", struct.pack("<14I", 33333, 0, 0, 0, len(frames),
+                                      0, 1, 0, 0, 0, 0, 0, 0, 0))
+    hdrl = list_chunk(b"hdrl", avih)
+    movi_body = b""
+    for i, f in enumerate(frames):
+        fr = chunk(b"00dc", f)
+        if with_rec:
+            fr = list_chunk(b"rec ", fr)
+        movi_body += fr
+        if i == 0:  # an audio chunk the walker must skip
+            movi_body += chunk(b"01wb", b"\x01\x02\x03\x04")
+    movi = list_chunk(b"movi", movi_body)
+    idx = chunk(b"idx1", b"\x00" * 16)
+    body = b"AVI " + hdrl + movi + idx
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_sample_video_frames_real_mjpeg_avi(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from searchenginer_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _avi_frames,
+        decode_image,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(31)
+    srcs = [
+        np.clip(
+            np.add.outer(np.arange(8) * 9, np.arange(16) * 5) + 12 * k,
+            0, 255,
+        ).astype(np.uint8)
+        for k in range(7)
+    ]
+    jpegs = [_jpeg_encode(s, quant=1) for s in srcs]
+    # container walk: audio chunks skipped, rec -nesting transparent
+    assert _avi_frames(_make_mjpeg_avi(jpegs)) == jpegs
+    assert _avi_frames(_make_mjpeg_avi(jpegs, with_rec=True)) == jpegs
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        _avi_frames(b"\x00\x00\x00\x18ftypmp42....")
+
+    rows = [
+        (0, "video", _make_mjpeg_avi(jpegs),
+         {"width": None, "height": None, "sample_rate": None, "n_frames": 999}),
+        (1, "video", _make_mjpeg_avi(jpegs[:3], with_rec=True),
+         {"width": None, "height": None, "sample_rate": None, "n_frames": 1}),
+        (2, "image", b"not a video",
+         {"width": 1, "height": 1, "sample_rate": None, "n_frames": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_video_frames(media, every_n=3, decoder="real").collect()
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    # metadata n_frames lies; the container is the truth (7 -> idx 0,3,6)
+    assert set(got) == {(0, 0), (0, 3), (0, 6), (1, 0)}
+    for (doc, idx), blob in got.items():
+        dec = decode_image(blob)
+        src = srcs[idx] if doc == 0 else srcs[0]
+        err = dec[..., 0].astype(int) - src.astype(int)
+        assert np.abs(err).max() <= 5  # JPEG q=1 bound, gray replicated
+
+
+def test_decode_wav_all_uncompressed_encodings():
+    import numpy as np
+    import pytest as _pytest
+
+    from searchenginer_spark.functions.multimodal import decode_wav
+
+    t = np.arange(400) / 8000.0
+    mono = (0.8 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1)
+    stereo = np.stack([mono[:, 0], -0.5 * mono[:, 0]], axis=1)
+    cases = [
+        (1, 8, 1.0 / 127),      # unsigned PCM8: ~7-bit magnitude
+        (1, 16, 1e-3),
+        (1, 24, 1e-6),
+        (1, 32, 1e-7),
+        (3, 32, 1e-7),          # IEEE float passthrough
+        (3, 64, 1e-7),
+    ]
+    for fmt, bits, tol in cases:
+        for sig in (mono, stereo):
+            got, rate = decode_wav(_make_wav(sig, 8000, fmt, bits))
+            assert rate == 8000 and got.shape == sig.shape, (fmt, bits)
+            assert np.abs(got - sig).max() <= tol + 1e-2 * (bits == 8), (fmt, bits)
+    # WAVE_FORMAT_EXTENSIBLE wrapper resolves to the wrapped encoding
+    got, rate = decode_wav(_make_wav(stereo, 16000, 3, 32, extensible=True))
+    assert rate == 16000 and np.abs(got - stereo).max() <= 1e-7
+    got, _ = decode_wav(_make_wav(mono, 16000, 1, 24, extensible=True))
+    assert np.abs(got - mono).max() <= 1e-6
+    # compressed codecs stay behind the seam (fmt 2 = MS ADPCM)
+    adpcm = bytearray(_make_wav(mono, 8000, 1, 16))
+    at = adpcm.index(b"fmt ") + 8
+    adpcm[at:at + 2] = (2).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError, match="libsndfile"):
+        decode_wav(bytes(adpcm))
+
+
 def test_real_decoder_spark_paths(spark):
     import numpy as np
 
