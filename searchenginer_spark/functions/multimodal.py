@@ -147,13 +147,49 @@ def _png_unfilter(filt: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_subimage(
+    raw: bytes, off: int, w: int, h: int, channels: int, bitdepth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub)image of the inflated stream starting
+    at byte ``off``; returns ((h, w, channels) samples scaled to 8-bit,
+    next offset). Sub-byte depths pack pixels MSB-first with row padding;
+    16-bit samples take their high byte (the standard 8-bit reduction)."""
+    bytes_per_px = max(1, channels * bitdepth // 8)
+    stride = (w * channels * bitdepth + 7) // 8
+    end = off + h * (stride + 1)
+    if end > len(raw):
+        raise ValueError("PNG pixel stream truncated")
+    filt = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1), offset=off)
+    rec = _png_unfilter(filt.reshape(h, stride + 1), h, stride, bytes_per_px)
+    if bitdepth == 8:
+        px = rec.reshape(h, stride)[:, : w * channels]
+    elif bitdepth == 16:
+        px = rec.reshape(h, stride)[:, 0 : w * channels * 2 : 2]  # high byte
+    else:  # 1/2/4-bit gray or palette indices, MSB-first
+        per_byte = 8 // bitdepth
+        shifts = np.array(
+            [8 - bitdepth * (i + 1) for i in range(per_byte)], dtype=np.uint8
+        )
+        mask = (1 << bitdepth) - 1
+        unpacked = (rec[:, :, None] >> shifts[None, None, :]) & mask
+        px = unpacked.reshape(h, stride * per_byte)[:, : w * channels]
+    return px.reshape(h, w, channels), end
+
+
 def _png_decode(data: bytes) -> np.ndarray:
-    """8-bit PNG -> (h, w, 3) uint8 RGB, stdlib-only (zlib inflate +
-    numpy unfilter). Color types: 0 gray, 2 RGB, 3 palette, 4 gray+alpha,
-    6 RGBA (alpha dropped — features are RGB-space). Interlaced (Adam7)
-    and 1/2/4/16-bit-depth images raise NotImplementedError (the PIL
-    seam); CRCs are not verified (forgiving decode, like the corpus
-    XML scans)."""
+    """PNG -> (h, w, 3) uint8 RGB, stdlib-only (zlib inflate + numpy
+    unfilter). Color types: 0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+    6 RGBA (alpha dropped — features are RGB-space); bit depths
+    1/2/4/8/16 (16-bit reduces to the high byte, sub-byte gray scales to
+    8-bit); Adam7 interlace deinterlaced pass by pass. CRCs are not
+    verified (forgiving decode, like the corpus XML scans)."""
     import zlib
 
     pos = len(_PNG_SIG)
@@ -178,25 +214,36 @@ def _png_decode(data: bytes) -> np.ndarray:
         pos += 12 + length  # len + type + data + crc
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG needs PIL — plug in here")
-    if bitdepth != 8:
-        raise NotImplementedError(
-            f"PNG bit depth {bitdepth} needs PIL — only 8-bit decodes here"
-        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
     if channels is None:
         raise ValueError(f"PNG color type {colortype} invalid")
+    if bitdepth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {bitdepth} invalid")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel stream truncated")
-    filt = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    px = _png_unfilter(filt, h, stride, channels).reshape(h, w, channels)
+    if interlace:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass emits no bytes at all
+            sub, off = _png_subimage(raw, off, pw, ph, channels, bitdepth)
+            px[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG pixel stream truncated")
+    else:
+        px, off = _png_subimage(raw, 0, w, h, channels, bitdepth)
+        if off != len(raw):
+            raise ValueError("PNG pixel stream truncated")
     if colortype == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
         return palette[px[..., 0]]
+    if bitdepth in (1, 2, 4):  # gray: scale sample range to 8-bit
+        px = (px.astype(np.uint16) * (255 // ((1 << bitdepth) - 1))).astype(
+            np.uint8
+        )
     if colortype == 0:
         return np.repeat(px, 3, axis=2)
     if colortype == 4:

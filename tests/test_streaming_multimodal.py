@@ -253,15 +253,78 @@ def _paeth(a, b, c):
     return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
 
 
+_ADAM7_TEST = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_pack_rows(img, bitdepth):
+    """(h, w, ch) samples -> (h, stride) packed byte rows (MSB-first for
+    sub-byte depths, big-endian for 16-bit)."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    if bitdepth == 8:
+        return img.astype(np.uint8).reshape(h, w * ch).astype(np.int32)
+    if bitdepth == 16:
+        raw = np.frombuffer(img.astype(">u2").tobytes(), dtype=np.uint8)
+        return raw.reshape(h, w * ch * 2).astype(np.int32)
+    per_byte = 8 // bitdepth
+    stride = (w * ch * bitdepth + 7) // 8
+    out = np.zeros((h, stride), dtype=np.int32)
+    flat = img.reshape(h, w * ch)
+    for i in range(w * ch):
+        byte_i, slot = divmod(i, per_byte)
+        out[:, byte_i] |= (flat[:, i] & ((1 << bitdepth) - 1)) << (
+            8 - bitdepth * (slot + 1)
+        )
+    return out
+
+
+def _png_filter_image(rows, bpp, filters):
+    """Filter packed byte rows (one filter type per row, cycling
+    ``filters``) into the PNG scanline serialization."""
+    import numpy as np
+
+    lines = bytearray()
+    h, stride = rows.shape
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = rows[y]
+        prev = rows[y - 1] if y else np.zeros_like(cur)
+        out = np.zeros_like(cur)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[f]
+            out[x] = (cur[x] - pred) & 0xFF
+        lines += bytes([f]) + out.astype(np.uint8).tobytes()
+    return lines
+
+
 def _make_png(img, colortype, filters, palette=None, bitdepth=8, interlace=0):
     """Hand-rolled PNG encoder (spec-faithful: real CRCs, per-row filter
-    types) so the decoder is tested against independently constructed
-    bytes. ``img`` is (h, w, ch) raw samples for the color type;
-    ``filters`` gives the filter type per row."""
+    types, Adam7 pass extraction, sub-byte/16-bit packing) so the
+    decoder is tested against independently constructed bytes. ``img``
+    is (h, w, ch) raw samples for the color type; ``filters`` gives the
+    filter type per row."""
     import struct
     import zlib
 
-    import numpy as np
+    h, w, ch = img.shape
+    bpp = max(1, ch * bitdepth // 8)
+    lines = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7_TEST:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_image(
+                    _png_pack_rows(sub, bitdepth), bpp, filters
+                )
+    else:
+        lines += _png_filter_image(_png_pack_rows(img, bitdepth), bpp, filters)
 
     def chunk(t, body):
         return (
@@ -269,26 +332,10 @@ def _make_png(img, colortype, filters, palette=None, bitdepth=8, interlace=0):
             + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
         )
 
-    h, w, ch = img.shape
-    raw = img.astype(np.int32).reshape(h, w * ch)
-    bpp = ch
-    lines = bytearray()
-    for y in range(h):
-        f = filters[y % len(filters)]
-        cur = raw[y]
-        prev = raw[y - 1] if y else np.zeros_like(cur)
-        out = np.zeros_like(cur)
-        for x in range(w * ch):
-            a = cur[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[f]
-            out[x] = (cur[x] - pred) & 0xFF
-        lines += bytes([f]) + out.astype(np.uint8).tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, interlace)
     png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
-        png += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        png += chunk(b"PLTE", palette.astype("uint8").tobytes())
     png += chunk(b"IDAT", zlib.compress(bytes(lines)))
     return png + chunk(b"IEND", b"")
 
@@ -324,11 +371,11 @@ def test_decode_png_all_filters_and_color_types():
     assert np.array_equal(
         decode_image(_make_png(idx, 3, [0, 1], palette=pal)), pal[idx[..., 0]]
     )
-    # the remaining PNG seams: interlace and deep bit depths need PIL
-    with _pytest.raises(NotImplementedError, match="Adam7"):
-        decode_image(_make_png(img, 2, [0], interlace=1))
-    with _pytest.raises(NotImplementedError, match="bit depth"):
-        decode_image(_make_png(img, 2, [0], bitdepth=16))
+    # invalid bit depth is a hard error (1/2/4/8/16 all decode)
+    bad_depth = bytearray(_make_png(img, 2, [0]))
+    bad_depth[bad_depth.index(b"IHDR") + 12] = 3  # IHDR byte 8 = depth
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_image(bytes(bad_depth))
     # truncated pixel stream (IHDR claims 6 rows, IDAT carries 3) is a
     # hard error, not garbage pixels — CRCs are deliberately not checked
     import struct as _s
@@ -341,6 +388,44 @@ def test_decode_png_all_filters_and_color_types():
     )
     with _pytest.raises(ValueError, match="truncated"):
         decode_image(lied)
+
+
+def test_decode_png_depths_and_interlace():
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    rng = np.random.default_rng(13)
+    # 16-bit RGB reduces to each sample's high byte
+    deep = rng.integers(0, 1 << 16, size=(5, 6, 3), dtype=np.uint16)
+    got = decode_image(_make_png(deep, 2, [0, 2, 4], bitdepth=16))
+    assert np.array_equal(got, (deep >> 8).astype(np.uint8))
+    # 16-bit gray+alpha: high byte, alpha dropped, replicated
+    ga = rng.integers(0, 1 << 16, size=(4, 5, 2), dtype=np.uint16)
+    got = decode_image(_make_png(ga, 4, [1, 3], bitdepth=16))
+    assert np.array_equal(got, np.repeat((ga[..., :1] >> 8).astype(np.uint8), 3, 2))
+    # sub-byte grayscale scales the sample range to 8-bit
+    for bd in (1, 2, 4):
+        lv = (1 << bd) - 1
+        g = rng.integers(0, lv + 1, size=(6, 11, 1), dtype=np.uint8)
+        got = decode_image(_make_png(g, 0, [0, 1, 2], bitdepth=bd))
+        want = np.repeat((g * (255 // lv)).astype(np.uint8), 3, axis=2)
+        assert np.array_equal(got, want), bd
+    # 4-bit palette indices (packed two per byte, odd width padding)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 7, 1), dtype=np.uint8)
+    got = decode_image(_make_png(idx, 3, [0, 4], bitdepth=4, palette=pal))
+    assert np.array_equal(got, pal[idx[..., 0]])
+    # Adam7 interlace: odd dims exercise empty and partial passes
+    for shape in [(9, 7), (1, 1), (3, 2), (16, 16), (2, 10)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        got = decode_image(_make_png(img, 2, [0, 1, 2, 3, 4], interlace=1))
+        assert np.array_equal(got, img), shape
+    # interlaced palette at 4-bit: both features at once
+    idx2 = rng.integers(0, 16, size=(10, 9, 1), dtype=np.uint8)
+    got = decode_image(_make_png(idx2, 3, [2, 3], bitdepth=4,
+                                 palette=pal, interlace=1))
+    assert np.array_equal(got, pal[idx2[..., 0]])
 
 
 def test_decode_png_property_roundtrip():
@@ -361,12 +446,13 @@ def test_decode_png_property_roundtrip():
         colortype=st.sampled_from([0, 2, 4, 6]),
         seed=st.integers(0, 2**31 - 1),
         filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+        interlace=st.sampled_from([0, 1]),
     )
-    def run(w, h, colortype, seed, filters):
+    def run(w, h, colortype, seed, filters, interlace):
         ch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
-        got = decode_image(_make_png(img, colortype, filters))
+        got = decode_image(_make_png(img, colortype, filters, interlace=interlace))
         if colortype == 2:
             want = img
         elif colortype == 6:
