@@ -414,6 +414,11 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if ns != len(frame[2]):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG needs PIL — "
+                    "only single-scan interleaved files decode here"
+                )
             ids = [c[0] for c in frame[2]]
             scan = []
             for c in range(ns):

@@ -756,6 +756,14 @@ def test_decode_jpeg_420_subsampling_and_restart():
 
     with _pytest.raises(NotImplementedError, match="progressive"):
         decode_image(bytes(prog))
+    # multi-scan (SOS covering fewer components than SOF) too: silent
+    # first-scan-only decode would be garbage, so it must raise
+    color = _jpeg_encode(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    ms = bytearray(color)
+    at = ms.index(b"\xff\xda")
+    ms[at + 4] = 1  # ns: 3 -> 1
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_image(bytes(ms))
 
 
 def test_decode_jpeg_property_roundtrip():
