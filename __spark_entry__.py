@@ -1869,7 +1869,8 @@ def _q_trained_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{root}/term_vecs")
     idx = _index(spark, sf_dir)
     dv = doc_vectors_from(
-        idx.tf.filter(F.col("doc_id") < 30), idx.dft, idx.stats, tv, dim=8
+        idx.tf.filter(F.col("doc_id") < 30), idx.dft, idx.stats, tv, dim=8,
+        broadcast_vectors=True,  # top_vocab=256-capped: the safe hint case
     )
     embed_rows = dv.select("doc_id", F.posexplode("vec").alias("d", "val")).select(
         F.lit("embed").alias("suite"),

@@ -352,6 +352,7 @@ def train_ppmi_vectors_distributed(
     V = int(n_aggs["v"] or 0)
     if V == 0:
         release_intermediates(A)
+        A.unpersist()
         margins.unpersist()
         raise ValueError("empty PPMI matrix (no positive associations)")
     if V < dim:
@@ -425,15 +426,25 @@ def doc_vectors_from(
     stats: DataFrame,
     term_vecs: DataFrame,
     dim: int,
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """(doc_id, vec) — the MakePage.cpp:247-398 doc-vector semantics
     (TF-IDF-weighted average of per-term vectors, non-positive weights
     skipped, L2-normalized) over a TRAINED term-vector table instead of
     the hash embedding. Same shuffle shape as operators/vectors.doc_vectors:
-    the vector components ride the dft join (broadcast — term_vecs is
-    vocab-capped by construction), accumulation is ``dim`` parallel SUM
-    aggregates in one hash-aggregate pass."""
-    tv = dft.join(F.broadcast(term_vecs), "term").select(
+    the vector components ride the dft join, accumulation is ``dim``
+    parallel SUM aggregates in one hash-aggregate pass.
+
+    ``broadcast_vectors``: :func:`train_ppmi_vectors` output is
+    vocab-capped (broadcastable by construction) but
+    :func:`train_ppmi_vectors_distributed` is uncapped — a hard
+    broadcast HINT on a web-scale vocabulary would override Spark's
+    size threshold and OOM (the same trap score_docs documents). The
+    default ``None`` emits NO hint and lets AQE broadcast at runtime
+    when the table is actually small; pass ``True`` only for a model
+    you KNOW is capped."""
+    tv_side = F.broadcast(term_vecs) if broadcast_vectors else term_vecs
+    tv = dft.join(tv_side, "term").select(
         "term",
         "df",
         *[F.element_at("vec", d + 1).alias(f"_v{d}") for d in range(dim)],

@@ -256,8 +256,25 @@ def test_doc_vectors_from_trained(docs, spark):
     dft = S.document_frequencies(tf)
     st = S.corpus_stats(S.doc_lengths(tf))
     tv = train_ppmi_vectors(cooccurrence_counts(docs, window=2), dim=4)
-    dv = {r["doc_id"]: np.array(r["vec"]) for r in
-          doc_vectors_from(tf, dft, st, tv, dim=4).collect()}
+    # default = NO broadcast hint on term_vecs (an uncapped distributed
+    # model must not be force-collected; AQE still broadcasts small
+    # tables at runtime) — and the hinted capped path is value-identical
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = doc_vectors_from(tf, dft, st, tv, dim=4)
+        rows = unhinted.collect()
+        plan = unhinted._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    hinted = {r["doc_id"]: np.array(r["vec"]) for r in
+              doc_vectors_from(tf, dft, st, tv, dim=4,
+                               broadcast_vectors=True).collect()}
+    dv = {r["doc_id"]: np.array(r["vec"]) for r in rows}
+    assert set(dv) == set(hinted)
+    for d in dv:  # join strategy reorders float sums; values agree to fp
+        assert np.abs(dv[d] - hinted[d]).max() < 1e-9, d
     assert dv, "some docs must carry TF-IDF signal"
     for v in dv.values():
         assert abs(np.linalg.norm(v) - 1.0) < 1e-9
