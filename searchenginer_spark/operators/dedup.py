@@ -184,10 +184,14 @@ def dedup_docs_and_tf(
         simhash(tfidf_top_keywords(tf, dft, stats, top_n=top_n)),
         max_hamming=max_hamming,
     )
-    # losers are tiny and consumed by every downstream tf/docs action —
-    # persist so the banded self-join runs once, not once per consumer
+    # losers are consumed by every downstream tf/docs action — persist so
+    # the banded self-join runs once, not once per consumer. NO broadcast
+    # hint: in a dup-heavy web corpus the loser set is a large corpus
+    # fraction (documented crawl near-dup rates run 25-40%), and a hint
+    # would force-collect it regardless of size; AQE still broadcasts it
+    # at runtime when it is actually small
     losers = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct().persist()
-    kept_tf = tf.join(F.broadcast(losers), "doc_id", "left_anti")
+    kept_tf = tf.join(losers, "doc_id", "left_anti")
     if id_col != "doc_id":
         # pair frames carry (doc_id, doc_id_2); rename BOTH for the caller's
         # id column so dedup_by_pairs keys line up
@@ -232,11 +236,13 @@ def simhash_near_pairs(
 def dedup_by_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Drop every doc that has a similar neighbor with a smaller id.
 
-    ``pairs`` must carry (``id_col``, ``id_col + '_2'``) with id < id_2. The
-    loser set is tiny relative to the corpus — broadcast the anti-join so the
-    docs table is probed, never shuffled."""
+    ``pairs`` must carry (``id_col``, ``id_col + '_2'``) with id < id_2.
+    No broadcast hint on the loser set: dup-heavy corpora make it a large
+    corpus fraction, and a hint overrides the size threshold; AQE picks a
+    runtime broadcast whenever it is actually small, so the common case
+    still probes the docs table without shuffling it."""
     losers = pairs.select(F.col(f"{id_col}_2").alias(id_col)).distinct()
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def minhash_lsh_pairs(
