@@ -908,6 +908,7 @@ def test_sample_video_frames_real_mjpeg_avi(spark):
     from searchenginer_spark.functions.multimodal import (
         MEDIA_SCHEMA,
         _avi_frames,
+        container_frames,
         decode_image,
         sample_video_frames,
     )
@@ -924,8 +925,9 @@ def test_sample_video_frames_real_mjpeg_avi(spark):
     # container walk: audio chunks skipped, rec -nesting transparent
     assert _avi_frames(_make_mjpeg_avi(jpegs)) == jpegs
     assert _avi_frames(_make_mjpeg_avi(jpegs, with_rec=True)) == jpegs
+    # matroska EBML stays behind the ffmpeg seam
     with _pytest.raises(NotImplementedError, match="ffmpeg"):
-        _avi_frames(b"\x00\x00\x00\x18ftypmp42....")
+        container_frames(b"\x1a\x45\xdf\xa3matroska....")
 
     rows = [
         (0, "video", _make_mjpeg_avi(jpegs),
@@ -934,15 +936,17 @@ def test_sample_video_frames_real_mjpeg_avi(spark):
          {"width": None, "height": None, "sample_rate": None, "n_frames": 1}),
         (2, "image", b"not a video",
          {"width": 1, "height": 1, "sample_rate": None, "n_frames": None}),
+        (3, "video", _make_mjpeg_mp4(jpegs[:4]),
+         {"width": None, "height": None, "sample_rate": None, "n_frames": 4}),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = sample_video_frames(media, every_n=3, decoder="real").collect()
     got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
     # metadata n_frames lies; the container is the truth (7 -> idx 0,3,6)
-    assert set(got) == {(0, 0), (0, 3), (0, 6), (1, 0)}
+    assert set(got) == {(0, 0), (0, 3), (0, 6), (1, 0), (3, 0), (3, 3)}
     for (doc, idx), blob in got.items():
         dec = decode_image(blob)
-        src = srcs[idx] if doc == 0 else srcs[0]
+        src = srcs[idx] if doc in (0, 3) else srcs[0]
         err = dec[..., 0].astype(int) - src.astype(int)
         assert np.abs(err).max() <= 5  # JPEG q=1 bound, gray replicated
 
@@ -1032,3 +1036,252 @@ def test_real_decoder_spark_paths(spark):
         deq = (pcm.astype(np.float32) / 32768.0).reshape(-1, 1)
         want = audio_features(deq, 16000)
         assert np.abs(np.array(r["features"]) - want).max() < 1e-6
+
+
+# ------------------------------------------------------- r6b codec closures
+
+
+def _make_wav_raw(body, rate, fmt, ch, bits, block_align, n_frames=None):
+    """WAV writer that takes pre-encoded data-chunk bytes (G.711 / ADPCM),
+    with an optional fact chunk carrying the true frame count."""
+    import struct
+
+    fmtc = struct.pack("<HHIIHH", fmt, ch, rate, rate * block_align,
+                       block_align, bits)
+    fact = (b"fact" + struct.pack("<II", 4, n_frames)
+            if n_frames is not None else b"")
+    payload = (b"fmt " + struct.pack("<I", len(fmtc)) + fmtc + fact
+               + b"data" + struct.pack("<I", len(body)) + body
+               + (b"\x00" if len(body) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
+def test_decode_wav_g711_matches_audioop():
+    """G.711 mu-law/A-law expansion over every code byte == the stdlib
+    audioop oracle (the canonical CCITT g711.c tables)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from searchenginer_spark.functions.multimodal import decode_wav
+
+    audioop = _pytest.importorskip("audioop")  # stdlib until 3.12
+
+    codes = bytes(range(256)) * 2
+    for fmt, name in ((7, "ulaw"), (6, "alaw")):
+        want = np.frombuffer(
+            getattr(audioop, f"{name}2lin")(codes, 2), dtype="<i2"
+        ).astype(np.float32) / 32768.0
+        got, rate = decode_wav(_make_wav_raw(codes, 8000, fmt, 1, 8, 1))
+        assert rate == 8000 and got.shape == (512, 1), name
+        assert np.array_equal(got[:, 0], want), name
+        # stereo deinterleave
+        got2, _ = decode_wav(_make_wav_raw(codes, 8000, fmt, 2, 8, 2))
+        assert got2.shape == (256, 2)
+        assert np.array_equal(got2.T.ravel(), want.reshape(256, 2).T.ravel())
+    # struct imported for parity with the other helpers
+    assert struct.calcsize("<H") == 2
+
+
+def _ima_encode_wav(x, rate, spb):
+    """Scalar spec-reference IMA ADPCM encoder (per-block header =
+    first sample; step index persists across blocks). Returns (wav
+    bytes, expected int16 decode chain) — the chain is what a correct
+    decoder must reproduce EXACTLY."""
+    import struct
+
+    import numpy as np
+
+    steps = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+             37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+             157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+             544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+             1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+             4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+             12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+             29794, 32767]
+    itab = [-1, -1, -1, -1, 2, 4, 6, 8]
+    x = np.asarray(x, dtype=np.int64)  # (n, ch) int16 range
+    n, ch = x.shape
+    pad = (-n) % spb
+    x = np.vstack([x, np.repeat(x[-1:], pad, axis=0)]) if pad else x
+    idx = [0] * ch
+    out = b""
+    chain = np.zeros_like(x)
+    for b0 in range(0, x.shape[0], spb):
+        blk = x[b0 : b0 + spb]
+        hdr = b""
+        nibbles = [[] for _ in range(ch)]
+        for c in range(ch):
+            pred = int(blk[0, c])
+            hdr += struct.pack("<hBB", pred, idx[c], 0)
+            chain[b0, c] = pred
+            for t in range(1, spb):
+                step = steps[idx[c]]
+                diff = int(blk[t, c]) - pred
+                code = 0
+                if diff < 0:
+                    code, diff = 8, -diff
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                vp = (step >> 3) + (step if code & 4 else 0) \
+                    + ((step >> 1) if code & 2 else 0) \
+                    + ((step >> 2) if code & 1 else 0)
+                pred = max(-32768, min(32767, pred - vp if code & 8 else pred + vp))
+                idx[c] = max(0, min(88, idx[c] + itab[code & 7]))
+                nibbles[c].append(code)
+                chain[b0 + t, c] = pred
+        data = b""
+        for g in range(0, spb - 1, 8):  # 4-byte words round-robin per channel
+            for c in range(ch):
+                grp = nibbles[c][g : g + 8]
+                word = 0
+                for j, nb in enumerate(grp):
+                    word |= nb << (4 * j)
+                data += struct.pack("<I", word)
+        out += hdr + data
+    block_align = 4 * ch + (spb - 1) // 2 * ch
+    wav = _make_wav_raw(out, rate, 0x11, ch, 4, block_align, n_frames=n)
+    return wav, chain[:n]
+
+
+def test_decode_wav_ima_adpcm():
+    """Block-vectorized IMA ADPCM decode reproduces the scalar spec
+    chain bit-exactly, mono and stereo, with fact-chunk truncation of
+    the padded final block."""
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_wav
+
+    rng = np.random.default_rng(7)
+    t = np.arange(700)
+    mono = (
+        12000 * np.sin(2 * np.pi * t / 37) + rng.integers(-500, 500, t.size)
+    ).astype(np.int64).reshape(-1, 1)
+    stereo = np.hstack([mono, np.clip(-mono * 2, -32768, 32767)])
+    for sig, spb in ((mono, 505), (stereo, 249), (mono, 9)):
+        wav, chain = _ima_encode_wav(sig, 11025, spb)
+        got, rate = decode_wav(wav)
+        assert rate == 11025 and got.shape == sig.shape, spb
+        got_i16 = np.rint(got * 32768.0).astype(np.int64)
+        assert np.array_equal(got_i16, chain), spb
+        # the lossy codec still tracks the signal once the step index
+        # has adapted (idx starts at 0 -> the first ~2 periods are an
+        # attack transient chasing a 12000-amplitude sine)
+        assert np.abs(got_i16 - sig)[100:].max() < 4000, spb
+
+
+def _bmff_box(typ, body):
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def _make_mjpeg_mp4(frames, co64=False, fixed_size=False, moov_first=False,
+                    chunk_gap=3):
+    """Minimal ISO BMFF file: ftyp + mdat holding the frame payloads
+    (split into two chunks with junk padding between) + moov with an
+    audio trak (must be skipped) and a video trak whose stbl indexes the
+    payloads. fixed_size exercises the stsz fixed-size path (requires
+    equal-length frames); co64 the 64-bit chunk-offset table."""
+    import struct
+
+    import numpy as np
+
+    ftyp = _bmff_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom")
+    # two chunks: first ceil(n/2) samples contiguous, junk, then the rest
+    n = len(frames)
+    n1 = (n + 1) // 2
+    mdat_body = b""
+    chunk_off = [None, None]
+    sizes = [len(f) for f in frames]
+    chunk_off[0] = 0
+    for f in frames[:n1]:
+        mdat_body += f
+    mdat_body += b"\xde\xad" * chunk_gap
+    chunk_off[1] = len(mdat_body)
+    for f in frames[n1:]:
+        mdat_body += f
+    mdat = _bmff_box(b"mdat", mdat_body)
+
+    def hdlr(kind):
+        return _bmff_box(b"hdlr", b"\x00\x00\x00\x00\x00\x00\x00\x00" + kind
+                         + b"\x00" * 12)
+
+    def stbl(base):
+        offs = [base + chunk_off[0], base + chunk_off[1]]
+        if fixed_size:
+            assert len(set(sizes)) == 1
+            stsz = _bmff_box(b"stsz", struct.pack(">III", 0, sizes[0], n))
+        else:
+            stsz = _bmff_box(
+                b"stsz",
+                struct.pack(">III", 0, 0, n)
+                + np.array(sizes, dtype=">u4").tobytes(),
+            )
+        stsc = _bmff_box(
+            b"stsc",
+            struct.pack(">II", 0, 2)
+            + struct.pack(">III", 1, n1, 1)      # chunk 1: n1 samples
+            + struct.pack(">III", 2, n - n1, 1),  # chunk 2+: the rest
+        )
+        if co64:
+            sco = _bmff_box(b"co64", struct.pack(">II", 0, 2)
+                            + np.array(offs, dtype=">u8").tobytes())
+        else:
+            sco = _bmff_box(b"stco", struct.pack(">II", 0, 2)
+                            + np.array(offs, dtype=">u4").tobytes())
+        return _bmff_box(b"stbl", stsz + stsc + sco)
+
+    def moov(base):
+        audio_trak = _bmff_box(
+            b"trak", _bmff_box(b"mdia", hdlr(b"soun"))
+        )
+        video_trak = _bmff_box(
+            b"trak",
+            _bmff_box(b"mdia", hdlr(b"vide")
+                      + _bmff_box(b"minf", stbl(base))),
+        )
+        return _bmff_box(b"moov", audio_trak + video_trak)
+
+    if moov_first:
+        base = len(ftyp) + len(moov(0)) + 8  # moov size is offset-free
+        return ftyp + moov(base) + mdat
+    base = len(ftyp) + 8
+    return ftyp + mdat + moov(base)
+
+
+def test_mp4_frame_extraction():
+    import numpy as np
+    import pytest as _pytest
+
+    from searchenginer_spark.functions.multimodal import (
+        _mp4_frames,
+        container_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [bytes(rng.integers(0, 256, 30 + 7 * i, dtype=np.uint8))
+              for i in range(5)]
+    assert _mp4_frames(_make_mjpeg_mp4(frames)) == frames
+    assert _mp4_frames(_make_mjpeg_mp4(frames, co64=True)) == frames
+    assert _mp4_frames(_make_mjpeg_mp4(frames, moov_first=True)) == frames
+    same = [frames[0]] * 4
+    assert _mp4_frames(_make_mjpeg_mp4(same, fixed_size=True)) == same
+    # dispatcher picks the BMFF path for mp4 bytes and AVI for RIFF
+    assert container_frames(_make_mjpeg_mp4(frames)) == frames
+    assert container_frames(_make_mjpeg_avi(frames)) == frames
+    with _pytest.raises(ValueError, match="moov"):
+        _mp4_frames(_bmff_box(b"ftyp", b"mp42") + _bmff_box(b"mdat", b"xx"))
+    with _pytest.raises(ValueError, match="video track"):
+        _mp4_frames(
+            _bmff_box(b"ftyp", b"mp42")
+            + _bmff_box(b"moov", _bmff_box(b"trak", b""))
+        )
