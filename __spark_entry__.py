@@ -2048,6 +2048,82 @@ def _mjpeg_avi(frames: list[bytes]) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _mjpeg_mp4(frames: list[bytes]) -> bytes:
+    """Minimal ISO-BMFF mp4 wrapping per-frame JPEG blobs as the video
+    track's samples (one chunk; stsz/stsc/stco index into mdat)."""
+    import struct
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    ftyp = box(b"ftyp", b"mp42\x00\x00\x00\x00mp42isom")
+    mdat = box(b"mdat", b"".join(frames))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, len(frames))
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, len(frames), 1))
+    stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", len(ftyp) + 8))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    trak = box(
+        b"trak", box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsz + stsc + stco)))
+    )
+    return ftyp + mdat + box(b"moov", trak)
+
+
+def _mjpeg_mkv(frames: list[bytes]) -> bytes:
+    """Minimal Matroska wrapping per-frame JPEG blobs as SimpleBlocks of
+    video track 1 (no lacing)."""
+
+    def vint(v: int) -> bytes:
+        ln = 1
+        while v >= (1 << (7 * ln)) - 1:
+            ln += 1
+        return ((1 << (7 * ln)) | v).to_bytes(ln, "big")
+
+    def el(eid: int, body: bytes) -> bytes:
+        return (
+            eid.to_bytes((eid.bit_length() + 7) // 8, "big") + vint(len(body)) + body
+        )
+
+    trak = el(0xAE, el(0xD7, b"\x01") + el(0x83, b"\x01") + el(0x86, b"V_MJPEG"))
+    blocks = b"".join(el(0xA3, vint(1) + b"\x00\x00\x00" + f) for f in frames)
+    cluster = el(0x1F43B675, el(0xE7, b"\x00") + blocks)
+    seg = el(0x18538067, el(0x1654AE6B, trak) + cluster)
+    return el(0x1A45DFA3, el(0x4282, b"matroska")) + seg
+
+
+def _g711_scalar(u: int, alaw: bool) -> int:
+    """Classic CCITT g711.c expansion, scalar — the oracle-side twin of
+    the vectorized LUTs in functions/multimodal.py (independent
+    transcription of the published reference, used only to build the
+    contract fixture)."""
+    if alaw:
+        a = u ^ 0x55
+        t = (a & 0x0F) << 4
+        s = (a & 0x70) >> 4
+        t = t + 8 if s == 0 else (t + 0x108) << (s - 1)
+        return t if a & 0x80 else -t
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _g711_wav(codes, fmt: int, nch: int) -> bytes:
+    """RIFF/WAVE holding raw G.711 code bytes (fmt 6 = A-law, 7 = mu-law)."""
+    import struct
+
+    body = bytes(codes)
+    fmtc = struct.pack("<HHIIHH", fmt, nch, 8000, 8000 * nch, nch, 8)
+    payload = (
+        b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
 def _q_multimodal_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The last two pytest-only operators (r5 verdict item 1) plus the
     r6 video path, one composite row:
@@ -2062,15 +2138,24 @@ def _q_multimodal_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (width/height ride every row as n = w*100000 + h, derived on the
       oracle side from the pixel grid itself).
     * ``vid`` (r6): REAL video frame sampling + JPEG decode end to end.
-      Deterministic MJPEG AVIs are built from BLOCKWISE-CONSTANT
+      Deterministic MJPEG streams are built from BLOCKWISE-CONSTANT
       grayscale frames — with quant=1 each 8x8 block is DC-only, whose
       IDCT is exactly constant, so the JPEG decode is EXACT and the
-      generator's block-value grid is the fixture. The query runs
-      sample_video_frames(decoder='real') (RIFF walk, every 2nd frame),
-      re-wraps sampled frames as an image media table, and extracts
-      pixel features; DuckDB recomputes mean/std/luminance-histogram
-      from the block grid (each block = 64 equal pixels) and applies
-      the same frame_idx % 2 sampling predicate.
+      generator's block-value grid is the fixture. ONE CONTAINER PER
+      DOC: doc 0 RIFF-AVI, doc 1 ISO-BMFF mp4, doc 2 Matroska — all
+      three walkers are oracle-checked. The query runs
+      sample_video_frames(decoder='real') (every 2nd frame), re-wraps
+      sampled frames as an image media table, and extracts pixel
+      features; DuckDB recomputes mean/std/luminance-histogram from
+      the block grid (each block = 64 equal pixels) and applies the
+      same frame_idx % 2 sampling predicate.
+    * ``aud`` (r6): REAL audio decode + feature extraction end to end.
+      Raw G.711 code bytes (mu-law and A-law docs, mono and stereo)
+      wrapped as WAV feed extract_audio_features(decoder='real'); the
+      fixture is the scalar g711.c expansion of the same codes, from
+      which DuckDB recomputes duration/RMS/zero-crossings/peak and the
+      4-bin |amplitude| histogram (float32 parity via
+      round(CAST(val AS REAL)::DOUBLE, 4) on both sides).
     * ``sdedup``: streaming stateful dedup (applyInPandasWithState).
       The duplicate-injected union corpus is drained through a real
       Structured Streaming query (availableNow, parquet sink, fresh
@@ -2129,6 +2214,7 @@ def _q_multimodal_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vrng = np.random.default_rng(4321)
     vid_rows, blk_rows = [], []
+    containers = (_mjpeg_avi, _mjpeg_mp4, _mjpeg_mkv)  # one walker per doc
     for d in range(3):
         bw, bh = 2 + d, 1 + d % 2
         frames = []
@@ -2139,7 +2225,7 @@ def _q_multimodal_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for bx in range(bw):
                     blk_rows.append((d, f, by, bx, int(blocks[by, bx])))
         vid_rows.append(
-            (d, "video", bytearray(_mjpeg_avi(frames)), (None, None, None, 5))
+            (d, "video", bytearray(containers[d](frames)), (None, None, None, 5))
         )
     spark.createDataFrame(
         blk_rows, "doc_id long, frame_idx int, by int, bx int, v int"
@@ -2161,6 +2247,48 @@ def _q_multimodal_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("features").alias("i", "val"),
     ).select(
         F.lit("vid").alias("suite"),
+        F.concat_ws(
+            "_", F.col("doc_id").cast("string"), F.col("i").cast("string")
+        ).alias("grp"),
+        "n",
+        F.round(F.col("val").cast("double"), 4).alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+
+    # --- aud: G.711 audio decode + feature extraction end to end. Raw
+    # code bytes feed decode_wav via extract_audio_features('real'); the
+    # fixture is the scalar g711.c expansion of those codes — DuckDB
+    # recomputes duration/RMS/zcr/peak/|amp|-hist from the int16 samples.
+    from searchenginer_spark.functions.multimodal import extract_audio_features
+
+    arng = np.random.default_rng(2468)
+    aud_rows, smp_rows = [], []
+    for i in range(4):
+        nch = 2 if i == 3 else 1
+        nframes = 64 + 16 * i
+        codes = arng.integers(0, 256, size=nframes * nch, dtype=np.uint8)
+        fmt = 6 if i % 2 else 7  # alternate A-law / mu-law
+        aud_rows.append(
+            (100 + i, "audio", bytearray(_g711_wav(codes, fmt, nch)),
+             (None, None, 8000, None))
+        )
+        for idx in range(nframes):
+            for c in range(nch):
+                smp_rows.append(
+                    (100 + i, idx, c,
+                     _g711_scalar(int(codes[idx * nch + c]), fmt == 6))
+                )
+    spark.createDataFrame(
+        smp_rows, "doc_id long, idx int, ch int, s int"
+    ).write.mode("overwrite").parquet(f"{root}/aud_samples")
+    auds = spark.createDataFrame(aud_rows, MEDIA_SCHEMA)
+    aud_feats = extract_audio_features(auds, decoder="real")
+    aud_out = aud_feats.select(
+        "doc_id",
+        (F.col("n_samples") * 100000 + F.col("sample_rate")).alias("n"),
+        F.posexplode("features").alias("i", "val"),
+    ).select(
+        F.lit("aud").alias("suite"),
         F.concat_ws(
             "_", F.col("doc_id").cast("string"), F.col("i").cast("string")
         ).alias("grp"),
@@ -2192,7 +2320,7 @@ def _q_multimodal_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("v1"),
         F.lit(0.0).alias("v2"),
     )
-    return img_rows.unionByName(vid_out).unionByName(sd_rows)
+    return img_rows.unionByName(vid_out).unionByName(aud_out).unionByName(sd_rows)
 
 
 def _multimodal_stateful_suite_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -2262,6 +2390,42 @@ vfeat AS (
   SELECT g.fid, 6 + g.b10, coalesce(h.c, 0) / g.nblk
   FROM vgrid g LEFT JOIN vhist h USING (fid, b10)
 ),
+asmp AS (
+  SELECT doc_id, idx, avg(s) / 32768.0 AS v
+  FROM read_parquet('{root}/aud_samples/*.parquet') GROUP BY 1, 2
+),
+astat AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         sqrt(avg(v * v)) AS rms, max(abs(v)) AS peak
+  FROM asmp GROUP BY 1
+),
+azc AS (
+  SELECT doc_id,
+         sum(CASE WHEN prev IS NOT NULL AND ((v < 0) != (prev < 0))
+                  THEN 1 ELSE 0 END)::DOUBLE AS zc
+  FROM (SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+        FROM asmp)
+  GROUP BY 1
+),
+ahist AS (
+  SELECT doc_id, least(floor(abs(v) * 4 / 1.0001), 3)::INT AS b4,
+         count(*)::DOUBLE AS c
+  FROM asmp GROUP BY 1, 2
+),
+agrid AS (
+  SELECT s.doc_id, s.n, r.j - 1 AS b4
+  FROM astat s CROSS JOIN range(1, 5) AS r(j)
+),
+afeat AS (
+  SELECT doc_id, 0 AS i, n / 8000.0 AS val FROM astat
+  UNION ALL SELECT doc_id, 1, rms FROM astat
+  UNION ALL SELECT z.doc_id, 2, z.zc / greatest(s.n - 1, 1)
+  FROM azc z JOIN astat s USING (doc_id)
+  UNION ALL SELECT doc_id, 3, peak FROM astat
+  UNION ALL SELECT g.doc_id, 4 + g.b4, coalesce(h.c, 0) / g.n
+  FROM agrid g LEFT JOIN ahist h USING (doc_id, b4)
+),
 {_UNION_SQL}
 SELECT 'img' AS suite, f.doc_id::VARCHAR || '_' || f.i::VARCHAR AS grp, d.n,
        round(CAST(f.val AS REAL)::DOUBLE, 4) AS v1, 0.0 AS v2
@@ -2270,6 +2434,11 @@ UNION ALL
 SELECT 'vid', f.fid::VARCHAR || '_' || f.i::VARCHAR, d.n,
        round(CAST(f.val AS REAL)::DOUBLE, 4), 0.0
 FROM vfeat f JOIN vdims d USING (fid)
+UNION ALL
+SELECT 'aud', f.doc_id::VARCHAR || '_' || f.i::VARCHAR,
+       s.n * 100000 + 8000,
+       round(CAST(f.val AS REAL)::DOUBLE, 4), 0.0
+FROM afeat f JOIN astat s USING (doc_id)
 UNION ALL
 SELECT 'sdedup', min(doc_id)::VARCHAR, min(length(text))::BIGINT, 0.0, 0.0
 FROM u GROUP BY text

@@ -4,15 +4,15 @@ The Spark-side plumbing here is REAL and tested — schemas, Arrow batch
 shapes, mapInPandas signatures, partitioning. The ``decoder='real'``
 path decodes the dependency-free formats in numpy inside the Arrow
 UDFs — images: PPM (P6 binary / P3 ascii), 24-bit uncompressed BMP,
-PNG at every bit depth incl. Adam7 interlace (stdlib zlib), baseline
-JPEG (:func:`decode_image`), plus nearest-neighbor
-:func:`resize_image`; audio: RIFF/WAVE integer PCM 8/16/24/32, IEEE
-float 32/64, G.711 A-law/mu-law, IMA ADPCM (:func:`decode_wav`);
-video: RIFF-AVI and ISO-BMFF mp4/mov frame extraction
-(:func:`container_frames`). NotImplementedError remains only for
-formats that genuinely need external codecs (progressive JPEG ->
-PIL/opencv, perceptual audio mp3/aac -> libsndfile, mkv/webm ->
-ffmpeg), at the same plug-in seam. ``decoder='fake'`` keeps the
+PNG at every bit depth incl. Adam7 interlace (stdlib zlib), sequential
+AND progressive Huffman JPEG (:func:`decode_image`), plus
+nearest-neighbor :func:`resize_image`; audio: RIFF/WAVE integer PCM
+8/16/24/32, IEEE float 32/64, G.711 A-law/mu-law, IMA + MS ADPCM
+(:func:`decode_wav`); video: RIFF-AVI and ISO-BMFF mp4/mov frame
+extraction (:func:`container_frames`). NotImplementedError remains
+only for formats that genuinely need external codecs
+(arithmetic-coded JPEG -> PIL/opencv, perceptual audio mp3/aac ->
+libsndfile, mkv/webm -> ffmpeg), at the same plug-in seam. ``decoder='fake'`` keeps the
 deterministic byte-histogram stand-in for corpus-scale tests with
 arbitrary bytes.
 
@@ -319,9 +319,11 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def _jpeg_entropy_intervals(data: bytes, pos: int) -> list[bytes]:
-    """Slice the post-SOS entropy stream into restart intervals:
-    unstuff 0xFF00, split at RSTn, stop at any other marker."""
+def _jpeg_entropy_intervals(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Slice one scan's post-SOS entropy stream into restart intervals:
+    unstuff 0xFF00, split at RSTn, stop at any other marker. Returns
+    (intervals, position of the terminating marker) so multi-scan files
+    can resume header parsing after the entropy data."""
     out, cur = [], bytearray()
     n = len(data)
     while pos < n:
@@ -341,26 +343,170 @@ def _jpeg_entropy_intervals(data: bytes, pos: int) -> list[bytes]:
         else:  # EOI or next scan header
             break
     out.append(bytes(cur))
-    return out
+    return out, pos
+
+
+def _jpeg_ac_first(bits: _JpegBits, cb, ac_tab: dict, k: int, se: int, al: int) -> int:
+    """First-pass AC decode over the band [k, se] of one block (T.81
+    G.1.2.2; also the baseline AC path, where al=0 and EOB runs are
+    always length 1). cb is the block's zigzag-order coefficient row.
+    Returns the remaining EOB-run length: how many FURTHER blocks are
+    entirely zero in this band."""
+    while k <= se:
+        rs = _huff_decode(bits, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:  # EOBn: run of 2^r + receive(r) all-zero bands
+                return (1 << r) - 1 + (bits.receive(r) if r else 0)
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        cb[k] = _extend(bits.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(
+    bits: _JpegBits, cb, ac_tab: dict, k: int, se: int, al: int, eobrun: int
+) -> int:
+    """Successive-approximation AC refinement over [k, se] of one block
+    (T.81 G.1.2.3, the libjpeg decode_mcu_AC_refine control flow):
+    already-nonzero coefficients absorb a correction bit each time the
+    scan passes them; newly nonzero ones arrive as sign + position.
+    Returns the updated EOB-run counter (blocks inside an EOB run still
+    consume correction bits for their nonzero history)."""
+    p1, m1 = 1 << al, -1 << al
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn — includes this block, decremented below
+                    eobrun = (1 << r) + (bits.receive(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-history positions (r counts them down)
+            else:
+                if s != 1:
+                    raise ValueError("JPEG refinement scan with s > 1")
+                val = p1 if bits.read() else m1
+            while k <= se:
+                c = int(cb[k])
+                if c:
+                    if bits.read() and not (c & p1):
+                        cb[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                cb[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB-run blocks: correction bits only
+            c = int(cb[k])
+            if c and bits.read() and not (c & p1):
+                cb[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(
+    data: bytes,
+    pos: int,
+    scan: list,
+    comps: list,
+    geom: tuple,
+    huff: dict,
+    restart: int,
+    coefs: list,
+    band: tuple,
+) -> int:
+    """Decode one scan's entropy data into the per-component zigzag
+    coefficient stores. scan = [(comp_idx, dc_id, ac_id), ...]; band =
+    (Ss, Se, Ah, Al). Single-component scans walk the component's own
+    block grid (non-interleaved geometry); multi-component scans walk
+    MCUs. Returns the position of the marker after the entropy data."""
+    ss, se, ah, al = band
+    mcus_x, mcus_y, nb_dims = geom
+    intervals, endpos = _jpeg_entropy_intervals(data, pos)
+    if len(scan) == 1:
+        hb, wb = nb_dims[scan[0][0]]
+        n_units = hb * wb
+    else:
+        n_units = mcus_x * mcus_y
+    bits = _JpegBits(intervals[0])
+    interval_i = 0
+    pred = [0] * len(comps)
+    eobrun = 0
+    for u in range(n_units):
+        if restart and u and u % restart == 0:
+            interval_i += 1  # RSTn: DC predictors and EOB runs reset
+            bits = _JpegBits(intervals[interval_i])
+            pred = [0] * len(comps)
+            eobrun = 0
+        if len(scan) == 1:
+            ci, dcid, acid = scan[0]
+            wb = nb_dims[ci][1]
+            blocks = [(ci, dcid, acid, u // wb, u % wb)]
+        else:
+            my, mx = divmod(u, mcus_x)
+            blocks = []
+            for ci, dcid, acid in scan:
+                _, hs, vs, _ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blocks.append((ci, dcid, acid, my * vs + by, mx * hs + bx))
+        for ci, dcid, acid, by, bx in blocks:
+            cb = coefs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first: diff-coded, shifted by Al
+                    s = _huff_decode(bits, huff[(0, dcid)])
+                    pred[ci] += _extend(bits.receive(s), s)
+                    cb[0] = pred[ci] << al
+                elif bits.read():  # DC refine: one raw bit per block
+                    cb[0] = int(cb[0]) | (1 << al)
+            if se > 0:
+                k0 = max(ss, 1)
+                if ah == 0:
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        eobrun = _jpeg_ac_first(bits, cb, huff[(1, acid)], k0, se, al)
+                else:
+                    eobrun = _jpeg_ac_refine(
+                        bits, cb, huff[(1, acid)], k0, se, al, eobrun
+                    )
+    return endpos
 
 
 def _jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG (SOF0/SOF1 Huffman) -> (h, w, 3) uint8 RGB,
-    dependency-free: segment parse, canonical Huffman decode, dequant,
-    numpy matrix IDCT, nearest-neighbor chroma upsample, JFIF YCbCr ->
-    RGB. Restart markers (DRI) and 1/3-component scans supported;
-    progressive (SOF2) and arithmetic-coded variants raise
-    NotImplementedError (the PIL seam). The bit loop is per-symbol
-    Python — fine for thumbnail-scale Arrow batches, same caveat as the
-    PNG unfilter; bulk decode plugs PIL at the same seam."""
+    """Huffman JPEG -> (h, w, 3) uint8 RGB, dependency-free: sequential
+    (SOF0/SOF1), interleaved or multi-scan non-interleaved, AND
+    progressive (SOF2) with spectral selection + successive
+    approximation. Segment parse, canonical Huffman decode, per-scan
+    coefficient accumulation, batched numpy matrix IDCT,
+    nearest-neighbor chroma upsample, JFIF YCbCr -> RGB; restart
+    markers (DRI) supported in every scan shape. Arithmetic-coded,
+    hierarchical and lossless variants raise NotImplementedError (the
+    PIL seam). The bit loop is per-symbol Python — fine for
+    thumbnail-scale Arrow batches, same caveat as the PNG unfilter;
+    bulk decode plugs PIL at the same seam."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq), ...])
-    scan = None  # [(comp_idx, dc_id, ac_id), ...]
+    progressive = False
     restart = 0
+    coefs: list | None = None  # per-comp (bh, bw, 64) int32, ZIGZAG order
+    geom = None  # (mcus_x, mcus_y, [(comp_blocks_h, comp_blocks_w), ...])
+    saw_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -400,90 +546,78 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
                         i += 1
                     code <<= 1
                 huff[(cls, tid)] = table
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             _, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                "progressive/arithmetic JPEG needs PIL — plug in here "
-                "(baseline SOF0/SOF1 decodes dependency-free)"
+                "arithmetic/hierarchical/lossless JPEG needs PIL — plug in "
+                "here (sequential and progressive Huffman decode "
+                "dependency-free)"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
+            if coefs is None:  # first scan: allocate the coefficient store
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coefs, nb_dims = [], []
+                for _, hs, vs, _ in comps:
+                    coefs.append(
+                        np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+                    )
+                    cw = -(-(w * hs) // hmax)  # comp extent in samples
+                    ch = -(-(h * vs) // vmax)
+                    nb_dims.append((-(-ch // 8), -(-cw // 8)))
+                geom = (mcus_x, mcus_y, nb_dims)
             ns = body[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) baseline JPEG needs PIL — "
-                    "only single-scan interleaved files decode here"
-                )
-            ids = [c[0] for c in frame[2]]
+            ids = [c[0] for c in comps]
             scan = []
             for c in range(ns):
                 cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((ids.index(cid), tabs >> 4, tabs & 15))
-            pos += seglen
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # T.81 fixes these values
+            elif (ss == 0) != (se == 0):
+                raise ValueError("JPEG progressive DC scan must have Se=0")
+            elif ss and ns != 1:
+                raise ValueError("JPEG progressive AC scan must be single-component")
+            pos = _jpeg_decode_scan(
+                data, pos + seglen, scan, comps, geom, huff, restart, coefs,
+                (ss, se, ah, al),
+            )
+            saw_scan = True
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
-        for _, hs, vs, _ in comps
-    ]
     T = _dct_matrix()
-    intervals = _jpeg_entropy_intervals(data, pos)
-    bits = _JpegBits(intervals[0])
-    interval_i = 0
-    pred = [0] * len(comps)
-    coef = np.zeros(64, dtype=np.float64)
-    for mcu in range(mcus_x * mcus_y):
-        if restart and mcu and mcu % restart == 0:
-            interval_i += 1  # RSTn: next interval, DC predictors reset
-            bits = _JpegBits(intervals[interval_i])
-            pred = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, dc_id, ac_id in scan:
-            _, hs, vs, tq = comps[ci]
-            dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-            for by in range(vs):
-                for bx in range(hs):
-                    coef[:] = 0.0
-                    s = _huff_decode(bits, dc_tab)
-                    pred[ci] += _extend(bits.receive(s), s)
-                    coef[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(bits, ac_tab)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        coef[_JPEG_ZIGZAG[k]] = _extend(bits.receive(s), s)
-                        k += 1
-                    block = T.T @ (coef.reshape(8, 8) * qt[tq]) @ T
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
     full = []
-    for ci, (_, hs, vs, _) in enumerate(comps):
-        p = np.repeat(np.repeat(planes[ci], vmax // vs, 0), hmax // hs, 1)
+    for ci, (_, hs, vs, tq) in enumerate(comps):
+        arr = coefs[ci].astype(np.float64)  # (bh, bw, 64) zigzag order
+        nat = np.zeros_like(arr)
+        nat[:, :, _JPEG_ZIGZAG] = arr
+        deq = nat.reshape(arr.shape[0], arr.shape[1], 8, 8) * qt[tq]
+        spatial = np.einsum("ij,abjk,kl->abil", T.T, deq, T)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            arr.shape[0] * 8, arr.shape[1] * 8
+        )
+        p = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
         full.append(p[:h, :w] + 128.0)
     if len(full) == 1:
         g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
@@ -502,10 +636,10 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB for the dependency-free formats (PPM P6/P3,
-    24-bit BMP, 8-bit PNG via stdlib zlib, baseline JPEG);
-    NotImplementedError for formats needing external codecs
-    (progressive JPEG, interlaced/deep PNG, ...) — the documented
-    PIL/opencv plug-in seam."""
+    24-bit BMP, PNG via stdlib zlib at every depth/interlace, sequential
+    AND progressive Huffman JPEG); NotImplementedError for formats
+    needing external codecs (arithmetic-coded JPEG, webp/avif, ...) —
+    the documented PIL/opencv plug-in seam."""
     if data[:2] in (b"P6", b"P3"):
         return _ppm_decode(data)
     if data[:2] == b"BM":
@@ -516,7 +650,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return _jpeg_decode(data)
     raise NotImplementedError(
         f"image format {data[:4]!r} needs PIL/opencv — plug in here "
-        "(PPM/24-bit BMP/8-bit PNG/baseline JPEG decode dependency-free)"
+        "(PPM/24-bit BMP/PNG/sequential+progressive JPEG decode "
+        "dependency-free)"
     )
 
 
@@ -608,6 +743,72 @@ def _ima_adpcm_decode(raw: bytes, channels: int, block_align: int) -> np.ndarray
     return inter.astype(np.float32) / 32768.0
 
 
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230,
+     230, 230],
+    dtype=np.int64,
+)
+_MS_COEFS = np.array(
+    [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+     (392, -232)],
+    dtype=np.int64,
+)  # the seven standard MS ADPCM predictor pairs (coef / 256)
+
+
+def _ms_adpcm_decode(
+    raw: bytes, channels: int, block_align: int, coefs: np.ndarray
+) -> np.ndarray:
+    """WAV MS ADPCM (format tag 0x02) -> (n, channels) float32.
+
+    Block layout: per-channel predictor index byte, then per-channel
+    int16 iDelta / iSamp1 / iSamp2 headers, then 4-bit codes (high
+    nibble first, channels round-robin per nibble). The two header
+    samples are emitted first (iSamp2 then iSamp1); each code yields
+    sample = (samp1*c1 + samp2*c2)>>8 + signed_nibble*delta, clamped,
+    with delta = max(16, adapt[code]*delta>>8). Sequential in the
+    sample index, vectorized across blocks x channels."""
+    nch = max(channels, 1)
+    hdr_len = 7 * nch  # 1 + 2 + 2 + 2 bytes per channel
+    if block_align <= hdr_len:
+        raise ValueError(f"MS ADPCM block_align {block_align} too small for {nch}ch")
+    nblocks = len(raw) // block_align
+    if nblocks == 0:
+        return np.zeros((0, nch), dtype=np.float32)
+    data = np.frombuffer(raw[: nblocks * block_align], dtype=np.uint8).reshape(
+        nblocks, block_align
+    )
+    pred_idx = np.minimum(data[:, :nch].astype(np.int64), len(coefs) - 1)
+    c1 = coefs[pred_idx, 0]  # (nblocks, nch)
+    c2 = coefs[pred_idx, 1]
+
+    def i16(col0: int) -> np.ndarray:  # per-channel little-endian int16 header
+        b = data[:, col0 : col0 + 2 * nch].reshape(nblocks, nch, 2).astype(np.int64)
+        v = b[:, :, 0] | (b[:, :, 1] << 8)
+        return np.where(v >= 1 << 15, v - (1 << 16), v)
+
+    delta = i16(nch)
+    samp1 = i16(3 * nch)
+    samp2 = i16(5 * nch)
+    body = data[:, hdr_len:]
+    nib = np.empty((nblocks, body.shape[1] * 2), dtype=np.int64)
+    nib[:, 0::2] = body >> 4  # high nibble first
+    nib[:, 1::2] = body & 0x0F
+    n_codes = nib.shape[1] // nch  # per channel
+    codes = nib[:, : n_codes * nch].reshape(nblocks, n_codes, nch)
+    out = np.empty((nblocks, n_codes + 2, nch), dtype=np.int64)
+    out[:, 0] = samp2
+    out[:, 1] = samp1
+    for t in range(n_codes):
+        n = codes[:, t]
+        signed = np.where(n >= 8, n - 16, n)
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        s = np.clip(pred + signed * delta, -32768, 32767)
+        delta = np.maximum(16, (_MS_ADAPT[n] * delta) >> 8)
+        samp2, samp1 = samp1, s
+        out[:, t + 2] = s
+    return (out.reshape(-1, nch).astype(np.float32)) / 32768.0
+
+
 def _wav_samples(raw: bytes, fmt: int, bits: int) -> np.ndarray:
     """data-chunk bytes -> flat float32 in [-1, 1] for the fixed-width
     encodings: integer PCM 8 (unsigned)/16/24/32, IEEE float 32/64, and
@@ -644,10 +845,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> (samples float32 in [-1, 1] shaped (n, ch),
     sample_rate). Walks the chunk list (fmt / fact / data; others
     skipped). Decodes integer PCM 8/16/24/32-bit, IEEE float 32/64-bit,
-    G.711 A-law/mu-law, IMA/DVI ADPCM (block format tag 0x11, truncated
-    to the fact-chunk frame count), and the WAVE_FORMAT_EXTENSIBLE
-    wrapper; perceptual codecs (mp3/aac/vorbis...) raise
-    NotImplementedError (libsndfile seam)."""
+    G.711 A-law/mu-law, IMA/DVI ADPCM (format tag 0x11) and MS ADPCM
+    (tag 0x02, coef pairs from the fmt extension) — block codecs
+    truncated to the fact-chunk frame count — and the
+    WAVE_FORMAT_EXTENSIBLE wrapper; perceptual codecs
+    (mp3/aac/vorbis...) raise NotImplementedError (libsndfile seam)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotImplementedError(
             f"audio container {data[:4]!r} needs libsndfile/ffmpeg — "
@@ -657,11 +859,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     rate = channels = fmt = bits = block_align = n_frames = None
     raw: bytes | None = None
+    fmt_body = b""
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            fmt_body = bytes(body)
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
@@ -678,6 +882,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV missing fmt/data chunk")
     if fmt == 0x11:  # IMA/DVI ADPCM — block codec, needs align not bits
         frames = _ima_adpcm_decode(raw, channels, block_align)
+    elif fmt == 0x02:  # MS ADPCM — coef pairs ride the fmt extension
+        coefs = _MS_COEFS
+        if len(fmt_body) >= 22:  # cbSize @16, samples/block @18, nCoef @20
+            ncoef = struct.unpack_from("<H", fmt_body, 20)[0]
+            if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
+                coefs = (
+                    np.frombuffer(fmt_body, dtype="<i2", count=2 * ncoef, offset=22)
+                    .astype(np.int64)
+                    .reshape(ncoef, 2)
+                )
+        frames = _ms_adpcm_decode(raw, channels, block_align, coefs)
     else:
         frames = _wav_samples(raw, fmt, bits).reshape(-1, channels)
     if n_frames is not None:  # fact chunk: true frame count (last
@@ -760,7 +975,11 @@ def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame
 
 def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     """8-dim features from decoded samples (n, ch) in [-1, 1]: duration,
-    RMS, zero-crossing rate, peak, plus a 4-bin |amplitude| histogram."""
+    RMS, zero-crossing rate, peak, plus a 4-bin |amplitude| histogram.
+    Math runs in float64 with ONE float32 cast at the end, so an oracle
+    computing in double and casting to REAL reproduces the exact values
+    (the same parity contract image_features keeps)."""
+    samples = np.asarray(samples, dtype=np.float64)
     mono = samples.mean(axis=1) if samples.ndim == 2 else samples
     n = mono.size
     if n == 0:
@@ -946,22 +1165,149 @@ def _bmff_samples(data: bytes, sb: int, se: int) -> list[bytes]:
 
 
 _BMFF_TOP = (b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide", b"pnot")
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool = False):
+    """Parse one EBML variable-length integer at pos. Returns
+    (value, next_pos, byte_length). keep_marker=True keeps the length
+    marker bit (element-ID style); False strips it (size style)."""
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("EBML vint longer than 8 bytes")
+    length, mask = 1, 0x80
+    while not (b0 & mask):
+        mask >>= 1
+        length += 1
+    val = b0 if keep_marker else b0 & (mask - 1)
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length, length
+
+
+def _ebml_children(data: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for EBML elements in
+    [pos, end). Unknown-size elements (all size bits set) extend to the
+    parent's end — the streaming-Matroska convention."""
+    while pos < end:
+        eid, pos, _ = _ebml_vint(data, pos, keep_marker=True)
+        size, pos, slen = _ebml_vint(data, pos)
+        if size == (1 << (7 * slen)) - 1:  # unknown size: runs to end
+            size = end - pos
+        yield eid, pos, min(pos + size, end)
+        pos += size
+
+
+def _mkv_unlace(body: bytes) -> tuple[int, list[bytes]]:
+    """(Simple)Block payload -> (track_number, frame list), handling
+    the four lacing modes (none / Xiph / fixed / EBML)."""
+    track, p, _ = _ebml_vint(body, 0)
+    p += 2  # relative timestamp (int16)
+    lacing = (body[p] >> 1) & 3
+    p += 1
+    if lacing == 0:
+        return track, [bytes(body[p:])]
+    n = body[p] + 1
+    p += 1
+    sizes: list[int] = []
+    if lacing == 1:  # Xiph: 255-continued byte sums for frames 0..n-2
+        for _ in range(n - 1):
+            s = 0
+            while True:
+                s += body[p]
+                stop = body[p] < 255
+                p += 1
+                if stop:
+                    break
+            sizes.append(s)
+    elif lacing == 2:  # fixed: equal sizes
+        each = (len(body) - p) // n
+        sizes = [each] * (n - 1)
+    else:  # EBML: first absolute, then signed-vint deltas
+        size, p, _ = _ebml_vint(body, p)
+        sizes.append(size)
+        for _ in range(n - 2):
+            raw, p, slen = _ebml_vint(body, p)
+            size += raw - ((1 << (7 * slen - 1)) - 1)
+            sizes.append(size)
+    frames = []
+    for s in sizes:
+        frames.append(bytes(body[p : p + s]))
+        p += s
+    frames.append(bytes(body[p:]))  # last frame: the remainder
+    return track, frames
+
+
+def _mkv_frames(data: bytes) -> list[bytes]:
+    """Matroska / WebM -> per-frame byte blobs of the first video track,
+    in cluster order. Walks EBML elements: Segment -> Tracks (TrackEntry
+    with TrackType 1 selects the video TrackNumber) and Segment ->
+    Cluster -> SimpleBlock / BlockGroup>Block, un-lacing each block.
+    Frame payloads stay opaque codec bitstreams (an MJPEG track's are
+    JPEG blobs :func:`decode_image` handles)."""
+    if data[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML/Matroska container")
+    segment = None
+    for eid, b, e in _ebml_children(data, 0, len(data)):
+        if eid == 0x18538067:  # Segment
+            segment = (b, e)
+            break
+    if segment is None:
+        raise ValueError("Matroska container without a Segment")
+    video_track = None
+    for eid, b, e in _ebml_children(data, *segment):
+        if eid != 0x1654AE6B:  # Tracks
+            continue
+        for tid, tb, te in _ebml_children(data, b, e):
+            if tid != 0xAE:  # TrackEntry
+                continue
+            num = ttype = None
+            for fid, fb, fe in _ebml_children(data, tb, te):
+                if fid == 0xD7:  # TrackNumber
+                    num = int.from_bytes(data[fb:fe], "big")
+                elif fid == 0x83:  # TrackType
+                    ttype = int.from_bytes(data[fb:fe], "big")
+            if ttype == 1 and num is not None and video_track is None:
+                video_track = num
+    if video_track is None:
+        raise ValueError("Matroska container has no video track")
+    frames: list[bytes] = []
+    for eid, b, e in _ebml_children(data, *segment):
+        if eid != 0x1F43B675:  # Cluster
+            continue
+        for cid, cb, ce in _ebml_children(data, b, e):
+            blocks = []
+            if cid == 0xA3:  # SimpleBlock
+                blocks.append((cb, ce))
+            elif cid == 0xA0:  # BlockGroup
+                blocks.extend(
+                    (gb, ge)
+                    for gid, gb, ge in _ebml_children(data, cb, ce)
+                    if gid == 0xA1  # Block
+                )
+            for bb, be in blocks:
+                track, fr = _mkv_unlace(data[bb:be])
+                if track == video_track:
+                    frames.extend(fr)
+    return frames
 
 
 def container_frames(data: bytes) -> list[bytes]:
     """Video container -> per-frame/sample byte blobs: RIFF-AVI
-    (:func:`_avi_frames`) and ISO BMFF mp4/mov (:func:`_mp4_frames`)
-    parse dependency-free; other containers (mkv/webm — EBML parsing
-    plus codec private data) raise NotImplementedError (the ffmpeg
-    seam)."""
+    (:func:`_avi_frames`), ISO BMFF mp4/mov (:func:`_mp4_frames`) and
+    Matroska/WebM (:func:`_mkv_frames`) parse dependency-free; other
+    containers (FLV, MPEG-TS, Ogg...) raise NotImplementedError (the
+    ffmpeg seam)."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return _avi_frames(data)
     if len(data) >= 8 and data[4:8] in _BMFF_TOP:
         return _mp4_frames(data)
+    if data[:4] == _EBML_MAGIC:
+        return _mkv_frames(data)
     raise NotImplementedError(
         f"video container {data[:8]!r} needs ffmpeg — plug in here "
-        "(RIFF-AVI and ISO-BMFF mp4/mov frame extraction parse "
-        "dependency-free)"
+        "(RIFF-AVI, ISO-BMFF mp4/mov and Matroska/WebM frame "
+        "extraction parse dependency-free)"
     )
 
 

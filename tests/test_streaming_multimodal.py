@@ -749,21 +749,13 @@ def test_decode_jpeg_420_subsampling_and_restart():
     rst = decode_image(_jpeg_encode(gray, quant=1, restart=2))
     assert np.array_equal(plain, rst)
 
-    # progressive SOF2 hits the declared PIL seam
-    prog = bytearray(_jpeg_encode(gray, quant=1))
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    # arithmetic-coded SOF hits the declared PIL seam
+    arith = bytearray(_jpeg_encode(gray, quant=1))
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_image(bytes(prog))
-    # multi-scan (SOS covering fewer components than SOF) too: silent
-    # first-scan-only decode would be garbage, so it must raise
-    color = _jpeg_encode(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
-    ms = bytearray(color)
-    at = ms.index(b"\xff\xda")
-    ms[at + 4] = 1  # ns: 3 -> 1
-    with _pytest.raises(NotImplementedError, match="multi-scan"):
-        decode_image(bytes(ms))
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_image(bytes(arith))
 
 
 def test_decode_jpeg_property_roundtrip():
@@ -925,9 +917,9 @@ def test_sample_video_frames_real_mjpeg_avi(spark):
     # container walk: audio chunks skipped, rec -nesting transparent
     assert _avi_frames(_make_mjpeg_avi(jpegs)) == jpegs
     assert _avi_frames(_make_mjpeg_avi(jpegs, with_rec=True)) == jpegs
-    # matroska EBML stays behind the ffmpeg seam
+    # FLV stays behind the ffmpeg seam
     with _pytest.raises(NotImplementedError, match="ffmpeg"):
-        container_frames(b"\x1a\x45\xdf\xa3matroska....")
+        container_frames(b"FLV\x01\x05\x00\x00\x00\x09....")
 
     rows = [
         (0, "video", _make_mjpeg_avi(jpegs),
@@ -978,12 +970,12 @@ def test_decode_wav_all_uncompressed_encodings():
     assert rate == 16000 and np.abs(got - stereo).max() <= 1e-7
     got, _ = decode_wav(_make_wav(mono, 16000, 1, 24, extensible=True))
     assert np.abs(got - mono).max() <= 1e-6
-    # compressed codecs stay behind the seam (fmt 2 = MS ADPCM)
-    adpcm = bytearray(_make_wav(mono, 8000, 1, 16))
-    at = adpcm.index(b"fmt ") + 8
-    adpcm[at:at + 2] = (2).to_bytes(2, "little")
+    # perceptual codecs stay behind the seam (fmt 0x55 = MP3)
+    mp3 = bytearray(_make_wav(mono, 8000, 1, 16))
+    at = mp3.index(b"fmt ") + 8
+    mp3[at:at + 2] = (0x55).to_bytes(2, "little")
     with _pytest.raises(NotImplementedError, match="libsndfile"):
-        decode_wav(bytes(adpcm))
+        decode_wav(bytes(mp3))
 
 
 def test_real_decoder_spark_paths(spark):
@@ -1285,3 +1277,591 @@ def test_mp4_frame_extraction():
             _bmff_box(b"ftyp", b"mp42")
             + _bmff_box(b"moov", _bmff_box(b"trak", b""))
         )
+
+
+# --------------------------------------------- r6c progressive JPEG encoders
+
+
+def _jpeg_coefs(img, quant=1, subsample=(1, 1)):
+    """Quantized ZIGZAG-order coefficient grids — one (bh, bw, 64) int
+    array per component — via the same pad/subsample/DCT/quant pipeline
+    as _jpeg_encode, so scripted encoders produce byte-different files
+    with IDENTICAL coefficients (decodes must match pixel-exact)."""
+    import numpy as np
+
+    T = _jpeg_dct_T()
+    gray = img.ndim == 2
+    hs, vs = (1, 1) if gray else subsample
+    h, w = img.shape[:2]
+    if gray:
+        planes = [_jpeg_pad(img.astype(np.float64), 8, 8)]
+        comp_geom = [(1, 1)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(img)
+        planes = [
+            _jpeg_pad(y, 8 * vs, 8 * hs),
+            _block_avg(_jpeg_pad(cb, 8 * vs, 8 * hs), vs, hs),
+            _block_avg(_jpeg_pad(cr, 8 * vs, 8 * hs), vs, hs),
+        ]
+        comp_geom = [(hs, vs), (1, 1), (1, 1)]
+    out = []
+    for p in planes:
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        q = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                # EXACT expression order of _jpeg_encode.encode_block —
+                # a batched einsum rounds differently on rint near-ties
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                d = T @ (blk - 128.0) @ T.T
+                q[by, bx] = np.rint(d / quant).astype(np.int64).ravel()
+        out.append(q[:, :, _JZZ])  # natural -> zigzag order
+    return out, comp_geom, (h, w)
+
+
+def _jpeg_headers(shape, comp_geom, quant, sof_marker):
+    """SOI + DQT + SOF + DHT prefix shared by the scripted encoders."""
+    import struct as s
+
+    import numpy as np
+
+    def seg(marker, body):
+        return b"\xff" + bytes([marker]) + s.pack(">H", len(body) + 2) + body
+
+    h, w = shape
+    qtab = np.full(64, quant, dtype=np.int64)
+    zzq = bytes(int(qtab[i]) for i in range(64))
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + zzq + bytes([0x01]) + zzq)
+    ncomp = len(comp_geom)
+    sof = s.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (chs, cvs) in enumerate(comp_geom):
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0 if ci == 0 else 1])
+    out += seg(sof_marker, sof)
+    dc_bits, _, ac_bits, _ = _jpeg_tables()
+    for cls, tid, bits in ((0, 0, dc_bits), (1, 0, ac_bits),
+                           (0, 1, dc_bits), (1, 1, ac_bits)):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(range(sum(bits))))
+    return out, seg
+
+
+def _nb_dims(comp_geom, h, w):
+    """Non-interleaved block-grid dims per component (ceil of the
+    component extent / 8 — NOT the MCU-padded grid)."""
+    hmax = max(g[0] for g in comp_geom)
+    vmax = max(g[1] for g in comp_geom)
+    dims = []
+    for chs, cvs in comp_geom:
+        cw = -(-(w * chs) // hmax)
+        ch = -(-(h * cvs) // vmax)
+        dims.append((-(-ch // 8), -(-cw // 8)))
+    return dims
+
+
+def _jpeg_encode_multiscan(img, quant=1, subsample=(1, 1)):
+    zz, comp_geom, shape = _jpeg_coefs(img, quant, subsample)
+    return _jpeg_multiscan_bytes(zz, comp_geom, shape, quant)
+
+
+def _jpeg_multiscan_bytes(zz, comp_geom, shape, quant):
+    """Sequential SOF0 with one full-band non-interleaved SOS per
+    component — the multi-scan layout some encoders emit for 4:2:0.
+    Takes zigzag coefficient grids directly so tests can hand-craft
+    coefficient patterns."""
+    import struct as s
+
+    h, w = shape
+    out, seg = _jpeg_headers((h, w), comp_geom, quant, 0xC0)
+    dc_bits, dc_map, ac_bits, ac_map = _jpeg_tables()
+    dims = _nb_dims(comp_geom, h, w)
+    for ci in range(len(comp_geom)):
+        tid = 0 if ci == 0 else 1
+        out += seg(0xDA, bytes([1, ci + 1, (tid << 4) | tid, 0, 63, 0]))
+        bw = _JpegBW()
+        pred = 0
+        hb, wb = dims[ci]
+        for by in range(hb):
+            for bx in range(wb):
+                blk = zz[ci][by, bx]
+                diff = int(blk[0]) - pred
+                pred = int(blk[0])
+                cat = abs(diff).bit_length()
+                length, code = dc_map[cat]
+                bw.put(code, length)
+                if cat:
+                    bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+                k, run = 1, 0
+                last = max([i for i in range(1, 64) if blk[i]] or [0])
+                while k <= last:
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_map[0xF0]
+                        bw.put(code, length)
+                        run -= 16
+                    cat = abs(v).bit_length()
+                    length, code = ac_map[(run << 4) | cat]
+                    bw.put(code, length)
+                    bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+                    run = 0
+                    k += 1
+                if last < 63:
+                    length, code = ac_map[0x00]
+                    bw.put(code, length)
+        bw.flush()
+        out += bytes(bw.out)
+    assert s.calcsize(">H") == 2
+    return out + b"\xff\xd9"
+
+
+class _ProgAcWriter:
+    """Scan-level EOB-run + buffered-correction-bit state for one
+    progressive AC scan (the jcphuff.c encode_mcu_AC_first/refine
+    bookkeeping, per-block methods)."""
+
+    stats = None  # set to a dict by tests to record emitted symbol paths
+
+    def __init__(self, bw, ac_map):
+        self.bw, self.ac_map = bw, ac_map
+        self.eobrun = 0
+        self.bits = []  # correction bits riding the next EOBn
+
+    def sym(self, s):
+        if _ProgAcWriter.stats is not None:
+            key = ("zrl" if s == 0xF0
+                   else f"eob{s >> 4}" if (s & 15) == 0
+                   else "coef")
+            _ProgAcWriter.stats[key] = _ProgAcWriter.stats.get(key, 0) + 1
+        length, code = self.ac_map[s]
+        self.bw.put(code, length)
+
+    def flush_eob(self):
+        while self.eobrun > 0:
+            run = min(self.eobrun, 32767)
+            r = run.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.put(run - (1 << r), r)
+            self.eobrun -= run
+        for b in self.bits:
+            self.bw.put(b, 1)
+        self.bits = []
+
+    def block_first(self, band_vals):
+        """First AC scan of a band: band_vals are the point-transformed
+        (sign-preserving abs>>Al) values in zigzag order."""
+        r = 0
+        any_emitted = False
+        for v in band_vals:
+            v = int(v)
+            if v == 0:
+                r += 1
+                continue
+            self.flush_eob()
+            while r > 15:
+                self.sym(0xF0)
+                r -= 16
+            cat = abs(v).bit_length()
+            self.sym((r << 4) | cat)
+            self.bw.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+            r = 0
+            any_emitted = True
+        if r > 0 or not any_emitted:
+            self.eobrun += 1
+
+    def block_refine(self, band_vals, al):
+        """Refinement scan: band_vals are abs>>al with sign (one more
+        bit of precision than the previous scan at ah=al+1)."""
+        temps = [abs(int(v)) >> al for v in band_vals]
+        signs = [int(v) < 0 for v in band_vals]
+        news = [i for i, t in enumerate(temps) if t == 1]
+        last_new = news[-1] if news else -1
+        r = 0
+        br = []
+        for i, t in enumerate(temps):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= last_new:  # ZRLs past EOB fold into it
+                self.flush_eob()
+                self.sym(0xF0)
+                r -= 16
+                for b in br:
+                    self.bw.put(b, 1)
+                br = []
+            if t > 1:  # already nonzero at the previous precision
+                br.append(t & 1)
+                continue
+            self.flush_eob()
+            self.sym((r << 4) | 1)
+            self.bw.put(0 if signs[i] else 1, 1)
+            for b in br:
+                self.bw.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.bits.extend(br)
+
+
+def _jpeg_encode_progressive(img, quant=1, subsample=(1, 1)):
+    zz, comp_geom, shape = _jpeg_coefs(img, quant, subsample)
+    return _jpeg_progressive_bytes(zz, comp_geom, shape, quant)
+
+
+def _jpeg_progressive_bytes(zz, comp_geom, shape, quant):
+    """Progressive SOF2: interleaved DC first at Al=1 + DC refine, then
+    per-component AC bands 1-5 / 6-63 first at Al=1, then refined to
+    Al=0 — exercises spectral selection, successive approximation,
+    cross-block EOB runs, refinement ZRL and buffered correction bits.
+    Takes zigzag coefficient grids directly."""
+    h, w = shape
+    out, seg = _jpeg_headers((h, w), comp_geom, quant, 0xC2)
+    _, dc_map, _, ac_map = _jpeg_tables()
+    dims = _nb_dims(comp_geom, h, w)
+    hmax = max(g[0] for g in comp_geom)
+    vmax = max(g[1] for g in comp_geom)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    ncomp = len(comp_geom)
+
+    def mcu_blocks():
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (chs, cvs) in enumerate(comp_geom):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        yield ci, my * cvs + by, mx * chs + bx
+
+    # scan 1: DC first, interleaved, Al=1 (diffs of arithmetic-shifted DC)
+    sos = bytes([ncomp]) + b"".join(
+        bytes([ci + 1, 0 if ci == 0 else 0x11]) for ci in range(ncomp)
+    )
+    out += seg(0xDA, sos + bytes([0, 0, 1]))
+    bw = _JpegBW()
+    pred = [0] * ncomp
+    for ci, by, bx in mcu_blocks():
+        val = int(zz[ci][by, bx, 0]) >> 1
+        diff = val - pred[ci]
+        pred[ci] = val
+        cat = abs(diff).bit_length()
+        length, code = dc_map[cat]
+        bw.put(code, length)
+        if cat:
+            bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # per-component AC first scans at Al=1, two spectral bands
+    bands = ((1, 5), (6, 63))
+    for ss, se in bands:
+        for ci in range(ncomp):
+            tid = 0 if ci == 0 else 1
+            out += seg(0xDA, bytes([1, ci + 1, tid, ss, se, 1]))
+            bw = _JpegBW()
+            wr = _ProgAcWriter(bw, ac_map)
+            hb, wb = dims[ci]
+            for by in range(hb):
+                for bx in range(wb):
+                    blk = zz[ci][by, bx]
+                    vals = [
+                        (abs(int(v)) >> 1) * (-1 if v < 0 else 1)
+                        for v in blk[ss : se + 1]
+                    ]
+                    wr.block_first(vals)
+            wr.flush_eob()
+            bw.flush()
+            out += bytes(bw.out)
+
+    # scan: DC refine to Al=0 (one raw bit per block, interleaved)
+    out += seg(0xDA, sos + bytes([0, 0, 0x10]))
+    bw = _JpegBW()
+    for ci, by, bx in mcu_blocks():
+        bw.put(int(zz[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # per-component AC refine scans to Al=0
+    for ss, se in bands:
+        for ci in range(ncomp):
+            tid = 0 if ci == 0 else 1
+            out += seg(0xDA, bytes([1, ci + 1, tid, ss, se, 0x10]))
+            bw = _JpegBW()
+            wr = _ProgAcWriter(bw, ac_map)
+            hb, wb = dims[ci]
+            for by in range(hb):
+                for bx in range(wb):
+                    wr.block_refine(zz[ci][by, bx, ss : se + 1], 0)
+            wr.flush_eob()
+            bw.flush()
+            out += bytes(bw.out)
+    return out + b"\xff\xd9"
+
+
+def test_decode_jpeg_multiscan_sequential():
+    """Non-interleaved multi-scan SOF0 decodes identically to the
+    interleaved single-scan encoding of the same coefficients."""
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    rng = np.random.default_rng(41)
+    for shape, sub in (((16, 24, 3), (1, 1)), ((20, 28, 3), (2, 2)),
+                       ((12, 12), (1, 1))):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        inter = decode_image(_jpeg_encode(img, quant=1, subsample=sub))
+        multi = decode_image(_jpeg_encode_multiscan(img, quant=1, subsample=sub))
+        assert np.array_equal(inter, multi), (shape, sub)
+
+
+def test_decode_jpeg_progressive():
+    """Progressive decode == sequential decode of the same quantized
+    coefficients, pixel-exact, over gray/4:4:4/4:2:0, smooth (EOBRUN-
+    heavy) and noisy (ZRL/correction-heavy) content."""
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    rng = np.random.default_rng(43)
+    smooth = np.clip(
+        np.add.outer(np.arange(24) * 3, np.arange(32) * 2), 0, 255
+    ).astype(np.uint8)
+    noisy_gray = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    color = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+    cases = [
+        (smooth, (1, 1), 1), (smooth, (1, 1), 8),
+        (noisy_gray, (1, 1), 1),
+        (color, (1, 1), 1), (color, (2, 2), 1), (color, (2, 2), 8),
+        (color[:6, :10], (2, 2), 1),  # odd dims: padded blocks + crop
+    ]
+    for img, sub, q in cases:
+        base = decode_image(_jpeg_encode(img, quant=q, subsample=sub))
+        prog = decode_image(_jpeg_encode_progressive(img, quant=q, subsample=sub))
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_decode_jpeg_progressive_handcrafted_paths():
+    """Hand-built coefficient grids forcing the rare entropy paths:
+    first-pass ZRL, refinement ZRL with correction bits buffered across
+    it, cross-block EOB runs with riding bits, and DC refine parity —
+    the symbol-level stats assert each path actually fired, and the
+    decode must equal the sequential decode of the same grids."""
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    zz = np.zeros((1, 8, 64), dtype=np.int64)
+    zz[0, 0, 0] = 37           # odd DC: refine bit 1
+    zz[0, 0, [1, 3, 5]] = [4, -3, 1]
+    zz[0, 0, 41] = 1           # 35 zero-history coefs before it in 6-63:
+    zz[0, 0, 60] = -1          # refine ZRLs + another new coef after
+    zz[0, 2, 0] = -6           # even DC: refine bit 0
+    zz[0, 2, 30] = 5           # first-scan ZRL (24 zeros) + refine
+    zz[0, 2, 50] = 1           # correction bit buffered ACROSS a ZRL
+    zz[0, 3, 10] = -2          # refine correction only
+    zz[0, 7, 0] = -1           # DC-only far block: long AC EOB runs
+    zz[0, 7, 63] = 3           # band ends exactly at Se (no trailing EOB)
+    comp_geom = [(1, 1)]
+    shape = (8, 64)
+
+    seq = decode_image(_jpeg_multiscan_bytes([zz], comp_geom, shape, 1))
+    _ProgAcWriter.stats = stats = {}
+    try:
+        prog_bytes = _jpeg_progressive_bytes([zz], comp_geom, shape, 1)
+    finally:
+        _ProgAcWriter.stats = None
+    prog = decode_image(prog_bytes)
+    assert np.array_equal(seq, prog)
+    assert stats.get("zrl", 0) >= 4, stats  # first-pass AND refine ZRLs
+    assert stats.get("eob1", 0) + stats.get("eob2", 0) >= 2, stats  # runs > 1
+    assert stats.get("coef", 0) >= 6, stats
+
+
+def test_decode_wav_ms_adpcm_random_blocks():
+    """MS ADPCM: the block-vectorized decoder equals a scalar
+    spec-reference decoder on RANDOM block bytes (random predictors,
+    deltas, headers and codes exercise clamping and delta adaptation),
+    mono and stereo, custom coef tables, fact truncation."""
+    import struct
+
+    import numpy as np
+
+    from searchenginer_spark.functions.multimodal import decode_wav
+
+    adapt = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409,
+             307, 230, 230, 230]
+    std_coefs = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                 (460, -208), (392, -232)]
+
+    def scalar_decode(raw, nch, ba, coefs):
+        out = []
+        for b0 in range(0, len(raw) - len(raw) % ba, ba):
+            blk = raw[b0 : b0 + ba]
+            pred = [min(blk[c], len(coefs) - 1) for c in range(nch)]
+            c1 = [coefs[p][0] for p in pred]
+            c2 = [coefs[p][1] for p in pred]
+            delta = list(struct.unpack_from(f"<{nch}h", blk, nch))
+            samp1 = list(struct.unpack_from(f"<{nch}h", blk, 3 * nch))
+            samp2 = list(struct.unpack_from(f"<{nch}h", blk, 5 * nch))
+            rows = [tuple(samp2), tuple(samp1)]
+            nibs = []
+            for byte in blk[7 * nch :]:
+                nibs.append(byte >> 4)
+                nibs.append(byte & 0x0F)
+            nibs = nibs[: len(nibs) - len(nibs) % nch]
+            for i in range(0, len(nibs), nch):
+                row = []
+                for c in range(nch):
+                    n = nibs[i + c]
+                    signed = n - 16 if n >= 8 else n
+                    p = (samp1[c] * c1[c] + samp2[c] * c2[c]) >> 8
+                    s = max(-32768, min(32767, p + signed * delta[c]))
+                    delta[c] = max(16, (adapt[n] * delta[c]) >> 8)
+                    samp2[c], samp1[c] = samp1[c], s
+                    row.append(s)
+                rows.append(tuple(row))
+            out.extend(rows)
+        return np.array(out, dtype=np.int64)
+
+    rng = np.random.default_rng(11)
+    custom = [(300, -50), (100, 10)]
+    for nch, ba, nblocks, coefs, use_fact in (
+        (1, 32, 5, std_coefs, False),
+        (2, 38, 4, std_coefs, True),
+        (1, 15, 3, custom, False),
+    ):
+        raw = bytes(rng.integers(0, 256, size=nblocks * ba, dtype=np.uint8))
+        want = scalar_decode(raw, nch, ba, coefs)
+        spb = (ba - 7 * nch) * 2 // nch + 2
+        n_frames = nblocks * spb - 3 if use_fact else None
+        # hand-built fmt chunk with the MS ADPCM coef extension
+        ext = struct.pack("<HH", spb, len(coefs))
+        for a, b in coefs:
+            ext += struct.pack("<hh", a, b)
+        fmtc = struct.pack("<HHIIHHH", 2, nch, 8000, 8000 * ba, ba, 4,
+                           len(ext)) + ext
+        fact = (b"fact" + struct.pack("<II", 4, n_frames)
+                if n_frames is not None else b"")
+        payload = (b"fmt " + struct.pack("<I", len(fmtc)) + fmtc + fact
+                   + b"data" + struct.pack("<I", len(raw)) + raw
+                   + (b"\x00" if len(raw) & 1 else b""))
+        wav = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+        got, rate = decode_wav(wav)
+        assert rate == 8000
+        if n_frames is not None:
+            want = want[:n_frames]
+        assert got.shape == want.shape, (nch, ba)
+        got_i16 = np.rint(got * 32768.0).astype(np.int64)
+        assert np.array_equal(got_i16, want), (nch, ba)
+
+
+# ------------------------------------------------------------ r6c matroska
+
+
+def _ebml_encode_vint(val, style="size", length=None):
+    """Encode an EBML vint. style='size' adds the marker bit; style='id'
+    expects val to already carry it (emitted as-is, big-endian)."""
+    if style == "id":
+        out = val.to_bytes((val.bit_length() + 7) // 8, "big")
+        return out
+    if length is None:
+        length = 1
+        while val >= (1 << (7 * length)) - 1:
+            length += 1
+    return ((1 << (7 * length)) | val).to_bytes(length, "big")
+
+
+def _ebml_el(eid, body):
+    return (_ebml_encode_vint(eid, "id") + _ebml_encode_vint(len(body))
+            + body)
+
+
+def _make_mkv(video_frames, lacing_plan):
+    """Minimal Matroska: EBML header, Segment with Tracks (audio track 2
+    first — must be skipped — then video track 1) and one Cluster per
+    lacing_plan entry. Each entry is (mode, count): mode in none/xiph/
+    fixed/ebml; count frames are drawn from video_frames in order. An
+    audio SimpleBlock rides in each cluster and must be ignored."""
+    import struct
+
+    frames = list(video_frames)
+    header = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, b"matroska"))
+
+    def track_entry(num, ttype):
+        return _ebml_el(
+            0xAE,
+            _ebml_el(0xD7, bytes([num])) + _ebml_el(0x83, bytes([ttype]))
+            + _ebml_el(0x86, b"V_MJPEG" if ttype == 1 else b"A_PCM"),
+        )
+
+    tracks = _ebml_el(0x1654AE6B, track_entry(2, 2) + track_entry(1, 1))
+    clusters = b""
+    at = 0
+    for mode, n in lacing_plan:
+        fs = frames[at : at + n]
+        at += n
+        body = _ebml_encode_vint(1) + struct.pack(">h", 0)
+        if mode == "none":
+            assert n == 1
+            body += bytes([0x00]) + fs[0]
+        elif mode == "xiph":
+            body += bytes([0x02, n - 1])
+            for f in fs[:-1]:
+                s = len(f)
+                while s >= 255:
+                    body += bytes([255])
+                    s -= 255
+                body += bytes([s])
+            body += b"".join(fs)
+        elif mode == "fixed":
+            assert len({len(f) for f in fs}) == 1
+            body += bytes([0x04, n - 1]) + b"".join(fs)
+        else:  # ebml lacing: first absolute, then signed deltas
+            body += bytes([0x06, n - 1])
+            body += _ebml_encode_vint(len(fs[0]))
+            prev = len(fs[0])
+            for f in fs[1:-1]:
+                delta = len(f) - prev
+                prev = len(f)
+                # 2-byte signed vint: raw = delta + (2^13 - 1)
+                body += _ebml_encode_vint(delta + (1 << 13) - 1, length=2)
+            body += b"".join(fs)
+        sblock = _ebml_el(0xA3, body)
+        audio = _ebml_el(
+            0xA3, _ebml_encode_vint(2) + struct.pack(">h", 0) + b"\x00junk"
+        )
+        # wrap every other cluster's video block in a BlockGroup>Block
+        if (at // max(n, 1)) % 2 == 0:
+            sblock = _ebml_el(0xA0, _ebml_el(0xA1, body))
+        cluster = _ebml_el(
+            0x1F43B675, _ebml_el(0xE7, b"\x00") + audio + sblock
+        )
+        clusters += cluster
+    segment = _ebml_el(0x18538067, tracks + clusters)
+    assert at == len(frames)
+    return header + segment
+
+
+def test_mkv_frame_extraction():
+    import numpy as np
+    import pytest as _pytest
+
+    from searchenginer_spark.functions.multimodal import (
+        _mkv_frames,
+        container_frames,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [bytes(rng.integers(0, 256, size=s, dtype=np.uint8))
+              for s in (300, 20, 33, 27, 40, 40, 40, 25, 31, 60)]
+    plan = [("none", 1), ("xiph", 3), ("fixed", 3), ("ebml", 3)]
+    mkv = _make_mkv(frames, plan)
+    assert _mkv_frames(mkv) == frames
+    assert container_frames(mkv) == frames
+    # a segment with no Tracks (webm shares the machinery) is an error
+    with _pytest.raises(ValueError, match="video track"):
+        _mkv_frames(_ebml_el(0x1A45DFA3, b"") + _ebml_el(0x18538067, b""))
