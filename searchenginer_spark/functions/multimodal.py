@@ -8,11 +8,12 @@ PNG at every bit depth incl. Adam7 interlace (stdlib zlib), sequential
 AND progressive Huffman JPEG (:func:`decode_image`), plus
 nearest-neighbor :func:`resize_image`; audio: RIFF/WAVE integer PCM
 8/16/24/32, IEEE float 32/64, G.711 A-law/mu-law, IMA + MS ADPCM
-(:func:`decode_wav`); video: RIFF-AVI and ISO-BMFF mp4/mov frame
-extraction (:func:`container_frames`). NotImplementedError remains
-only for formats that genuinely need external codecs
-(arithmetic-coded JPEG -> PIL/opencv, perceptual audio mp3/aac ->
-libsndfile, mkv/webm -> ffmpeg), at the same plug-in seam. ``decoder='fake'`` keeps the
+(:func:`decode_wav`); video: RIFF-AVI, ISO-BMFF mp4/mov and
+Matroska/WebM frame extraction (:func:`container_frames`).
+NotImplementedError remains only for formats that genuinely need
+external codecs (arithmetic-coded JPEG -> PIL/opencv, perceptual
+audio mp3/aac -> libsndfile, FLV/MPEG-TS/Ogg -> ffmpeg), at the same
+plug-in seam. ``decoder='fake'`` keeps the
 deterministic byte-histogram stand-in for corpus-scale tests with
 arbitrary bytes.
 
@@ -764,8 +765,9 @@ def _ms_adpcm_decode(
     int16 iDelta / iSamp1 / iSamp2 headers, then 4-bit codes (high
     nibble first, channels round-robin per nibble). The two header
     samples are emitted first (iSamp2 then iSamp1); each code yields
-    sample = (samp1*c1 + samp2*c2)>>8 + signed_nibble*delta, clamped,
-    with delta = max(16, adapt[code]*delta>>8). Sequential in the
+    sample = (samp1*c1 + samp2*c2)/256 (toward zero, as in Microsoft's
+    reference C) + signed_nibble*delta, clamped, with
+    delta = max(16, adapt[code]*delta>>8). Sequential in the
     sample index, vectorized across blocks x channels."""
     nch = max(channels, 1)
     hdr_len = 7 * nch  # 1 + 2 + 2 + 2 bytes per channel
@@ -801,7 +803,11 @@ def _ms_adpcm_decode(
     for t in range(n_codes):
         n = codes[:, t]
         signed = np.where(n >= 8, n - 16, n)
-        pred = (samp1 * c1 + samp2 * c2) >> 8
+        # Microsoft's reference decoder divides by 256 in C — integer
+        # division TOWARD ZERO, not an arithmetic shift (floor): the
+        # two differ by 1 on negative non-multiple-of-256 predictions
+        t2 = samp1 * c1 + samp2 * c2
+        pred = np.sign(t2) * (np.abs(t2) >> 8)
         s = np.clip(pred + signed * delta, -32768, 32767)
         delta = np.maximum(16, (_MS_ADAPT[n] * delta) >> 8)
         samp2, samp1 = samp1, s
@@ -895,8 +901,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         frames = _ms_adpcm_decode(raw, channels, block_align, coefs)
     else:
         frames = _wav_samples(raw, fmt, bits).reshape(-1, channels)
-    if n_frames is not None:  # fact chunk: true frame count (last
-        frames = frames[:n_frames]  # ADPCM block is usually padded)
+    if n_frames is not None and fmt in (0x02, 0x11):
+        # fact chunk: true frame count — authoritative only for the
+        # block codecs (the last block is usually padded); for plain
+        # PCM/float the data chunk is the truth and stale/zero fact
+        # values exist in the wild
+        frames = frames[:n_frames]
     return frames, int(rate)
 
 
@@ -1117,20 +1127,46 @@ def _mp4_frames(data: bytes) -> list[bytes]:
 def _bmff_samples(data: bytes, sb: int, se: int) -> list[bytes]:
     """Extract sample blobs from one stbl box body."""
     stsz = _bmff_child(data, sb, se, b"stsz")
+    stz2 = _bmff_child(data, sb, se, b"stz2")
     stsc = _bmff_child(data, sb, se, b"stsc")
     stco = _bmff_child(data, sb, se, b"stco")
     co64 = _bmff_child(data, sb, se, b"co64")
-    if stsz is None or stsc is None or (stco is None and co64 is None):
-        raise ValueError("stbl missing stsz/stsc/stco sample tables")
-    p = stsz[0]
-    fixed_size, n_samples = struct.unpack_from(">II", data, p + 4)
-    sizes = (
-        np.full(n_samples, fixed_size, dtype=np.int64)
-        if fixed_size
-        else np.frombuffer(data, dtype=">u4", count=n_samples, offset=p + 12).astype(
-            np.int64
+    if (stsz is None and stz2 is None) or stsc is None or (
+        stco is None and co64 is None
+    ):
+        raise ValueError("stbl missing stsz|stz2/stsc/stco sample tables")
+    if stsz is not None:
+        p = stsz[0]
+        fixed_size, n_samples = struct.unpack_from(">II", data, p + 4)
+        sizes = (
+            np.full(n_samples, fixed_size, dtype=np.int64)
+            if fixed_size
+            else np.frombuffer(
+                data, dtype=">u4", count=n_samples, offset=p + 12
+            ).astype(np.int64)
         )
-    )
+    else:  # stz2: compact sizes at field_size 4/8/16 bits
+        p = stz2[0]
+        field_size = data[p + 7]
+        (n_samples,) = struct.unpack_from(">I", data, p + 8)
+        if field_size == 16:
+            sizes = np.frombuffer(
+                data, dtype=">u2", count=n_samples, offset=p + 12
+            ).astype(np.int64)
+        elif field_size == 8:
+            sizes = np.frombuffer(
+                data, dtype=np.uint8, count=n_samples, offset=p + 12
+            ).astype(np.int64)
+        elif field_size == 4:  # two sizes per byte, high nibble first
+            packed = np.frombuffer(
+                data, dtype=np.uint8, count=(n_samples + 1) // 2, offset=p + 12
+            )
+            sizes = np.empty(packed.size * 2, dtype=np.int64)
+            sizes[0::2] = packed >> 4
+            sizes[1::2] = packed & 0x0F
+            sizes = sizes[:n_samples]
+        else:
+            raise ValueError(f"stz2 field size {field_size} invalid")
     if co64 is not None:
         p = co64[0]
         n_chunks = struct.unpack_from(">I", data, p + 4)[0]
@@ -1145,7 +1181,9 @@ def _bmff_samples(data: bytes, sb: int, se: int) -> list[bytes]:
         n_runs, 3
     )  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
     # expand stsc runs -> samples-per-chunk for every chunk
-    per_chunk = np.empty(n_chunks, dtype=np.int64)
+    if n_chunks and (n_runs == 0 or int(runs[0, 0]) != 1):
+        raise ValueError("stsc runs must start at chunk 1")
+    per_chunk = np.zeros(n_chunks, dtype=np.int64)
     for i in range(n_runs):
         first = int(runs[i, 0]) - 1
         last = int(runs[i + 1, 0]) - 1 if i + 1 < n_runs else n_chunks
@@ -1223,8 +1261,8 @@ def _mkv_unlace(body: bytes) -> tuple[int, list[bytes]]:
     elif lacing == 2:  # fixed: equal sizes
         each = (len(body) - p) // n
         sizes = [each] * (n - 1)
-    else:  # EBML: first absolute, then signed-vint deltas
-        size, p, _ = _ebml_vint(body, p)
+    elif n > 1:  # EBML: first absolute, then signed-vint deltas (a
+        size, p, _ = _ebml_vint(body, p)  # 1-frame lace has NO size fields)
         sizes.append(size)
         for _ in range(n - 2):
             raw, p, slen = _ebml_vint(body, p)
@@ -1316,11 +1354,11 @@ def sample_video_frames(
 ) -> DataFrame:
     """(doc_id, frame_idx, frame) — sample every n-th frame of video rows.
 
-    decoder='real' walks RIFF-AVI and ISO-BMFF mp4/mov containers
-    (:func:`container_frames`): frame_idx is the stream-order frame
-    number and ``frame`` the raw frame payload (for MJPEG tracks, a
-    JPEG blob :func:`decode_image` decodes). Other containers raise at
-    the ffmpeg seam. The fake
+    decoder='real' walks RIFF-AVI, ISO-BMFF mp4/mov and Matroska/WebM
+    containers (:func:`container_frames`): frame_idx is the
+    stream-order frame number and ``frame`` the raw frame payload (for
+    MJPEG tracks, a JPEG blob :func:`decode_image` decodes). Other
+    containers raise at the ffmpeg seam. The fake
     decoder slices the raw byte stream into n_frames equal chunks (the
     Arrow/batch shape is identical either way)."""
     vids = media.filter(media.kind == "video")

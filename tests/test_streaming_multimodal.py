@@ -970,6 +970,19 @@ def test_decode_wav_all_uncompressed_encodings():
     assert rate == 16000 and np.abs(got - stereo).max() <= 1e-7
     got, _ = decode_wav(_make_wav(mono, 16000, 1, 24, extensible=True))
     assert np.abs(got - mono).max() <= 1e-6
+    # a (buggy) fact chunk on plain PCM must NOT truncate — the data
+    # chunk is authoritative for non-block codecs; zero-length fact
+    # chunks exist in the wild
+    pcm = bytearray(_make_wav(mono, 8000, 1, 16))
+    at = pcm.index(b"data")
+    import struct as _s
+
+    pcm[at:at] = b"fact" + _s.pack("<II", 4, 0)
+    riffsz = _s.unpack_from("<I", pcm, 4)[0] + 12
+    pcm[4:8] = _s.pack("<I", riffsz)
+    got, _ = decode_wav(bytes(pcm))
+    assert got.shape == mono.shape
+
     # perceptual codecs stay behind the seam (fmt 0x55 = MP3)
     mp3 = bytearray(_make_wav(mono, 8000, 1, 16))
     at = mp3.index(b"fmt ") + 8
@@ -1177,7 +1190,7 @@ def _bmff_box(typ, body):
 
 
 def _make_mjpeg_mp4(frames, co64=False, fixed_size=False, moov_first=False,
-                    chunk_gap=3):
+                    chunk_gap=3, stz2_bits=None):
     """Minimal ISO BMFF file: ftyp + mdat holding the frame payloads
     (split into two chunks with junk padding between) + moov with an
     audio trak (must be skipped) and a video trak whose stbl indexes the
@@ -1209,7 +1222,20 @@ def _make_mjpeg_mp4(frames, co64=False, fixed_size=False, moov_first=False,
 
     def stbl(base):
         offs = [base + chunk_off[0], base + chunk_off[1]]
-        if fixed_size:
+        if stz2_bits is not None:
+            body = struct.pack(">I", 0) + b"\x00\x00\x00" + bytes([stz2_bits])
+            body += struct.pack(">I", n)
+            if stz2_bits == 4:
+                packed = bytearray()
+                padded = sizes + [0] * (len(sizes) & 1)
+                for a, b in zip(padded[0::2], padded[1::2]):
+                    packed.append((a << 4) | b)
+                body += bytes(packed)
+            else:
+                dt = ">u2" if stz2_bits == 16 else "u1"
+                body += np.array(sizes, dtype=dt).tobytes()
+            stsz = _bmff_box(b"stz2", body)
+        elif fixed_size:
             assert len(set(sizes)) == 1
             stsz = _bmff_box(b"stsz", struct.pack(">III", 0, sizes[0], n))
         else:
@@ -1267,6 +1293,12 @@ def test_mp4_frame_extraction():
     assert _mp4_frames(_make_mjpeg_mp4(frames, moov_first=True)) == frames
     same = [frames[0]] * 4
     assert _mp4_frames(_make_mjpeg_mp4(same, fixed_size=True)) == same
+    # compact stz2 size tables at 16, 8 and 4-bit field widths
+    assert _mp4_frames(_make_mjpeg_mp4(frames, stz2_bits=16)) == frames
+    small = [f[:9] for f in frames]
+    assert _mp4_frames(_make_mjpeg_mp4(small, stz2_bits=8)) == small
+    tiny = [f[:3 + i % 8] for i, f in enumerate(frames)]
+    assert _mp4_frames(_make_mjpeg_mp4(tiny, stz2_bits=4)) == tiny
     # dispatcher picks the BMFF path for mp4 bytes and AVI for RIFF
     assert container_frames(_make_mjpeg_mp4(frames)) == frames
     assert container_frames(_make_mjpeg_avi(frames)) == frames
@@ -1718,7 +1750,8 @@ def test_decode_wav_ms_adpcm_random_blocks():
                 for c in range(nch):
                     n = nibs[i + c]
                     signed = n - 16 if n >= 8 else n
-                    p = (samp1[c] * c1[c] + samp2[c] * c2[c]) >> 8
+                    t = samp1[c] * c1[c] + samp2[c] * c2[c]
+                    p = int(t / 256)  # C division: toward zero (MS ref)
                     s = max(-32768, min(32767, p + signed * delta[c]))
                     delta[c] = max(16, (adapt[n] * delta[c]) >> 8)
                     samp2[c], samp1[c] = samp1[c], s
@@ -1820,15 +1853,16 @@ def _make_mkv(video_frames, lacing_plan):
         elif mode == "fixed":
             assert len({len(f) for f in fs}) == 1
             body += bytes([0x04, n - 1]) + b"".join(fs)
-        else:  # ebml lacing: first absolute, then signed deltas
-            body += bytes([0x06, n - 1])
-            body += _ebml_encode_vint(len(fs[0]))
-            prev = len(fs[0])
-            for f in fs[1:-1]:
-                delta = len(f) - prev
-                prev = len(f)
-                # 2-byte signed vint: raw = delta + (2^13 - 1)
-                body += _ebml_encode_vint(delta + (1 << 13) - 1, length=2)
+        else:  # ebml lacing: first absolute, then signed deltas; a
+            body += bytes([0x06, n - 1])  # 1-frame lace has NO sizes
+            if n > 1:
+                body += _ebml_encode_vint(len(fs[0]))
+                prev = len(fs[0])
+                for f in fs[1:-1]:
+                    delta = len(f) - prev
+                    prev = len(f)
+                    # 2-byte signed vint: raw = delta + (2^13 - 1)
+                    body += _ebml_encode_vint(delta + (1 << 13) - 1, length=2)
             body += b"".join(fs)
         sblock = _ebml_el(0xA3, body)
         audio = _ebml_el(
@@ -1857,8 +1891,11 @@ def test_mkv_frame_extraction():
 
     rng = np.random.default_rng(13)
     frames = [bytes(rng.integers(0, 256, size=s, dtype=np.uint8))
-              for s in (300, 20, 33, 27, 40, 40, 40, 25, 31, 60)]
-    plan = [("none", 1), ("xiph", 3), ("fixed", 3), ("ebml", 3)]
+              for s in (300, 20, 33, 27, 40, 40, 40, 25, 31, 60, 17)]
+    # the trailing single-frame EBML lace carries NO size fields (spec:
+    # sizes are coded for n-1 / n-2 frames only) — regression for the
+    # vint-eats-frame-bytes bug
+    plan = [("none", 1), ("xiph", 3), ("fixed", 3), ("ebml", 3), ("ebml", 1)]
     mkv = _make_mkv(frames, plan)
     assert _mkv_frames(mkv) == frames
     assert container_frames(mkv) == frames
