@@ -1902,3 +1902,49 @@ def test_mkv_frame_extraction():
     # a segment with no Tracks (webm shares the machinery) is an error
     with _pytest.raises(ValueError, match="video track"):
         _mkv_frames(_ebml_el(0x1A45DFA3, b"") + _ebml_el(0x18538067, b""))
+
+
+def test_decode_jpeg_progressive_property():
+    """Property (hypothesis): for random shapes, content, quant and
+    subsampling, the progressive and multi-scan-sequential encodings of
+    the SAME quantized coefficients decode pixel-identically to the
+    interleaved baseline encoding — the scan machinery (spectral bands,
+    successive approximation, EOB runs, refinement) is lossless
+    relative to the coefficient store."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchenginer_spark.functions.multimodal import decode_image
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 18),
+        gray=st.booleans(),
+        quant=st.sampled_from([1, 3, 8, 16]),
+        sub=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+        smooth=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(w, h, gray, quant, sub, smooth, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        if smooth:  # gradient content: EOB-run-heavy coefficient grids
+            base = np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256
+            img = (base[..., None] if not gray else base).astype(np.uint8)
+            img = np.broadcast_to(img, shape).copy()
+        else:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        sub = (1, 1) if gray else sub
+        base_dec = decode_image(_jpeg_encode(img, quant=quant, subsample=sub))
+        prog = decode_image(
+            _jpeg_encode_progressive(img, quant=quant, subsample=sub)
+        )
+        multi = decode_image(
+            _jpeg_encode_multiscan(img, quant=quant, subsample=sub)
+        )
+        assert np.array_equal(base_dec, prog)
+        assert np.array_equal(base_dec, multi)
+
+    run()
