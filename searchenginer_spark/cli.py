@@ -9,6 +9,8 @@ Commands:
   search      --root /idx --q 'data +value -merge quer* "a b"~3 lang:de'
               (composed grammar, functions/queryparse; --docs for facets)
   suggest     --root /idx --q "retrun"
+  serve       --root /idx --port 5679           HTTP gateway (r6):
+              /api/search + /api/suggest JSON routes over a warm index
   embed-train --corpus /path --out /vecs        PPMI word vectors (r5)
   bpe-train   --corpus /path --out /merges      learned BPE tokenizer (r5)
   lm-score    --corpus /path --out /ppl         perplexity quality gate (r5)
@@ -16,8 +18,8 @@ Commands:
 
 The reference's equivalents are the makepage/MakeDictTool binaries and the
 SRPC services (/root/reference/Make_Page/main.cpp, srpc/*); query/suggest
-here are batch jobs rather than RPC servers — the engine's output is a
-DataFrame, and serving is out of scope per SURVEY.md §2.1.
+here are batch jobs, and `serve` is the thin driver-side analog of the
+reference's wfrest gateway (src/Search_Engine_Server.cpp:44-77).
 """
 
 from __future__ import annotations
@@ -71,6 +73,14 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--pad", action="store_true",
                    help="exactly k rows, '' fillers (reference wire shape)")
+
+    sv = sub.add_parser("serve", help="HTTP gateway: /api/search + /api/suggest")
+    sv.add_argument("--root", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=5679)  # reference main.cpp:6
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--no-serving-mode", action="store_true",
+                    help="skip serving_mode() warm-cache tuning")
 
     e = sub.add_parser("embed-train",
                        help="PPMI word vectors from a corpus (operators/embed)")
@@ -171,6 +181,19 @@ def main(argv: list[str] | None = None) -> None:
         term_dict = spark.read.parquet(f"{args.root}/term_dict")
         rows = suggest(term_dict, args.q, k=args.k, pad=args.pad).collect()
         print(json.dumps([{"term": r["term"], "sim": r["sim"]} for r in rows]))
+
+    elif args.cmd == "serve":
+        from .serving import SearchServer
+
+        server = SearchServer(
+            spark, args.root, host=args.host, port=args.port, default_k=args.k
+        )
+        if not args.no_serving_mode:
+            server.idx = server.idx.serving_mode()
+        print(json.dumps({"serving": f"http://{args.host}:{server.port}",
+                          "routes": ["/api/search", "/api/suggest"]}),
+              flush=True)
+        server.serve_forever()
 
     elif args.cmd == "embed-train":
         from .operators.embed import (
