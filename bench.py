@@ -149,6 +149,11 @@ def main() -> None:
         )
         extras["index_docs_per_sec"] = round(n_corpus / timings["index_build"], 1)
         extras["index_parts"] = summary["parts_total"]
+        # mid-run probe: the pre/post pair can sandwich a degraded
+        # stretch (seen: probes 0.95/1.15 around indexing at half its
+        # clean-window rate) — pin the window of the headline
+        # throughput number specifically
+        extras["cpu_probe_post_index"] = cpu_probe(min(cpus, 16))
 
         # ---- BM25 queries over the compressed index (warm) -----------------
         idx = open_index(spark, root)

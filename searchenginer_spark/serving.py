@@ -21,6 +21,11 @@ Request shapes (both routes take GET query strings or POST bodies in
   ``{"query", "k", "results": [{"doc_id", "score"}...]}``.
 * ``/api/suggest``: ``word``, optional ``k`` — returns
   ``{"word", "suggestions": [{"term", "sim"}...]}``.
+* ``/api/search_batch`` (POST JSON): ``{"queries": {id: query, ...},
+  "k", "mode"}`` — ONE Spark job for the whole set via
+  ``search_query_batch`` (the measured ~10x-throughput serving shape,
+  PLANS.md §6); returns ``{"k", "results": {id: [{"doc_id",
+  "score"}...]}}`` with an entry for every id, hitless ids included.
 """
 
 from __future__ import annotations
@@ -93,9 +98,7 @@ class SearchServer:
                     raw = self.rfile.read(length)
                     ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                     if ctype == "application/json":
-                        params.update(
-                            {k: str(v) for k, v in json.loads(raw).items()}
-                        )
+                        params.update(json.loads(raw))  # values keep type
                     else:  # the reference's form-body shape (Utils.cpp)
                         params.update(decode_form(raw.decode()))
                 return params
@@ -106,6 +109,8 @@ class SearchServer:
                     params = self._params()
                     if path == "/api/search":
                         self._reply(200, server.api_search(params))
+                    elif path == "/api/search_batch":
+                        self._reply(200, server.api_search_batch(params))
                     elif path == "/api/suggest":
                         self._reply(200, server.api_suggest(params))
                     else:
@@ -137,6 +142,23 @@ class SearchServer:
                 {"doc_id": r["doc_id"], "score": r["score"]} for r in rows
             ],
         }
+
+    def api_search_batch(self, params: dict) -> dict:
+        queries = params.get("queries")
+        if isinstance(queries, str):  # form-encoded: JSON-valued field
+            queries = json.loads(queries)
+        if not isinstance(queries, dict) or not queries:
+            raise _BadRequest("missing 'queries' (object of id -> query)")
+        k = int(params.get("k") or self.default_k)
+        mode = params.get("mode") or "and"
+        qs = {str(i): str(q) for i, q in queries.items()}
+        rows = self.idx.search_query_batch(qs, k=k, mode=mode).collect()
+        results: dict[str, list] = {i: [] for i in qs}
+        for r in rows:
+            results[r["query_id"]].append(
+                {"doc_id": r["doc_id"], "score": r["score"]}
+            )
+        return {"k": k, "results": results}
 
     def api_suggest(self, params: dict[str, str]) -> dict:
         word = params.get("word") or params.get("q")

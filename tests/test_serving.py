@@ -122,3 +122,27 @@ def test_url_decode_parity(spark):
         want = urllib.parse.unquote_plus(c)
         assert got[c] == want, c
         assert decode_form(f"x={c}")["x"] == want, c
+
+
+def test_search_batch_route(server):
+    qs = {"a": "int return", "b": "float", "c": "zzzznohit"}
+    want_rows = server.idx.search_query_batch(qs, k=4).collect()
+    want: dict[str, list] = {i: [] for i in qs}
+    for r in want_rows:
+        want[r["query_id"]].append({"doc_id": r["doc_id"], "score": r["score"]})
+    status, got = _post(
+        server, "/api/search_batch",
+        json.dumps({"queries": qs, "k": 4}), "application/json",
+    )
+    assert status == 200 and got["k"] == 4
+    assert got["results"] == want
+    assert got["results"]["c"] == []  # hitless id still present
+    # form-encoded variant carries the queries object as a JSON field
+    body = "queries=" + urllib.parse.quote_plus(json.dumps(qs)) + "&k=4"
+    status, got2 = _post(
+        server, "/api/search_batch", body, "application/x-www-form-urlencoded"
+    )
+    assert status == 200 and got2["results"] == want
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/search_batch", "{}", "application/json")
+    assert e.value.code == 400
