@@ -721,7 +721,10 @@ def apply_facets(docs: DataFrame, facets: list[tuple[str, tuple]]) -> DataFrame:
                 docs = docs.filter(c.isNotNull())
                 continue
             if all(_is_number(b) for b in given):
-                v = c if numeric_col else c.cast("double")
+                # try_cast, not cast: under Spark 4 ANSI mode a plain cast
+                # hard-fails the whole query on the first non-numeric row
+                # of a string column — a range facet must FILTER such rows
+                v = c if numeric_col else c.try_cast("double")
                 if lo != "*":
                     docs = docs.filter(v >= _facet_num(lo))
                 if hi != "*":
@@ -922,11 +925,34 @@ def search_fields(
         )
         scored = df if scored is None else scored.unionByName(df)
     total = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    return _rank_scored_df(total, k, round_to)
+
+
+def _rank_scored_df(scored: DataFrame, k: int, round_to: int | None) -> DataFrame:
+    """THE ranking epilogue every entry point shares — round (when
+    requested) then ORDER BY score DESC, doc_id ASC, LIMIT k. The SQL
+    oracles mirror exactly this contract; change it here or nowhere
+    (it used to be copy-pasted per entry point)."""
     score = F.round("score", round_to) if round_to is not None else F.col("score")
     return (
-        total.select("doc_id", score.alias("score"))
+        scored.select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def _rank_scored_batch_df(scored: DataFrame, k: int, round_to: int | None) -> DataFrame:
+    """The batch twin of :func:`_rank_scored_df`: per-query_id top-k via
+    a row_number window over the same (score DESC, doc_id ASC) contract."""
+    from pyspark.sql import Window
+
+    score = F.round("score", round_to) if round_to is not None else F.col("score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select("query_id", "doc_id", score.alias("score"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
 
 
@@ -1095,12 +1121,20 @@ class Bm25CompressedIndex:
         Excluded terms absent from the dictionary, or that also appear in the
         positive query, are no-ops."""
         scored = self._scored(query, k, mode, pattern, round_to, exclude)
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        return (
-            scored.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        return self._rank_scored(scored, k, round_to)
+
+    def _rank_scored(self, scored: DataFrame, k: int, round_to: int | None) -> DataFrame:
+        """See :func:`_rank_scored_df` — the shared ranking epilogue."""
+        return _rank_scored_df(scored, k, round_to)
+
+    def _score_and_rank(self, cand: DataFrame, score_part, k: int,
+                        round_to: int | None) -> DataFrame:
+        """Per-part Arrow scoring over doc-disjoint parts (per-part
+        top-k merges exactly) followed by :meth:`_rank_scored`."""
+        scored = cand.groupBy("part").applyInPandas(
+            score_part, schema="doc_id long, score double"
         )
+        return self._rank_scored(scored, k, round_to)
 
     def score_all(
         self,
@@ -1222,12 +1256,7 @@ class Bm25CompressedIndex:
             .cogroup(allow.groupby("part"))
             .applyInPandas(score_cogroup, schema="doc_id long, score double")
         )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        return (
-            scored.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return self._rank_scored(scored, k, round_to)
 
     def _expand_fuzzy(self, word: str, dist: int, max_expansions: int) -> list[int]:
         """term_ids of dictionary terms within edit distance ``dist`` of
@@ -1387,8 +1416,12 @@ class Bm25CompressedIndex:
         code-search staple Lucene calls RegexpQuery. Expands against
         term_dict (see _expand_regexp for the literal-prefix bisection)
         and scores the expansion set disjunctively with qtf=1 per matched
-        term, exactly like search_prefix."""
-        ids = self._expand_regexp(pattern, max_expansions)
+        term, exactly like search_prefix. The pattern is lowercased
+        first — the dictionary stores lowercased terms only, and both
+        search_prefix and the grammar's /re/ clause already lowercase,
+        so a direct-API uppercase literal must not silently match
+        nothing."""
+        ids = self._expand_regexp(pattern.lower(), max_expansions)
         if not ids:
             return self.spark.createDataFrame([], "doc_id long, score double")
         qtf = {t: 1.0 for t in ids}
@@ -1399,15 +1432,7 @@ class Bm25CompressedIndex:
             docs, scores = _score_part_or(pdf.to_dict("records"), qtf, k, round_to)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        scored = cand.groupBy("part").applyInPandas(
-            score_part, schema="doc_id long, score double"
-        )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        return (
-            scored.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return self._score_and_rank(cand, score_part, k, round_to)
 
     def search_prefix(
         self,
@@ -1436,15 +1461,7 @@ class Bm25CompressedIndex:
             docs, scores = _score_part_or(pdf.to_dict("records"), qtf, k, round_to)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        scored = cand.groupBy("part").applyInPandas(
-            score_part, schema="doc_id long, score double"
-        )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        return (
-            scored.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return self._score_and_rank(cand, score_part, k, round_to)
 
     def search_near(
         self,
@@ -1484,15 +1501,7 @@ class Bm25CompressedIndex:
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        scored = cand.groupBy("part").applyInPandas(
-            score_part, schema="doc_id long, score double"
-        )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        return (
-            scored.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return self._score_and_rank(cand, score_part, k, round_to)
 
     def search_query(
         self,
@@ -1608,12 +1617,7 @@ class Bm25CompressedIndex:
             scored = cand.groupBy("part").applyInPandas(
                 score_part, schema="doc_id long, score double"
             )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        return (
-            scored.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return self._rank_scored(scored, k, round_to)
 
     def search_query_batch(
         self,
@@ -1730,8 +1734,6 @@ class Bm25CompressedIndex:
                 out_s += s
             return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
-        from pyspark.sql import Window
-
         if faceted_compiled:
             # per-query allowed-id sets, tagged by query_id, one union —
             # bucketed by the SAME part key and cogrouped with the postings
@@ -1775,14 +1777,7 @@ class Bm25CompressedIndex:
             scored = cand.groupBy("part").applyInPandas(
                 score_part, schema="query_id string, doc_id long, score double"
             )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            scored.select("query_id", "doc_id", score.alias("score"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .drop("_rk")
-        )
+        return _rank_scored_batch_df(scored, k, round_to)
 
     def search_batch(
         self,
@@ -1845,19 +1840,10 @@ class Bm25CompressedIndex:
                 out_s += scores
             return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
-        from pyspark.sql import Window
-
         scored = cand.groupBy("part").applyInPandas(
             score_part, schema="query_id string, doc_id long, score double"
         )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            scored.select("query_id", "doc_id", score.alias("score"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .drop("_rk")
-        )
+        return _rank_scored_batch_df(scored, k, round_to)
 
     def fetch_docs(self, topk: DataFrame, docs: DataFrame, cols: list[str] | None = None) -> DataFrame:
         """Join top-k results back to document metadata/content — the Spark
@@ -1896,12 +1882,4 @@ class Bm25CompressedIndex:
             docs, scores = _score_part_phrase(pdf.to_dict("records"), slots, qtf, k, round_to)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        scored = cand.groupBy("part").applyInPandas(
-            score_part, schema="doc_id long, score double"
-        )
-        score = F.round("score", round_to) if round_to is not None else F.col("score")
-        return (
-            scored.select("doc_id", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return self._score_and_rank(cand, score_part, k, round_to)

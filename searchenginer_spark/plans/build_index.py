@@ -58,6 +58,10 @@ class IndexPaths:
         #: that must bucket doc ids identically to the build (e.g.
         #: search_filtered's cogroup) read it via open_index
         self.meta = f"{root}/meta"
+        #: the stopword list the index was built with (absent = none) —
+        #: part of the build geometry: folds/compactions/resumes MUST
+        #: filter the token stream identically or dl/df/postings diverge
+        self.stopwords = f"{root}/stopwords"
 
 
 def _done_parts(spark: SparkSession, paths: IndexPaths) -> set[int]:
@@ -123,6 +127,28 @@ def _table_ready(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _stopword_set(spark: SparkSession, paths: IndexPaths) -> set[str] | None:
+    """The root's recorded stopword list, or None if built without one.
+    Stopword tables are tiny curated lists — a driver-side set is the
+    cheap comparable form for geometry-conflict checks."""
+    if not _table_ready(spark, paths.stopwords):
+        return None
+    return {
+        r["term"]
+        for r in spark.read.parquet(paths.stopwords).select("term").collect()
+    }
+
+
+def drop_stopwords(tf: DataFrame, stopwords: DataFrame | None) -> DataFrame:
+    """Analyzer-style stopword removal from a term/tf table (Lucene
+    StopFilter semantics: stopworded terms leave the stream before ANY
+    statistic). Shared by the batch build, the incremental fold and
+    compaction so all three filter identically."""
+    if stopwords is None:
+        return tf
+    return tf.join(F.broadcast(stopwords.select("term")), "term", "left_anti")
+
+
 def build_index(
     docs: DataFrame,
     root: str,
@@ -167,6 +193,41 @@ def build_index(
     """
     spark = docs.sparkSession
     paths = IndexPaths(root)
+    # resume geometry contract: a root's recorded meta is authoritative —
+    # resuming with different bucketing/positions/tokenizer/stopwords would
+    # encode the pending parts inconsistently with the committed ones (the
+    # same raise-on-conflict rule incremental_index enforces)
+    if _table_ready(spark, paths.meta):
+        meta = spark.read.parquet(paths.meta).first()
+        if int(meta["docs_per_part"]) != int(docs_per_part):
+            raise ValueError(
+                f"docs_per_part={docs_per_part} conflicts with the root's "
+                f"recorded build geometry {meta['docs_per_part']} — resuming "
+                "would bucket pending parts inconsistently with committed ones"
+            )
+        if bool(meta["with_positions"]) != bool(with_positions):
+            raise ValueError(
+                f"with_positions={with_positions} conflicts with the root's "
+                f"recorded {bool(meta['with_positions'])}"
+            )
+        if (tokenizer or "default") != (meta["tokenizer"] or "default"):
+            raise ValueError(
+                f"tokenizer={tokenizer!r} conflicts with the root's recorded "
+                f"{meta['tokenizer']!r} — a tokenizer mismatch corrupts term "
+                "consistency with every committed posting"
+            )
+        recorded_sw = _stopword_set(spark, paths) or set()
+        passed_sw = (
+            set()
+            if stopwords is None
+            else {r["term"] for r in stopwords.select("term").collect()}
+        )
+        if recorded_sw != passed_sw:
+            raise ValueError(
+                "stopword set conflicts with the root's recorded stopwords "
+                f"({len(passed_sw)} vs {len(recorded_sw)} terms) — dl/df/"
+                "postings of committed parts describe the recorded filter"
+            )
     t0 = time.monotonic()
     phases: dict[str, float] = {}
 
@@ -189,9 +250,7 @@ def build_index(
     docs = docs.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
 
     def drop_stop(t: DataFrame) -> DataFrame:
-        if stopwords is None:
-            return t
-        return t.join(F.broadcast(stopwords.select("term")), "term", "left_anti")
+        return drop_stopwords(t, stopwords)
 
     # -- stage 1: docs + dictionary — written once, reused on resume --------
     # (pure functions of the immutable input; _SUCCESS marker gates reuse)
@@ -217,7 +276,14 @@ def build_index(
     tcur = _mark("setup", t0)
     tf = None
     owns_tf = False
-    if not (_table_ready(spark, paths.term_dict) and _table_ready(spark, paths.stats)):
+    # meta is in the gate so a crash BETWEEN the stats and meta writes
+    # re-runs this (idempotent) stage instead of leaving the root
+    # permanently meta-less (meta is the last write below)
+    if not (
+        _table_ready(spark, paths.term_dict)
+        and _table_ready(spark, paths.stats)
+        and _table_ready(spark, paths.meta)
+    ):
         # stats read the in-memory input directly — identical rows to what
         # the writer thread is persisting (both derive from `docs`)
         if dedup_tf is not None:
@@ -257,6 +323,12 @@ def build_index(
                     F.sum("n_docs").alias("n_docs"),
                     (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
                 ).write.mode("overwrite").parquet(paths.stats)
+                if stopwords is not None:
+                    stopwords.select("term").dropDuplicates(["term"]).coalesce(
+                        1
+                    ).write.mode("overwrite").parquet(paths.stopwords)
+                # meta stays the LAST write: its presence certifies the
+                # whole stats/stopwords group (the stage-1 gate checks it)
                 spark.createDataFrame(
                     [(int(docs_per_part), bool(with_positions), tokenizer)],
                     "docs_per_part int, with_positions boolean, tokenizer string",
@@ -333,6 +405,14 @@ def build_index(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("part").parquet(paths.postings)
         wall_ms = int((time.monotonic() - t1) * 1000)
+        # the encode+write is ONE job over all pending parts — per-part
+        # walls are not observable from the driver, so wall_ms and
+        # postings_per_sec are RUN-level (shared by every row of this
+        # build_id's run): rate = all postings built this run / run wall.
+        # (Previously each row divided ITS part's postings by the whole
+        # run wall — understating per-part throughput by ~n_parts.)
+        run_postings = int(postings.agg(F.sum("n")).first()[0] or 0)
+        run_rate = run_postings / max(wall_ms, 1) * 1000.0
         tcur = _mark("encode", tcur)
 
         # lineage + throughput metrics per part (from the cached encode)
@@ -369,9 +449,7 @@ def build_index(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_postings").cast("long").alias("n_postings"),
             F.col("bytes_written").cast("long").alias("bytes_written"),
-            (F.col("n_postings") / F.lit(max(wall_ms, 1) / 1000.0))
-            .cast("double")
-            .alias("postings_per_sec"),
+            F.lit(run_rate).cast("double").alias("postings_per_sec"),
             F.lit(wall_ms).cast("long").alias("wall_ms"),
         )
         metrics.write.mode("append").parquet(paths.metrics)
@@ -411,6 +489,7 @@ def compact_indexes(
     with_positions: bool | None = None,
     text_col: str = "content",
     tokenizer: str | None = None,
+    stopwords: DataFrame | None = None,
 ) -> dict:
     """Compact several indexes (e.g. a base + incremental deltas) into one.
 
@@ -420,12 +499,14 @@ def compact_indexes(
     in-place delta fold; this is the periodic consolidation that clears its
     accumulated idf staleness). Doc ids must be disjoint across inputs.
 
-    ``docs_per_part`` / ``with_positions`` / ``tokenizer`` default to
-    the FIRST root's meta table (r5) — a compaction must not silently
-    re-bucket, drop positions, or swap the tokenizer of the indexes it
-    consolidates; pass explicit values to deliberately change the
-    geometry of the output index. A meta-less first root falls back to
-    the build defaults (1 << 16, no positions, regex tokenizer).
+    ``docs_per_part`` / ``with_positions`` / ``tokenizer`` /
+    ``stopwords`` default to the FIRST root's meta + stopwords tables
+    (r5, stopwords r6) — a compaction must not silently re-bucket, drop
+    positions, swap the tokenizer, or reintroduce stopwords into the
+    indexes it consolidates; pass explicit values to deliberately change
+    the geometry of the output index. A meta-less first root falls back
+    to the build defaults (1 << 16, no positions, regex tokenizer, no
+    stopwords).
     """
     first = IndexPaths(roots[0])
     if _table_ready(spark, first.meta):
@@ -436,6 +517,8 @@ def compact_indexes(
             with_positions = bool(meta["with_positions"])
         if tokenizer is None:
             tokenizer = meta["tokenizer"]
+    if stopwords is None and _table_ready(spark, first.stopwords):
+        stopwords = spark.read.parquet(first.stopwords)
     docs = None
     for r in roots:
         d = spark.read.parquet(IndexPaths(r).docs).drop("part")
@@ -447,6 +530,7 @@ def compact_indexes(
         with_positions=bool(with_positions),
         text_col=text_col,
         tokenizer=tokenizer,
+        stopwords=stopwords,
     )
 
 

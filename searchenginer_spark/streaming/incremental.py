@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 from ..operators import stats as S
 from ..operators.ids import assign_sequential_ids
 from ..operators.postings import build_postings
-from ..plans.build_index import IndexPaths, _table_ready, part_stats
+from ..plans.build_index import (
+    IndexPaths,
+    _dir_exists,
+    _stopword_set,
+    _table_ready,
+    part_stats,
+)
 
 
 def _append_term_dict(spark: SparkSession, paths: IndexPaths, batch_dft: DataFrame) -> DataFrame:
@@ -69,22 +75,27 @@ def incremental_index(
     text_col: str = "content",
     tokenizer: str | None = None,
     with_positions: bool | None = None,
+    stopwords: DataFrame | None = None,
 ) -> None:
     """Drain new parquet files from ``input_dir`` into the index at ``root``.
 
     Exactly-once per input file via the streaming checkpoint; restart-safe.
-    Blocks until the AvailableNow trigger finishes.
+    Blocks until the AvailableNow trigger finishes. A missing or
+    still-empty ``input_dir`` is a clean no-op (drain loops may fire
+    before the first file lands).
 
-    Build-geometry contract (r5): when the root carries a ``meta`` table
-    (every build_index root does), the fold READS its build parameters
-    from it — ``docs_per_part``, ``with_positions``, and ``tokenizer``
-    all default to the values the index was built with (so folding a
-    phrase-enabled index keeps encoding positions, a dict_cjk index
-    keeps segmenting, and part bucketing matches by construction).
-    Passing an EXPLICIT ``docs_per_part`` that conflicts with the meta
-    value raises instead of silently bucketing new docs into parts that
-    disagree with every existing posting row. A brand-new root (no meta
-    yet) falls back to 1 << 16.
+    Build-geometry contract (r5, stopwords r6): when the root carries a
+    ``meta`` table (every build_index root does), the fold READS its
+    build parameters from it — ``docs_per_part``, ``with_positions``,
+    ``tokenizer`` and the ``stopwords`` list all default to the values
+    the index was built with (so folding a phrase-enabled index keeps
+    encoding positions, a dict_cjk index keeps segmenting, a
+    stopword-filtered index keeps filtering, and part bucketing matches
+    by construction). Passing an EXPLICIT value that conflicts with the
+    recorded one raises instead of silently corrupting the committed
+    parts' statistics. A brand-new root (no meta yet) PINS its geometry
+    on the first invocation by writing the meta (and stopwords) tables,
+    so later folds and build_index resumes enforce it.
     """
     paths = IndexPaths(root)
     if _table_ready(spark, paths.meta):
@@ -117,7 +128,47 @@ def incremental_index(
             )
     docs_per_part = int(docs_per_part) if docs_per_part is not None else 1 << 16
     with_positions = bool(with_positions)
-    static = spark.read.parquet(input_dir)
+
+    # stopword contract: default from the root's recorded list; raise on
+    # an explicit conflict (folding unfiltered tokens into a filtered
+    # index corrupts dl/df exactly like a tokenizer mismatch would)
+    recorded_sw = _stopword_set(spark, paths)
+    if stopwords is None:
+        sw_terms = frozenset(recorded_sw or ())
+    else:
+        sw_terms = frozenset(
+            r["term"] for r in stopwords.select("term").collect()
+        )
+        if recorded_sw is not None or _table_ready(spark, paths.meta):
+            if sw_terms != frozenset(recorded_sw or ()):
+                raise ValueError(
+                    f"stopword set ({len(sw_terms)} terms) conflicts with the "
+                    f"index's recorded stopwords ({len(recorded_sw or ())} "
+                    "terms); committed parts' dl/df describe the recorded "
+                    "filter"
+                )
+
+    if not _table_ready(spark, paths.meta):
+        # brand-new root: PIN the geometry now so every later fold and
+        # build_index resume enforces it (previously never written ->
+        # a second fold with docs_per_part omitted silently re-bucketed)
+        spark.createDataFrame(
+            [(int(docs_per_part), bool(with_positions), tokenizer)],
+            "docs_per_part int, with_positions boolean, tokenizer string",
+        ).write.mode("overwrite").parquet(paths.meta)
+        if sw_terms:
+            spark.createDataFrame(
+                [(t,) for t in sorted(sw_terms)], "term string"
+            ).coalesce(1).write.mode("overwrite").parquet(paths.stopwords)
+
+    if not _dir_exists(spark, input_dir):
+        return  # nothing has landed yet — clean no-op
+    try:
+        static = spark.read.parquet(input_dir)
+    except Exception as e:  # empty dir: schema inference has no files
+        if "infer schema" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return
+        raise
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -137,9 +188,23 @@ def incremental_index(
             .dropDuplicates(["doc_id"])
         )
 
-        tf = S.term_frequencies(
-            docs, text_col=text_col, tokenizer=tokenizer,
-            with_positions=with_positions,
+        # same analyzer-style stopword filter as the batch build — BEFORE
+        # any statistic, so the fold's dl/df/postings stay consistent
+        # with the committed parts' (sw_df rebuilt on the micro-batch
+        # session: tiny curated list, never a cross-session DataFrame)
+        sw_df = (
+            bspark.createDataFrame([(t,) for t in sorted(sw_terms)], "term string")
+            if sw_terms
+            else None
+        )
+        from ..plans.build_index import drop_stopwords
+
+        tf = drop_stopwords(
+            S.term_frequencies(
+                docs, text_col=text_col, tokenizer=tokenizer,
+                with_positions=with_positions,
+            ),
+            sw_df,
         ).persist()
         dl = S.doc_lengths(tf)
         term_dict = _append_term_dict(bspark, paths, S.document_frequencies(tf))
@@ -147,7 +212,12 @@ def incremental_index(
         # ---- O(parts) stats refresh: overwrite the touched parts' rows in
         # stats_parts from THIS fold's dl, then aggregate the tiny per-part
         # table. Untouched doc parts are never read, let alone re-tokenized.
-        if not _table_ready(bspark, paths.stats_parts):
+        # existence gate, NOT _SUCCESS: dynamic partition overwrite never
+        # writes _SUCCESS at the table root, so an _SUCCESS gate would
+        # re-run this O(corpus) bootstrap on EVERY fold of an
+        # incremental-only root (the exact work the module header
+        # promises never happens)
+        if not _dir_exists(bspark, paths.stats_parts):
             # one-time bootstrap for roots predating stats_parts: derive the
             # NON-touched parts' rows (touched rows come from this fold)
             others = (
@@ -158,9 +228,12 @@ def incremental_index(
             if not others.isEmpty():
                 part_stats(
                     S.doc_lengths(
-                        S.term_frequencies(
-                            others, text_col=text_col, tokenizer=tokenizer,
-                            with_positions=with_positions,
+                        drop_stopwords(
+                            S.term_frequencies(
+                                others, text_col=text_col, tokenizer=tokenizer,
+                                with_positions=with_positions,
+                            ),
+                            sw_df,
                         )
                     ),
                     docs_per_part,

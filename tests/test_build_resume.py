@@ -81,3 +81,41 @@ def test_metrics_schema_and_lineage(spark, docs, tmp_path_factory):
     rows = m.collect()
     assert all(r["n_postings"] > 0 and r["bytes_written"] > 0 for r in rows)
     assert sum(r["n_docs"] for r in rows) == N_DOCS
+
+
+def test_resume_geometry_conflict_raises(spark, docs, tmp_path_factory):
+    """r6 fix: resuming a root with different bucketing / positions /
+    tokenizer / stopwords raises instead of encoding pending parts
+    inconsistently with the committed ones."""
+    root = str(tmp_path_factory.mktemp("idx_geo"))
+    build_index(docs, root, docs_per_part=DPP)
+    with pytest.raises(ValueError, match="docs_per_part"):
+        build_index(docs, root, docs_per_part=DPP * 2)
+    with pytest.raises(ValueError, match="with_positions"):
+        build_index(docs, root, docs_per_part=DPP, with_positions=True)
+    with pytest.raises(ValueError, match="tokenizer"):
+        build_index(docs, root, docs_per_part=DPP, tokenizer="cjk")
+    with pytest.raises(ValueError, match="stopword"):
+        build_index(
+            docs, root, docs_per_part=DPP,
+            stopwords=spark.createDataFrame([("int",)], "term string"),
+        )
+    # identical parameters still resume cleanly (no-op: everything done)
+    summary = build_index(docs, root, docs_per_part=DPP)
+    assert summary["parts_built"] == 0
+
+
+def test_metrics_rate_is_run_level(spark, docs, tmp_path_factory):
+    """r6 fix: postings_per_sec is the RUN's aggregate throughput (all
+    postings built that run / run wall), shared by every row of the run
+    — not one part's postings divided by the whole multi-part wall."""
+    root = str(tmp_path_factory.mktemp("idx_rate"))
+    build_index(docs, root, docs_per_part=DPP)
+    rows = spark.read.parquet(IndexPaths(root).metrics).collect()
+    assert len(rows) > 1, "need a multi-part build to exercise the fix"
+    rates = {round(r["postings_per_sec"], 6) for r in rows}
+    walls = {r["wall_ms"] for r in rows}
+    assert len(rates) == 1 and len(walls) == 1  # run-level, shared
+    total = sum(r["n_postings"] for r in rows)
+    wall_s = rows[0]["wall_ms"] / 1000.0
+    assert abs(rows[0]["postings_per_sec"] - total / wall_s) < 1e-6 * total

@@ -239,3 +239,109 @@ def test_compact_inherits_meta_geometry(spark, tmp_path_factory):
     assert "搜索引擎" in terms and "搜" not in terms  # segmented, not bigrams
     meta = spark.read.parquet(f"{base}/out/meta").first()
     assert meta["with_positions"] and meta["tokenizer"] == "dict_cjk"
+
+
+def test_fold_inherits_and_enforces_stopwords(spark, tmp_path_factory):
+    """r6 geometry fix: a fold on a stopword-built index must filter the
+    SAME stopwords (inherited from the root's stopwords table) — and an
+    explicit conflicting list must raise, like every other geometry
+    parameter."""
+    import pytest
+
+    from searchenginer_spark.plans.build_index import build_index
+
+    base = str(tmp_path_factory.mktemp("incsw"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    docs = build_docs(spark, 200, seed=5, num_partitions=4).persist()
+    sw = spark.createDataFrame([("int",), ("return",)], "term string")
+    build_index(docs.filter(F.col("doc_id") < 150), root,
+                docs_per_part=DPP, stopwords=sw)
+    paths = IndexPaths(root)
+    td0 = spark.read.parquet(paths.term_dict)
+    assert td0.filter(F.col("term").isin("int", "return")).count() == 0
+
+    docs.filter(F.col("doc_id") >= 150).write.mode("append").parquet(input_dir)
+    _fold(spark, input_dir, root, ckpt)  # stopwords NOT passed -> inherited
+    td1 = spark.read.parquet(paths.term_dict)
+    assert td1.filter(F.col("term").isin("int", "return")).count() == 0, (
+        "fold reintroduced stopworded terms into the dictionary"
+    )
+    # postings carry no stopword terms either (td is filtered, and every
+    # posting joins through it, so the dict check is the authoritative one)
+
+    with pytest.raises(ValueError, match="stopword"):
+        incremental_index(
+            spark, input_dir, root, f"{base}/ckpt2", docs_per_part=DPP,
+            stopwords=spark.createDataFrame([("zzz",)], "term string"),
+        )
+    docs.unpersist()
+
+
+def test_new_root_fold_pins_geometry(spark, tmp_path_factory):
+    """r6 fix: the FIRST fold on a brand-new root writes the meta table,
+    so a second fold with docs_per_part omitted inherits the pinned
+    value instead of silently re-bucketing at the 1<<16 default."""
+    import pytest
+
+    base = str(tmp_path_factory.mktemp("incpin"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    paths = IndexPaths(root)
+    docs = build_docs(spark, 200, seed=11, num_partitions=4).persist()
+
+    docs.filter(F.col("doc_id") < 100).write.mode("append").parquet(input_dir)
+    incremental_index(spark, input_dir, root, ckpt, docs_per_part=DPP)
+    meta = spark.read.parquet(paths.meta).first()
+    assert int(meta["docs_per_part"]) == DPP
+
+    docs.filter(F.col("doc_id") >= 100).write.mode("append").parquet(input_dir)
+    incremental_index(spark, input_dir, root, ckpt)  # omitted -> inherits 64
+    parts = {
+        r["part"]
+        for r in spark.read.parquet(paths.postings).select("part").distinct().collect()
+    }
+    assert parts == {p for p in range(200 // DPP + 1)} & parts and max(parts) >= 2, (
+        "second fold must bucket with the pinned docs_per_part, not 1<<16"
+    )
+    with pytest.raises(ValueError, match="docs_per_part"):
+        incremental_index(spark, input_dir, root, ckpt, docs_per_part=999)
+    docs.unpersist()
+
+
+def test_stats_bootstrap_runs_at_most_once(spark, tmp_path_factory, monkeypatch):
+    """r6 fix: the stats_parts bootstrap gate uses directory existence,
+    not _SUCCESS (dynamic partition overwrite never writes one) — on an
+    incremental-only root the second fold must tokenize ONLY its own
+    batch (one term_frequencies call), never re-derive untouched parts."""
+    base = str(tmp_path_factory.mktemp("incboot"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    docs = build_docs(spark, 200, seed=13, num_partitions=4).persist()
+
+    docs.filter(F.col("doc_id") < 100).write.mode("append").parquet(input_dir)
+    _fold(spark, input_dir, root, ckpt)
+
+    calls = []
+    real_tf = S.term_frequencies
+
+    def counting_tf(*args, **kwargs):
+        calls.append(1)
+        return real_tf(*args, **kwargs)
+
+    monkeypatch.setattr(S, "term_frequencies", counting_tf)
+    docs.filter(F.col("doc_id") >= 100).write.mode("append").parquet(input_dir)
+    _fold(spark, input_dir, root, ckpt)
+    assert len(calls) == 1, (
+        f"fold re-ran the O(corpus) bootstrap ({len(calls)} tokenize passes)"
+    )
+    docs.unpersist()
+
+
+def test_empty_or_missing_input_dir_is_noop(spark, tmp_path_factory):
+    """A drain invoked before any file lands must exit cleanly."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("incempty"))
+    root, ckpt = f"{base}/idx", f"{base}/ckpt"
+    incremental_index(spark, f"{base}/never_created", root, ckpt,
+                      docs_per_part=DPP)
+    os.makedirs(f"{base}/empty", exist_ok=True)
+    incremental_index(spark, f"{base}/empty", root, ckpt, docs_per_part=DPP)

@@ -594,3 +594,23 @@ def test_grammar_wildcard_parity_with_regexp(qindex):
     want = _rows(qindex.search_regexp("quer.", k=10, round_to=6))
     got = _rows(qindex.search_query("quer?", k=10, round_to=6))
     _assert_same(got, want)
+
+
+def test_numeric_range_facet_on_nonnumeric_strings_filters(qindex, docs_sf0001):
+    """r6 fix (ANSI): a numeric range facet over a string column holding
+    non-numeric values must FILTER those rows (try_cast), not hard-fail
+    the query the way a plain cast does under Spark 4 ANSI mode."""
+    got = qindex.search_query(
+        "data value source:[1 TO 5]", k=10, mode="or", docs=docs_sf0001
+    )
+    assert got.count() == 0  # 'srcN' never parses as a number
+
+
+def test_search_regexp_uppercase_pattern_lowercases(qindex):
+    """r6 fix: the dictionary stores lowercased terms; the direct API
+    must lowercase the pattern like search_prefix and the /re/ grammar
+    clause already do, instead of silently matching nothing."""
+    lo = _rows(qindex.search_regexp("dat.*", k=10))
+    hi = _rows(qindex.search_regexp("Dat.*", k=10))
+    assert lo, "fixture corpus must match dat.*"
+    assert hi == lo
