@@ -570,8 +570,10 @@ def srp_buckets(
 ) -> DataFrame:
     """embeddings + ``bucket`` column (2^n_planes buckets). Precompute once,
     write partitioned/bucketed by ``bucket`` for probe-time pruning."""
-    first = embeddings.select(vec_col).first()
-    if first is None or first[0] is None:  # empty input: nothing to bucket
+    # dimension sniff over NON-NULL rows: a single corrupt (null) leading
+    # row must not make the whole table look empty and bucket-0 everything
+    first = embeddings.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:  # genuinely no vectors: nothing to bucket
         return embeddings.withColumn("bucket", F.lit(0).cast("long"))
     dim = len(first[0])
     planes = _planes(dim, n_planes, seed)

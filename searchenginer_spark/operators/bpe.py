@@ -131,13 +131,15 @@ def bpe_encode_pandas_udf(
     import re as _re
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    rx_pattern = pattern
+    # compiled regex + word cache live in the FACTORY closure (both
+    # pickle fine), so they persist for the python worker's lifetime —
+    # inside _enc they would be rebuilt per Arrow batch and the Zipf-head
+    # amortization the docstring promises would never happen
+    rx = _re.compile(pattern)
+    cache: dict[str, list[str]] = {}
 
     @pandas_udf("array<string>")
     def _enc(text: pd.Series) -> pd.Series:
-        rx = _re.compile(rx_pattern)
-        cache: dict[str, list[str]] = {}
-
         def run(t: str) -> list[str]:
             out: list[str] = []
             for w in rx.findall(t.lower()):

@@ -108,9 +108,21 @@ def dedup_docs(
     out, _tf, handles = dedup_docs_and_tf(
         docs, how, text_col, id_col, max_hamming=max_hamming, top_n=top_n
     )
+    if how == "minhash_cc":
+        # the CC survivors' lineage is TRUNCATED at the clustering's
+        # localCheckpoints — releasing those blocks below would make the
+        # lazy result unrecomputable (the first action would fail with
+        # 'checkpoint block not found'). Snapshot the survivors first;
+        # the snapshot's own blocks ride _sg_intermediates so callers
+        # can reclaim them with release_intermediates after use.
+        out = out.localCheckpoint(eager=True)
+        for h in handles:
+            h.unpersist()
+        return _attach_intermediates(out, [_CheckpointHandle(out)])
     for h in handles:
         # plain dedup callers don't reuse the tf table — drop the cache marks
-        # so the result stays a lazy uncached plan (no block-manager residue)
+        # so the result stays a lazy uncached plan (no block-manager residue;
+        # exact/simhash handles are plain persists, safe to recompute)
         h.unpersist()
     return out
 
@@ -192,24 +204,39 @@ def dedup_docs_and_tf(
     # at runtime when it is actually small
     losers = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct().persist()
     kept_tf = tf.join(losers, "doc_id", "left_anti")
-    if id_col != "doc_id":
-        # pair frames carry (doc_id, doc_id_2); rename BOTH for the caller's
-        # id column so dedup_by_pairs keys line up
-        pairs = pairs.withColumnRenamed("doc_id", id_col).withColumnRenamed(
-            "doc_id_2", f"{id_col}_2"
-        )
-    return dedup_by_pairs(out, pairs, id_col), kept_tf, [tf, losers]
+    # anti-join the SAME persisted losers frame on the docs side — deriving
+    # it again from a renamed pairs plan (the old dedup_by_pairs detour)
+    # missed the cache for id_col != 'doc_id' and ran the banded self-join
+    # twice
+    kept_docs = out.join(
+        losers if id_col == "doc_id" else losers.withColumnRenamed("doc_id", id_col),
+        id_col,
+        "left_anti",
+    )
+    return kept_docs, kept_tf, [tf, losers]
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    fingerprints: DataFrame, max_hamming: int = 3, n_bands: int | None = None
 ) -> DataFrame:
     """(doc_id, doc_id_2, hamming) pairs within the hamming threshold.
 
     Banded self-join: each fingerprint explodes into n_bands (band_idx,
     band_val) keys; pairs sharing a band are verified with bit_count(xor).
-    Complete for hamming <= n_bands-1 by pigeonhole. doc_id < doc_id_2.
+    Complete for hamming <= n_bands-1 by pigeonhole (bits outside the
+    banded region, when n_bands doesn't divide 64, can only ADD shared
+    bands — completeness is unaffected). n_bands therefore DEFAULTS to
+    max_hamming+1 so the guarantee always covers the requested
+    threshold; passing an insufficient explicit value raises instead of
+    silently missing pairs. doc_id < doc_id_2.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    elif n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee completeness for "
+            f"max_hamming={max_hamming} (pigeonhole needs > max_hamming bands)"
+        )
     a = simhash_bands(fingerprints.select("doc_id", "simhash"), n_bands=n_bands)
     b = (
         a.select(
@@ -363,9 +390,11 @@ def embedding_cosine_pairs(
     """
     from .ann import _dot, _norm, _planes, srp_code
 
-    first = vecs.select(vec_col).first()
-    if first is None or first[0] is None:
-        # empty input: no pairs (never TypeError on first()[0])
+    # dimension sniff over NON-NULL rows: one corrupt (null) leading row
+    # must not silently zero out the pair generation for the whole table
+    first = vecs.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        # genuinely no vectors: no pairs (never TypeError on first()[0])
         id_type = vecs.schema[id_col].dataType.simpleString()
         return vecs.sparkSession.createDataFrame(
             [], f"{id_col} {id_type}, {id_col}_2 {id_type}, cos double"
@@ -480,6 +509,10 @@ def connected_components(
         .filter(u != v)
         .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
         .distinct()
+        # checkpoint the INPUT once: the upstream pair generator (an LSH
+        # band join — the dominant shuffle of the whole clustering) would
+        # otherwise re-evaluate for the nodes job AND again for round 1
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(u.alias("n"))
@@ -489,7 +522,7 @@ def connected_components(
     )
 
     prev_digest = None
-    prev_cp: DataFrame | None = None
+    prev_cp: DataFrame | None = edges  # reclaimed once round 1 checkpoints
     e = edges
     for _ in range(max_iter):
         # LARGE-STAR: every neighbor larger than u links to min(N(u) ∪ {u})

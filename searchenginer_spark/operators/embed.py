@@ -367,10 +367,18 @@ def train_ppmi_vectors_distributed(
 
     vocab = margins.select("term")
     omega = vocab.select("term", _seeded_gaussians(F.col("term"), r, seed).alias("x"))
-    Y = _matmul_coo(A, omega, r)
+    # persist each sketch Y before its _gram action: the action then fills
+    # the cache and every later consumer (the next matmul, Q) recomputes
+    # only the narrow Y @ factor map — without this, each _gram replays
+    # the whole matmul chain from omega (O(power_iters^2) corpus-vocab
+    # shuffles instead of O(power_iters))
+    y_handles: list[DataFrame] = []
+    Y = _matmul_coo(A, omega, r).persist()
+    y_handles.append(Y)
     Q = _apply_right(Y, _orth_factor(_gram(Y, r)))
     for _ in range(power_iters):
-        Y = _matmul_coo(A, Q, r)
+        Y = _matmul_coo(A, Q, r).persist()
+        y_handles.append(Y)
         Q = _apply_right(Y, _orth_factor(_gram(Y, r)))
     Q = Q.persist()
 
@@ -393,6 +401,10 @@ def train_ppmi_vectors_distributed(
         )
         .first()
     )
+    # the row aggregate above materialized Q's cache; the intermediate
+    # sketches are dead now — every later consumer reads Q directly
+    for y in y_handles:
+        y.unpersist()
     B = np.zeros((r, r))
     for a in range(r):
         for b in range(r):
@@ -443,26 +455,12 @@ def doc_vectors_from(
     default ``None`` emits NO hint and lets AQE broadcast at runtime
     when the table is actually small; pass ``True`` only for a model
     you KNOW is capped."""
+    from .vectors import weighted_doc_vectors
+
     tv_side = F.broadcast(term_vecs) if broadcast_vectors else term_vecs
     tv = dft.join(tv_side, "term").select(
         "term",
         "df",
         *[F.element_at("vec", d + 1).alias(f"_v{d}") for d in range(dim)],
     )
-    weighted = (
-        tf.join(tv, "term")
-        .crossJoin(F.broadcast(stats.select("n_docs")))
-        .withColumn("_w", F.col("tf") * F.log2(F.col("n_docs") / (F.col("df") + 1)))
-        .filter(F.col("_w") > 0)
-    )
-    sums = weighted.groupBy("doc_id").agg(
-        *[F.sum(F.col(f"_v{d}") * F.col("_w")).alias(f"_s{d}") for d in range(dim)]
-    )
-    nrm = F.sqrt(sum(F.col(f"_s{d}") * F.col(f"_s{d}") for d in range(dim)))
-    vec = F.array(
-        *[
-            F.when(nrm > 0, F.col(f"_s{d}") / nrm).otherwise(F.lit(0.0))
-            for d in range(dim)
-        ]
-    )
-    return sums.select("doc_id", vec.alias("vec"))
+    return weighted_doc_vectors(tf, tv, stats, dim)

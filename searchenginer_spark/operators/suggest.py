@@ -31,6 +31,10 @@ def suggest(
 
     ``pad=True``: always exactly ``k`` rows — missing slots filled with
     ('', 0.0), the reference server's fixed-width response contract."""
+    # the dictionary stores lowercased terms/prefixes — fold user input
+    # like every other query surface does, or a merely capitalized word
+    # prunes away its own first-letter bucket AND pays a phantom edit
+    query = query.lower()
     cand = term_dict
     if prefix_prune and query:
         chars = list(dict.fromkeys(query))  # unique codepoints, order kept

@@ -89,6 +89,20 @@ def doc_vectors(
         "df",
         *[hash_component("term", d).alias(f"_v{d}") for d in range(dim)],
     )
+    return weighted_doc_vectors(tf, tv, stats, dim)
+
+
+def weighted_doc_vectors(
+    tf: DataFrame, tv: DataFrame, stats: DataFrame, dim: int
+) -> DataFrame:
+    """THE doc-vector aggregation (MakePage.cpp:247-398 semantics) over a
+    prepared (term, df, _v0.._v{dim-1}) component frame: doc weight
+    tf*log2(n_docs/(df+1)) with non-positive weights dropped, ``dim``
+    parallel SUM aggregates in one hash-aggregate pass, then row L2
+    normalization. Shared by the hash-embedding path (:func:`doc_vectors`)
+    and the trained-vector path (embed.doc_vectors_from); the SQL oracle
+    twins (__spark_entry__._vec_comp_sql/_DOCVEC_CTES) pin exactly this
+    math, so it must live in one place."""
     weighted = (
         tf.join(tv, "term")
         .crossJoin(F.broadcast(stats.select("n_docs")))

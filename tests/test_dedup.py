@@ -301,3 +301,89 @@ def test_near_dup_clusters_end_to_end(spark, docs):
     assert dup_groups, "corpus should contain exact duplicates"
     for g in dup_groups:
         assert len({by_id[i]["cluster_id"] for i in g["ids"]}) == 1
+
+
+def test_dedup_docs_minhash_cc_materializes_after_release(spark, docs):
+    """r6 fix: dedup_docs('minhash_cc') must snapshot the survivors
+    BEFORE releasing the clustering's localCheckpoint blocks — the lazy
+    result's lineage is truncated at those checkpoints, so releasing
+    first made the first action fail with 'checkpoint block not found'.
+    Result must equal the transitive-cluster survivor set, and
+    release_intermediates must reclaim the snapshot afterwards."""
+    from searchenginer_spark.operators.dedup import (
+        dedup_docs,
+        near_dup_clusters,
+        release_intermediates,
+    )
+
+    base = _n_persistent(spark)
+    kept = dedup_docs(docs, how="minhash_cc", text_col="text")
+    got = {r["doc_id"] for r in kept.collect()}  # the action that crashed
+    want = {
+        r["doc_id"]
+        for r in near_dup_clusters(docs, text_col="text")
+        .filter(F.col("is_kept"))
+        .collect()
+    }
+    assert got == want
+    release_intermediates(kept)
+    import time
+
+    for _ in range(20):
+        if _n_persistent(spark) <= base:
+            break
+        time.sleep(0.25)
+    assert _n_persistent(spark) <= base
+
+
+def test_simhash_bands_derive_from_max_hamming(spark):
+    """r6 fix: n_bands defaults to max_hamming+1 so the pigeonhole
+    guarantee always covers the requested threshold. The fixture pair
+    differs at bits 0/16/32/48 — one per band under the old fixed 4-band
+    split, so it was silently missed for max_hamming=4."""
+    import pytest as _pytest
+
+    from searchenginer_spark.operators.dedup import simhash_near_pairs
+
+    fp2 = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    fps = spark.createDataFrame(
+        [(1, 0), (2, fp2)], "doc_id long, simhash long"
+    )
+    got = simhash_near_pairs(fps, max_hamming=4).collect()
+    assert [(r["doc_id"], r["doc_id_2"], r["hamming"]) for r in got] == [(1, 2, 4)]
+    # insufficient explicit bands now raise instead of silently missing
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(fps, max_hamming=4, n_bands=4)
+    # default threshold still finds nothing (hamming 4 > 3)
+    assert simhash_near_pairs(fps).count() == 0
+
+
+def test_vector_sniffs_skip_null_rows(spark):
+    """r6 fix: a corrupt NULL leading row must not make srp_buckets
+    bucket-0 the whole table or zero out embedding_cosine_pairs."""
+    import numpy as np
+
+    from searchenginer_spark.operators.ann import srp_buckets
+    from searchenginer_spark.operators.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [(0, None), (1, base.tolist()), (2, (base * 2).tolist()),
+            (3, (-base).tolist())]
+    vecs = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+    b = srp_buckets(vecs.filter(F.col("vec").isNotNull()), vec_col="vec")
+    b_with_null = srp_buckets(vecs, vec_col="vec")
+    got = {r["vec_id"]: r["bucket"]
+           for r in b_with_null.filter(F.col("vec").isNotNull()).collect()}
+    want = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    assert got == want and len(set(want.values())) > 1
+
+    pairs = embedding_cosine_pairs(
+        vecs.filter(F.col("vec").isNotNull()).unionByName(
+            spark.createDataFrame([(0, None)], "vec_id long, vec array<double>")
+        ),
+        threshold=0.95,
+        persist_shared=False,
+    ).collect()
+    assert {(r["vec_id"], r["vec_id_2"]) for r in pairs} == {(1, 2)}

@@ -130,3 +130,14 @@ def test_suggest_pad_to_exactly_k(spark):
     assert all(r["term"] == "" and r["sim"] == 0.0 for r in rows[2:])
     # default: only real candidates
     assert suggest(td, "quer", k=10).count() == 2
+
+
+def test_suggest_lowercases_query(spark, term_dict):
+    """r6 fix: the dictionary is lowercased; a capitalized query must
+    fold before prefix pruning and edit distance, not prune away its
+    own first-letter bucket and pay a phantom edit."""
+    from searchenginer_spark.operators.suggest import suggest
+
+    lo = [(r["term"], r["sim"]) for r in suggest(term_dict, "retrun", k=5).collect()]
+    hi = [(r["term"], r["sim"]) for r in suggest(term_dict, "Retrun", k=5).collect()]
+    assert lo and hi == lo
