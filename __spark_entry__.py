@@ -2854,7 +2854,7 @@ b AS (
     len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|in|that|it)\\b')) AS s_en,
     len(regexp_extract_all(text, '(?i)\\b(el|la|los|es|una|que|por|con)\\b')) AS s_es,
     len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une|que|pas)\\b')) AS s_fr,
-    len(regexp_extract_all(text, '(?i)\\b(de|shi|le|zai|you|wo|ta|men)\\b')) AS s_zh
+    len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
   FROM dd
 ),
 m AS (
@@ -2960,7 +2960,7 @@ WITH b AS (
     len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is|in|that|it)\\b')) AS s_en,
     len(regexp_extract_all(text, '(?i)\\b(el|la|los|es|una|que|por|con)\\b')) AS s_es,
     len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une|que|pas)\\b')) AS s_fr,
-    len(regexp_extract_all(text, '(?i)\\b(de|shi|le|zai|you|wo|ta|men)\\b')) AS s_zh
+    len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS s_zh
   FROM documents WHERE doc_id < 100
 ),
 m AS (

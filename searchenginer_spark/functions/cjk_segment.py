@@ -308,14 +308,15 @@ class MixSegmenter(MPSegmenter):
 
 def dict_cjk_tokens_pandas_udf(word_freq: dict[str, int] | None = None):
     """Arrow-vectorized dict_cjk tokenizer (factory — pandas_udf needs an
-    active session). The word table rides the UDF closure to executors;
-    the segmenter builds once per worker process. Uses the Mix (MP + HMM
-    OOV) composition — the reference's default."""
-    table = dict(word_freq or DEFAULT_DICT)
+    active session). The SEGMENTER (MP log-prob map + derived-BEMS HMM
+    tables, an O(dict) Python pass) rides the UDF closure to executors —
+    built ONCE here, not per Arrow batch; MixSegmenter holds only plain
+    dicts/floats, so it pickles cleanly. Uses the Mix (MP + HMM OOV)
+    composition — the reference's default."""
+    seg = MixSegmenter(dict(word_freq or DEFAULT_DICT))
 
     @pandas_udf("array<string>")
     def _seg(text: pd.Series) -> pd.Series:
-        seg = MixSegmenter(table)
         return text.fillna("").map(seg.cut)
 
     return _seg

@@ -137,8 +137,13 @@ def simhash(keywords: DataFrame) -> DataFrame:
 
 
 def hamming(a, b):
-    """Hamming distance between two 64-bit columns (JVM bit_count)."""
-    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
+    """Hamming distance between two 64-bit columns (JVM bit_count).
+    Accepts column names or Columns in EITHER argument — the old
+    first-arg-only dispatch turned hamming(col, "name") into XOR with a
+    string LITERAL."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
 
 
 def simhash_bands(df: DataFrame, fp_col: str = "simhash", n_bands: int = 4) -> DataFrame:

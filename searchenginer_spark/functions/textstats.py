@@ -13,14 +13,22 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# marker stopwords per language — deterministic n-gram/stopword heuristic
+# marker stopwords per language — deterministic n-gram/stopword heuristic.
+# zh deliberately has NO ASCII marker list: real Chinese text contains no
+# \b-delimited pinyin romanizations, and the former pinyin markers
+# ('de', 'le', 'men'...) collided with Romance-language function words —
+# French text classified as zh, Chinese as und. zh scores by Han
+# codepoint count instead (one hit per CJK char, see lang_scores).
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
     "fr": ["le", "la", "les", "et", "est", "une", "que", "pas"],
     "es": ["el", "la", "los", "es", "una", "que", "por", "con"],
-    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men"],
 }
+
+#: strip-everything-but-Han pattern (CJK Unified Ideographs block); the
+#: SQL oracle twins embed the identical range
+CJK_NOT_HAN = "[^一-鿿]"
 
 STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "was", "for", "on", "with", "as"]
 
@@ -32,7 +40,9 @@ def _marker_hits(text: Column, markers: list[str]) -> Column:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    return {lang: _marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    scores = {lang: _marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    scores["zh"] = F.length(F.regexp_replace(text, CJK_NOT_HAN, ""))
+    return scores
 
 
 def lang_id(text: Column) -> Column:
@@ -50,7 +60,7 @@ def lang_id(text: Column) -> Column:
                 F.lit(-i).alias("rank"),
                 F.lit(lang).alias("lang"),
             )
-            for i, lang in enumerate(sorted(LANG_MARKERS))
+            for i, lang in enumerate(sorted(scores))
         ]
     )
     top = F.array_max(ranked)

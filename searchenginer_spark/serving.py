@@ -74,8 +74,14 @@ class SearchServer:
 
         self.spark = spark
         self.idx = open_index(spark, root)
-        self.term_dict = spark.read.parquet(f"{root}/term_dict")
         self.default_k = default_k
+        # one request at a time against the shared index handle: its lazy
+        # driver-dict cache and dict_version re-snapshot are check-then-act
+        # mutations, unsafe under concurrent handler threads. Throughput
+        # comes from /api/search_batch (one job per query SET), not from
+        # handler parallelism — same trade the reference's worker pool
+        # makes per engine connection.
+        self._lock = threading.Lock()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -98,7 +104,13 @@ class SearchServer:
                     raw = self.rfile.read(length)
                     ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                     if ctype == "application/json":
-                        params.update(json.loads(raw))  # values keep type
+                        try:
+                            body = json.loads(raw)
+                        except ValueError as e:
+                            raise _BadRequest(f"malformed JSON body: {e}") from None
+                        if not isinstance(body, dict):
+                            raise _BadRequest("JSON body must be an object")
+                        params.update(body)  # values keep type
                     else:  # the reference's form-body shape (Utils.cpp)
                         params.update(decode_form(raw.decode()))
                 return params
@@ -108,11 +120,14 @@ class SearchServer:
                 try:
                     params = self._params()
                     if path == "/api/search":
-                        self._reply(200, server.api_search(params))
+                        with server._lock:
+                            self._reply(200, server.api_search(params))
                     elif path == "/api/search_batch":
-                        self._reply(200, server.api_search_batch(params))
+                        with server._lock:
+                            self._reply(200, server.api_search_batch(params))
                     elif path == "/api/suggest":
-                        self._reply(200, server.api_suggest(params))
+                        with server._lock:
+                            self._reply(200, server.api_suggest(params))
                     else:
                         self._reply(404, {"error": f"no route {path}"})
                 except _BadRequest as e:
@@ -128,11 +143,23 @@ class SearchServer:
 
     # --- route implementations (also callable directly in tests)
 
+    def _k(self, params: dict) -> int:
+        v = params.get("k")
+        if v is None or v == "":
+            return self.default_k
+        try:
+            k = int(v)
+        except (TypeError, ValueError):
+            raise _BadRequest(f"'k' must be an integer, got {v!r}") from None
+        if k < 1:
+            raise _BadRequest(f"'k' must be >= 1, got {k}")
+        return k
+
     def api_search(self, params: dict[str, str]) -> dict:
         query = params.get("query") or params.get("q")
         if not query:
             raise _BadRequest("missing 'query'")
-        k = int(params.get("k") or self.default_k)
+        k = self._k(params)
         mode = params.get("mode") or "and"
         rows = self.idx.search_query(query, k=k, mode=mode).collect()
         return {
@@ -149,7 +176,7 @@ class SearchServer:
             queries = json.loads(queries)
         if not isinstance(queries, dict) or not queries:
             raise _BadRequest("missing 'queries' (object of id -> query)")
-        k = int(params.get("k") or self.default_k)
+        k = self._k(params)
         mode = params.get("mode") or "and"
         qs = {str(i): str(q) for i, q in queries.items()}
         rows = self.idx.search_query_batch(qs, k=k, mode=mode).collect()
@@ -164,10 +191,14 @@ class SearchServer:
         word = params.get("word") or params.get("q")
         if not word:
             raise _BadRequest("missing 'word'")
-        k = int(params.get("k") or self.default_k)
+        k = self._k(params)
         from .operators.suggest import suggest
 
-        rows = suggest(self.term_dict, word, k=k).collect()
+        # suggest from the handle's version-watched term_dict snapshot —
+        # a privately-held parquet read would serve a stale dictionary
+        # forever after incremental folds bump dict_version
+        self.idx._check_version()
+        rows = suggest(self.idx.term_dict, word, k=k).collect()
         return {
             "word": word,
             "suggestions": [{"term": r["term"], "sim": r["sim"]} for r in rows],

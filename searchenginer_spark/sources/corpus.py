@@ -56,7 +56,16 @@ def _content_for(ids: np.ndarray, seed: int) -> list[str]:
     # renamed doc must itself be renamed, or the byte-identity invariant for
     # ids with id%DUP_EVERY==1 breaks once chains hit the near-dup rule
     rename = base1 % NEARDUP_EVERY == 2
-    base = np.where(rename, base1 - 1, base1)
+    src = base1 - np.uint64(1)
+    # the near-dup partner must be a stream some doc actually DISPLAYS:
+    # when src is itself an exact-dup redirect (src%97==1 shows src-1),
+    # follow the redirect — otherwise ids with base1 % (97*101) == 2
+    # would have no un-renamed partner in the corpus and the FIXTURES
+    # hamming<=3 pair-by-construction invariant silently fails there.
+    # One hop suffices: (src-1)%97 == 0 and (src-1)%101 != 2 by modular
+    # arithmetic, so the resolved stream is displayed verbatim by doc src
+    src = np.where(src % DUP_EVERY == 1, src - np.uint64(1), src)
+    base = np.where(rename, src, base1)
     seed64 = np.uint64(seed)
 
     # token count per doc: 5..200 "lines" of ~6 tokens

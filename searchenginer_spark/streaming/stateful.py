@@ -25,9 +25,11 @@ def streaming_dedup(
 
     Within a micro-batch the lowest id wins (deterministic); across
     batches, arrival order wins (stream semantics). Output schema =
-    (id_col, text_col, content_hash).
+    (id_col, text_col, content_hash) with the id TYPE taken from the
+    input stream (string/int keys work, not just bigint).
     """
-    out_schema = f"{id_col} long, {text_col} string, content_hash string"
+    id_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {text_col} string, content_hash string"
     keyed = stream.select(
         F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("content_hash")
     ).groupBy("content_hash")

@@ -83,3 +83,41 @@ def test_read_text_corpus_roundtrip(spark, tmp_path):
     assert got == docs
     lines = {r["line"] for r in read_text_lines(spark, str(d / "b.txt")).collect()}
     assert lines == {"def foo", "return foo"}
+
+
+def test_neardup_partner_always_displayed(spark):
+    """r6 fix: every near-dup doc's un-renamed partner stream must be
+    DISPLAYED by some doc. The hole was base1 % (97*101) == 2 — the
+    source was itself an exact-dup redirect, so no doc carried the
+    un-renamed stream. Doc index 2 is exactly that case."""
+    import numpy as np
+
+    from searchenginer_spark.sources.corpus import _content_for
+
+    texts = _content_for(np.arange(0, 6, dtype=np.uint64), seed=42)
+    # doc 2 renames identifiers of the stream doc 0 displays (doc 1 is a
+    # byte-copy of doc 0, so the resolved source is 0): identical token
+    # STRUCTURE (hot tokens + line shape), differing only in renamed ids
+    t0, t2 = texts[0].split(), texts[2].split()
+    assert len(t0) == len(t2)
+    assert texts[1] == texts[0]  # exact-dup redirect unchanged
+    diffs = sum(a != b for a, b in zip(t0, t2))
+    assert 0 < diffs < len(t0)  # renamed, not unrelated
+
+
+def test_lang_id_cjk_and_romance(spark):
+    """r6 fix: zh scores by Han codepoints (pinyin markers collided with
+    Romance function words): French stays fr, Chinese text is zh."""
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.functions.textstats import lang_id
+
+    rows = [
+        (0, "de la part de madame de Pompadour et le reste"),
+        (1, "我们在这里学习中文的语言处理"),
+        (2, "the cat and the dog went to the market"),
+        (3, "qwerty uiop zxcv"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r["i"]: r["lang"] for r in df.select("i", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "fr", 1: "zh", 2: "en", 3: "und"}

@@ -91,11 +91,22 @@ def test_search_route_grammar_through_percent_encoding(server):
 def test_suggest_route_matches_direct_call(server):
     want = [
         {"term": r["term"], "sim": r["sim"]}
-        for r in suggest(server.term_dict, "retrun", k=5).collect()
+        for r in suggest(server.idx.term_dict, "retrun", k=5).collect()
     ]
     status, got = _get(server, "/api/suggest?word=retrun&k=5")
     assert status == 200
     assert got["word"] == "retrun" and got["suggestions"] == want
+
+
+def test_gateway_k_validation(server):
+    """r6 fix: malformed k is a 400, not a 500; k=0 rejected explicitly."""
+    for bad in ("abc", "0", "-3"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, f"/api/search?query=int&k={bad}")
+        assert e.value.code == 400, bad
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/api/search", "not json", "application/json")
+    assert e.value.code == 400
 
 
 def test_gateway_errors(server):
