@@ -26,6 +26,7 @@ from searchenginer_spark.functions.hashing import (
 from searchenginer_spark.functions.tokenize import tokens
 from searchenginer_spark.operators.ann import ann_lsh_topk, cosine_topk, srp_buckets
 from searchenginer_spark.operators.dedup import (
+    duplicated_spans,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -900,9 +901,30 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = ngram_jaccard_pairs(_union_docs(spark, sf_dir), threshold=0.5)
-    return pairs.select("doc_id", "doc_id_2", F.round("jaccard", 4).alias("jaccard"))
+def _q_dedup_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two text-dedup families, one normalized (branch, a, b, v) row set:
+
+    - 'jaccard': exact n-gram Jaccard pairs over the dup-injected union
+      corpus (a=doc_id, b=doc_id_2, v=jaccard@4dp) — the LSH verifier.
+    - 'substr': ExactSubstr duplicated spans (Lee et al. 2022,
+      operators/dedup.duplicated_spans) over the plain documents table at
+      min_len=8 (a=doc_id, b=span_start, v=span_end) — maximal token spans
+      whose every 8-gram repeats corpus-wide; the DuckDB twin recomputes
+      them from true gram strings, so the 128-bit hash shortcut is
+      value-checked end to end."""
+    pairs = ngram_jaccard_pairs(_union_docs(spark, sf_dir), threshold=0.5).select(
+        F.lit("jaccard").alias("branch"),
+        F.col("doc_id").alias("a"),
+        F.col("doc_id_2").alias("b"),
+        F.round("jaccard", 4).alias("v"),
+    )
+    spans = duplicated_spans(_docs(spark, sf_dir), min_len=8).select(
+        F.lit("substr").alias("branch"),
+        F.col("doc_id").alias("a"),
+        F.col("span_start").cast("long").alias("b"),
+        F.col("span_end").cast("double").alias("v"),
+    )
+    return pairs.unionByName(spans)
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2763,7 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_stats": _q_term_df_stats,
         "doc_lengths_topk": _q_doc_lengths,
         "dedup_exact_groups": _q_dedup_exact,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_text_suite": _q_dedup_text_suite,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_dedup_simhash,
@@ -2902,7 +2924,12 @@ SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
        count(*) AS n_copies
 FROM u GROUP BY 1 HAVING count(*) > 1
 """,
-        "ngram_jaccard_pairs": f"""
+        # jaccard branch over the dup-injected union; substr branch =
+        # ExactSubstr spans over plain documents (L=8): duplicated 8-gram
+        # positions (count over true gram strings — value-checks the Spark
+        # side's 128-bit hash shortcut) merged gaps-and-islands style (new
+        # island iff pos > prev + L, twin of _merge_positions' p > last.e)
+        "dedup_text_suite": f"""
 WITH {_UNION_SQL},
 tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks FROM u),
 sh AS (
@@ -2916,11 +2943,33 @@ inter AS (
   SELECT a.doc_id, b.doc_id AS doc_id_2, count(*) AS n_inter
   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+dtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks
+        FROM documents),
+gp AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM dtk, unnest(range(1, greatest(len(toks) - 8 + 1, 0) + 1)) AS r(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM gp
+  ) WHERE c >= 2
+),
+o AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM o
 )
-SELECT i.doc_id, i.doc_id_2,
-       round(n_inter / (s1.n_sh + s2.n_sh - n_inter), 4) AS jaccard
+SELECT 'jaccard' AS branch, i.doc_id AS a, i.doc_id_2 AS b,
+       round(n_inter / (s1.n_sh + s2.n_sh - n_inter), 4) AS v
 FROM inter i JOIN sz s1 ON i.doc_id = s1.doc_id JOIN sz s2 ON i.doc_id_2 = s2.doc_id
 WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.5
+UNION ALL
+SELECT 'substr' AS branch, doc_id AS a, min(pos)::BIGINT AS b,
+       (max(pos) + 8)::DOUBLE AS v
+FROM isl GROUP BY doc_id, grp
 """,
         "tfidf_keywords_topn": f"""
 WITH {_TOKS_CTE},

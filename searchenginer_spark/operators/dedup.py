@@ -604,3 +604,144 @@ def near_dup_clusters(
         (F.coalesce("component_id", F.col(id_col)) == F.col(id_col)).alias("is_kept"),
     )
     return _attach_intermediates(out, getattr(comp, "_sg_intermediates", []))
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    keep_first: bool = False,
+) -> DataFrame:
+    """(doc_id, span_start, span_end) — maximal token spans every one of
+    whose ``min_len``-grams occurs >= 2 times in the corpus (ExactSubstr
+    deduplication, Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — the suffix-array method re-expressed as a
+    distributed L-gram group-by; the reference engine has no analog, this
+    is a training-data-pipeline operator per the build charter).
+
+    Semantics: a token position p of a doc is *duplicated* iff the L-gram
+    starting at p (L = ``min_len``, over the standard lowercased identifier
+    token stream) appears at >= 2 (doc, pos) sites corpus-wide — including
+    repeats WITHIN one doc, matching the public deduplicate-text-datasets
+    tool. Overlapping/adjacent duplicated grams merge into maximal spans
+    [span_start, span_end) in token ordinals. With ``keep_first=True`` the
+    globally smallest (doc_id, pos) occurrence of each gram is NOT marked
+    (one copy of every repeated passage survives); the default False
+    removes all copies — the published tool's behavior (its paper measures
+    the both-copies-cut at <0.01% of tokens).
+
+    Scale shape (the reason this is not a suffix array): ONE corpus-sized
+    shuffle of (doc_id, pos, h1, h2) rows — 16 bytes of gram identity
+    instead of ~L tokens (the 128-bit double xxhash64 makes a false
+    duplicate-pair a ~2^-128 event per pair, far below any corpus's pair
+    count; the pytest oracle checks against true token grams). Duplicate
+    groups are found with a partial-aggregating groupBy (hot boilerplate
+    grams combine map-side) followed by an equi-join back to occurrences —
+    deliberately NOT a count-over-window, whose per-key partitions cannot
+    be skew-split by AQE the way join partitions can. Gram hashing is
+    O(n*L) via slice+concat (JVM codegen, no Python); span merging is a
+    per-doc sort_array + one linear F.aggregate pass, bounded by doc
+    length, never corpus-sized.
+    """
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    toks_df = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= L,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - L),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, L)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    occ = toks_df.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id",
+        "pos",
+        F.xxhash64("gram", F.lit(1)).alias("h1"),
+        F.xxhash64("gram", F.lit(2)).alias("h2"),
+    )
+    agg = (
+        occ.groupBy("h1", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("keeper"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    dup = occ.join(agg, ["h1", "h2"])
+    if keep_first:
+        dup = dup.filter(
+            (F.col("doc_id") != F.col("keeper.doc_id")) | (F.col("pos") != F.col("keeper.pos"))
+        )
+    merged = dup.groupBy("doc_id").agg(
+        _merge_positions(F.sort_array(F.collect_list("pos")), L).alias("sp")
+    )
+    return merged.select("doc_id", F.explode("sp").alias("s")).select(
+        "doc_id",
+        F.col("s.s").alias("span_start"),
+        F.col("s.e").alias("span_end"),
+    )
+
+
+def _merge_positions(ps, L: int):
+    """array<int> sorted gram starts -> array<struct<s,e>> maximal merged
+    [p, p+L) intervals. Pure Catalyst fold (F.aggregate); per-doc linear.
+    Adjacent intervals (p == last.e) merge: the union is one contiguous
+    duplicated token run. CaseWhen branch order guards the ANSI-mode
+    element_at(-1) on the empty accumulator."""
+    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+
+    def step(acc, p):
+        last = F.element_at(acc, -1)
+        s = p.cast("int")
+        e = (p + L).cast("int")
+        opened = F.concat(acc, F.array(F.struct(s.alias("s"), e.alias("e"))))
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["s"].alias("s"), e.alias("e"))),
+        )
+        return F.when(F.size(acc) == 0, opened).when(p > last["e"], opened).otherwise(extended)
+
+    return F.aggregate(ps, empty, step)
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every span's tokens from each doc's token stream; returns
+    (id_col, text_col, n_tokens, n_removed) with ``text_col`` rebuilt by
+    joining the SURVIVING tokens of the standard lowercased identifier
+    stream (the cut operates on the token sequence, exactly like the
+    reference tool — original inter-token bytes are not preserved).
+
+    Spans arrive pre-merged from :func:`duplicated_spans`; the filter is a
+    per-token interval test against the doc's own (few) spans, JVM-only.
+    Docs with no spans pass through whole. No shuffle beyond the span
+    group-by: spans are per-doc tiny, and the join is id-keyed (AQE
+    broadcasts the span side when small).
+    """
+    sp = spans.groupBy(F.col(id_col).alias("doc_id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks_df = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    joined = toks_df.join(sp, "doc_id", "left")
+    kept = F.when(F.col("_spans").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda t, i: ~F.exists(
+                "_spans",
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col("doc_id").alias(id_col),
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+    )

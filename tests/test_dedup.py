@@ -316,16 +316,19 @@ def test_dedup_docs_minhash_cc_materializes_after_release(spark, docs):
         release_intermediates,
     )
 
+    docs.count()  # materialize the fixture's persist + id-mint checkpoint
+    # BEFORE the baseline — in an isolated run they'd otherwise first
+    # materialize inside this test and read as a leak
     base = _n_persistent(spark)
     kept = dedup_docs(docs, how="minhash_cc", text_col="text")
     got = {r["doc_id"] for r in kept.collect()}  # the action that crashed
-    want = {
-        r["doc_id"]
-        for r in near_dup_clusters(docs, text_col="text")
-        .filter(F.col("is_kept"))
-        .collect()
-    }
+    cl = near_dup_clusters(docs, text_col="text")
+    want = {r["doc_id"] for r in cl.filter(F.col("is_kept")).collect()}
     assert got == want
+    # release BOTH paths' handles: the want-side clustering checkpoints
+    # its rounds too — dropping the df and hoping py4j/JVM GC unpersists
+    # them made this assert a race (passed only after enough GC churn)
+    release_intermediates(cl)
     release_intermediates(kept)
     import time
 

@@ -81,7 +81,7 @@ def test_release_entry_caches_leaves_no_persisted_rdds(spark):
     # no reachable handle afterwards) — covered only by the sweep
     for name in ("bm25_compressed_and_topk", "bm25_compressed_prod_geometry",
                  "dedup_minhash_lsh", "dedup_simhash_pairs",
-                 "dedup_embedding_pairs", "ngram_jaccard_pairs",
+                 "dedup_embedding_pairs", "dedup_text_suite",
                  "dedup_clusters",  # CC loop: localCheckpoint blocks swept
                  "bm25_stopword_topk"):
         qs[name](spark, sf).collect()
