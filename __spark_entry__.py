@@ -918,7 +918,10 @@ def _q_dedup_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id_2").alias("b"),
         F.round("jaccard", 4).alias("v"),
     )
-    spans = duplicated_spans(_docs(spark, sf_dir), min_len=8).select(
+    # persist_occurrences=False: contract rows return lazy DataFrames whose
+    # materialization they never see, so they cannot release a persisted
+    # occurrence handle afterwards (same hygiene rule as dedup_minhash_lsh)
+    spans = duplicated_spans(_docs(spark, sf_dir), min_len=8, persist_occurrences=False).select(
         F.lit("substr").alias("branch"),
         F.col("doc_id").alias("a"),
         F.col("span_start").cast("long").alias("b"),

@@ -389,6 +389,25 @@ def main() -> None:
 
         timed("dedup_minhash_lsh", _minhash, reps=2)
 
+        # ExactSubstr spans (Lee et al. 2022) at the paper-ish L=20: one
+        # corpus shuffle of 16-byte gram ids; count + total duplicated
+        # tokens so the phase exercises merge + output materialization
+        from searchenginer_spark.operators.dedup import duplicated_spans
+
+        def _substr():
+            sp = duplicated_spans(ddocs, min_len=20)
+            row = sp.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.col("span_end") - F.col("span_start")), F.lit(0)).alias("t"),
+            ).collect()[0]
+            release_intermediates(sp)
+            return int(row["n"]), int(row["t"])
+
+        (n_spans, dup_toks) = timed("dedup_substr_spans", _substr, reps=2)
+        extras["substr_spans"] = n_spans
+        extras["substr_dup_tokens"] = dup_toks
+        extras["substr_docs_per_sec"] = round(n_corpus / timings["dedup_substr_spans"], 1)
+
         # shared tf/dft/stats tables for simhash + the vector path — persist
         # and materialize as their own phase so the downstream phases time
         # the OPERATORS, not three repeated corpus tokenizations

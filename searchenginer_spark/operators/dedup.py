@@ -612,6 +612,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     min_len: int = 50,
     keep_first: bool = False,
+    persist_occurrences: bool = True,
 ) -> DataFrame:
     """(doc_id, span_start, span_end) — maximal token spans every one of
     whose ``min_len``-grams occurs >= 2 times in the corpus (ExactSubstr
@@ -643,7 +644,17 @@ def duplicated_spans(
     O(n*L) via slice+concat (JVM codegen, no Python); span merging is a
     per-doc sort_array + one linear F.aggregate pass, bounded by doc
     length, never corpus-sized.
+
+    The occurrence table feeds BOTH the group-by and the join probe side,
+    and the group-by's partial-agg exchange is not reusable for the join —
+    without a persist the O(n*L) gram hashing runs twice (measured 1.5x
+    the phase wall at 12M grams). Default ``persist_occurrences=True``
+    persists it MEMORY_AND_DISK (spill-safe at scale) and attaches the
+    handle for :func:`release_intermediates`; pass False for one-shot
+    callers that must leave no block-manager residue.
     """
+    from pyspark import StorageLevel
+
     L = int(min_len)
     if L < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
@@ -662,6 +673,10 @@ def duplicated_spans(
         F.xxhash64("gram", F.lit(1)).alias("h1"),
         F.xxhash64("gram", F.lit(2)).alias("h2"),
     )
+    handles: list[DataFrame] = []
+    if persist_occurrences:
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+        handles.append(occ)
     agg = (
         occ.groupBy("h1", "h2")
         .agg(
@@ -678,11 +693,12 @@ def duplicated_spans(
     merged = dup.groupBy("doc_id").agg(
         _merge_positions(F.sort_array(F.collect_list("pos")), L).alias("sp")
     )
-    return merged.select("doc_id", F.explode("sp").alias("s")).select(
+    out = merged.select("doc_id", F.explode("sp").alias("s")).select(
         "doc_id",
         F.col("s.s").alias("span_start"),
         F.col("s.e").alias("span_end"),
     )
+    return _attach_intermediates(out, handles)
 
 
 def _merge_positions(ps, L: int):

@@ -12,7 +12,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from searchenginer_spark.operators.dedup import duplicated_spans, strip_duplicated_spans
+from searchenginer_spark.operators.dedup import (
+    duplicated_spans,
+    release_intermediates,
+    strip_duplicated_spans,
+)
 
 TOK = re.compile(r"[a-z_][a-z0-9_]*")
 
@@ -68,9 +72,9 @@ def docs_df(spark):
 
 @pytest.mark.parametrize("keep_first", [False, True])
 def test_spans_match_bruteforce(spark, docs_df, keep_first):
-    got = sorted(
-        tuple(r) for r in duplicated_spans(docs_df, min_len=4, keep_first=keep_first).collect()
-    )
+    sp = duplicated_spans(docs_df, min_len=4, keep_first=keep_first)
+    got = sorted(tuple(r) for r in sp.collect())
+    release_intermediates(sp)  # reclaim the persisted occurrence table
     assert got == _oracle_spans(DOCS, 4, keep_first)
 
 
@@ -79,13 +83,13 @@ def test_within_doc_repeat_marked(spark, docs_df):
     the count is over (doc, pos) sites, not distinct docs."""
     got = {
         (r["doc_id"], r["span_start"], r["span_end"])
-        for r in duplicated_spans(docs_df, min_len=4).collect()
+        for r in duplicated_spans(docs_df, min_len=4, persist_occurrences=False).collect()
     }
     assert (3, 0, 8) in got
 
 
 def test_strip_removes_exactly_the_spans(spark, docs_df):
-    spans = duplicated_spans(docs_df, min_len=4)
+    spans = duplicated_spans(docs_df, min_len=4, persist_occurrences=False)
     want_spans = _oracle_spans(DOCS, 4, keep_first=False)
     out = {
         r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
@@ -111,12 +115,12 @@ def test_keep_first_semantics(spark, docs_df):
     inherent to span-based cutting, same as the published tool.)"""
     kf = {
         (r["doc_id"], r["span_start"], r["span_end"])
-        for r in duplicated_spans(docs_df, min_len=4, keep_first=True).collect()
+        for r in duplicated_spans(docs_df, min_len=4, keep_first=True, persist_occurrences=False).collect()
     }
     assert not any(d == 0 for d, _, _ in kf)  # first copy survives whole
     assert (1, 1, 9) in kf  # second copy still cut
     marked_kf = {(d, p) for d, s, e in kf for p in range(s, e)}
-    all_spans = duplicated_spans(docs_df, min_len=4).collect()
+    all_spans = duplicated_spans(docs_df, min_len=4, persist_occurrences=False).collect()
     marked_all = {
         (r["doc_id"], p)
         for r in all_spans
@@ -126,7 +130,7 @@ def test_keep_first_semantics(spark, docs_df):
 
 
 def test_plan_is_jvm_only(spark, docs_df):
-    spans = duplicated_spans(docs_df, min_len=4)
+    spans = duplicated_spans(docs_df, min_len=4, persist_occurrences=False)
     for df in (spans, strip_duplicated_spans(docs_df, spans)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
@@ -149,6 +153,9 @@ def test_spans_property(spark, token_lists, L, keep_first):
     docs = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = sorted(
-        tuple(r) for r in duplicated_spans(df, min_len=L, keep_first=keep_first).collect()
+        tuple(r)
+        for r in duplicated_spans(
+            df, min_len=L, keep_first=keep_first, persist_occurrences=False
+        ).collect()
     )
     assert got == _oracle_spans(docs, L, keep_first)
