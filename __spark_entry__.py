@@ -1085,9 +1085,11 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality metrics PLUS the per-doc language-ID marker — one
     contract row verifying the whole textstats family (r5 consolidation
     of the former lang_id_counts entry; per-doc lang labels are a
-    STRONGER check than the old language histogram)."""
+    STRONGER check than the old language histogram). r6 adds the Gopher
+    repetition-filter family (textstats.repetition_signals)."""
     d = _docs(spark, sf_dir)
     t = F.col("text")
+    sig = TS.repetition_signals(t, top_ns=(2, 3), dup_ns=(5, 10))
     return d.filter(F.col("doc_id") < 100).select(
         "doc_id",
         TS.ws_token_count(t).alias("n_ws"),
@@ -1097,6 +1099,14 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TS.mean_word_len(t), 4).alias("mean_word_len"),
         F.round(TS.quality_score(t), 4).alias("quality"),
         TS.lang_id(t).alias("pred_lang"),
+        # r6: Gopher repetition filters (one column per family here; the
+        # full n-range is pytest-oracled in test_repetition)
+        F.round(sig["dup_line_frac"], 4).alias("dup_line_frac"),
+        F.round(sig["dup_line_char_frac"], 4).alias("dup_line_char_frac"),
+        F.round(sig["top_2gram_char_frac"], 4).alias("top_2gram_cf"),
+        F.round(sig["top_3gram_char_frac"], 4).alias("top_3gram_cf"),
+        F.round(sig["dup_5gram_char_frac"], 4).alias("dup_5gram_cf"),
+        F.round(sig["dup_10gram_char_frac"], 4).alias("dup_10gram_cf"),
     )
 
 
@@ -3021,8 +3031,67 @@ m AS (
     CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END AS stopword_ratio,
     CASE WHEN n_ws > 0 THEN n_nonspace / n_ws ELSE 0.0 END AS mean_word_len
   FROM b
-)
-SELECT doc_id, n_ws, n_bpe,
+),
+-- Gopher repetition twins: line stats are pure list math; n-gram stats
+-- recount true gram strings, then gaps-and-islands merge (new island iff
+-- pos > prev + n) twins _merge_positions for the duplicated-char coverage
+lrep AS (
+  SELECT doc_id,
+    string_split(text, chr(10)) AS ls,
+    list_distinct(string_split(text, chr(10))) AS ld
+  FROM documents WHERE doc_id < 100
+),
+lfr AS (
+  SELECT doc_id,
+    CASE WHEN len(ls) > 0 THEN (len(ls) - len(ld)) / len(ls) ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) > 0
+         THEN (coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0)
+             - coalesce(list_aggregate(list_transform(ld, x -> length(x)), 'sum'), 0))
+             / coalesce(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0)
+         ELSE 0.0 END AS dup_line_char_frac
+  FROM lrep
+),
+qtk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks
+        FROM documents WHERE doc_id < 100),
+qtc AS (SELECT doc_id,
+               coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0) AS total
+        FROM qtk),
+qg AS (
+  SELECT doc_id, n, i - 1 AS pos, array_to_string(toks[i:i+n-1], ' ') AS gram
+  FROM qtk, unnest([2, 3, 5, 10]) AS nn(n),
+       unnest(range(1, greatest(len(toks) - n + 1, 0) + 1)) AS r(i)
+),
+qcnt AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) - (n - 1) AS chars
+         FROM qg GROUP BY doc_id, n, gram),
+qtop AS (
+  SELECT c1.doc_id, c1.n, mx.mc * max(c1.chars) AS num
+  FROM qcnt c1 JOIN (SELECT doc_id, n, max(c) AS mc FROM qcnt GROUP BY 1, 2) mx
+    ON c1.doc_id = mx.doc_id AND c1.n = mx.n AND c1.c = mx.mc
+  GROUP BY c1.doc_id, c1.n, mx.mc
+),
+qtopp AS (SELECT doc_id, max(CASE WHEN n = 2 THEN num END) AS num2,
+                 max(CASE WHEN n = 3 THEN num END) AS num3
+          FROM qtop GROUP BY 1),
+qdup AS (SELECT g.doc_id, g.n, g.pos
+         FROM qg g JOIN qcnt c ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
+         WHERE c.c >= 2),
+qo AS (SELECT doc_id, n, pos,
+              lag(pos) OVER (PARTITION BY doc_id, n ORDER BY pos) AS prev FROM qdup),
+qisl AS (SELECT doc_id, n, pos,
+                sum(CASE WHEN prev IS NULL OR pos > prev + n THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id, n ORDER BY pos) AS grp
+         FROM qo),
+qspan AS (SELECT doc_id, n, min(pos) AS s, max(pos) + n AS e
+          FROM qisl GROUP BY doc_id, n, grp),
+qcov AS (SELECT sp.doc_id, sp.n,
+                sum(coalesce(list_aggregate(
+                      list_transform(tk2.toks[sp.s + 1:sp.e], t -> length(t)), 'sum'), 0)) AS cov
+         FROM qspan sp JOIN qtk tk2 ON sp.doc_id = tk2.doc_id
+         GROUP BY 1, 2),
+qcovp AS (SELECT doc_id, max(CASE WHEN n = 5 THEN cov END) AS cov5,
+                 max(CASE WHEN n = 10 THEN cov END) AS cov10
+          FROM qcov GROUP BY 1)
+SELECT m.doc_id, n_ws, n_bpe,
   round(punct_ratio, 4) AS punct_ratio,
   round(stopword_ratio, 4) AS stopword_ratio,
   round(mean_word_len, 4) AS mean_word_len,
@@ -3036,8 +3105,18 @@ SELECT doc_id, n_ws, n_bpe,
        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
        WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
        WHEN s_fr >= s_zh THEN 'fr'
-       ELSE 'zh' END AS pred_lang
+       ELSE 'zh' END AS pred_lang,
+  round(coalesce(lfr.dup_line_frac, 0.0), 4) AS dup_line_frac,
+  round(coalesce(lfr.dup_line_char_frac, 0.0), 4) AS dup_line_char_frac,
+  round(CASE WHEN qtc.total > 0 THEN coalesce(qtopp.num2, 0) / qtc.total ELSE 0.0 END, 4) AS top_2gram_cf,
+  round(CASE WHEN qtc.total > 0 THEN coalesce(qtopp.num3, 0) / qtc.total ELSE 0.0 END, 4) AS top_3gram_cf,
+  round(CASE WHEN qtc.total > 0 THEN coalesce(qcovp.cov5, 0) / qtc.total ELSE 0.0 END, 4) AS dup_5gram_cf,
+  round(CASE WHEN qtc.total > 0 THEN coalesce(qcovp.cov10, 0) / qtc.total ELSE 0.0 END, 4) AS dup_10gram_cf
 FROM m
+LEFT JOIN lfr ON m.doc_id = lfr.doc_id
+LEFT JOIN qtc ON m.doc_id = qtc.doc_id
+LEFT JOIN qtopp ON m.doc_id = qtopp.doc_id
+LEFT JOIN qcovp ON m.doc_id = qcovp.doc_id
 """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

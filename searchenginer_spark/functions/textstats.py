@@ -111,3 +111,163 @@ def quality_score(text: Column) -> Column:
     mwl = mean_word_len(text)
     mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
     return (len_ok + stop_ok + punct_ok + mwl_ok) / F.lit(4.0)
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021, §A1.1 — public recipe, also
+# shipped as RedPajama "quality signals"): per-doc duplicate-line fractions,
+# most-frequent-n-gram character fraction (n=2..4), and the fraction of
+# characters covered by any duplicated n-gram (n=5..10, overlap-merged so
+# characters are never double-counted). Everything below is PER-ROW Catalyst
+# higher-order-function math over the standard lowercased identifier token
+# stream — zero shuffles, zero Python: the whole signal family scales as a
+# narrow map over the corpus. Character fractions count TOKEN characters
+# (no whitespace); the SQL oracle twins mirror that definition exactly.
+
+
+def _sorted_gram_runs(toks: Column, tok_lens: Column, n: int) -> Column:
+    """struct(best_cnt, best_chars, dup) for one n: sort the doc's n-gram
+    (xxhash64, pos) pairs by hash, then ONE linear fold over the runs —
+    `best` is the most frequent gram (ties: larger char length, which is
+    the only tie rule observable in the output frac = cnt*chars/total),
+    `dup` is every gram position whose gram occurs >= 2 times in the doc.
+    O(len log len) per row; run positions concat per run keeps the fold
+    linear for typical docs (a fully-self-duplicated doc degrades to the
+    doc's own length squared in element copies, still row-bounded)."""
+    np_ = F.size(toks) - n + 1
+    pairs = F.when(
+        np_ >= 1,
+        F.transform(
+            F.sequence(F.lit(0), np_ - 1),
+            lambda i: F.struct(
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))).alias("h"),
+                i.cast("int").alias("p"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<h:bigint,p:int>>)"))
+    srt = F.array_sort(pairs)
+
+    def run_chars(first_p):
+        # identical hash => identical token slice (w.h.p.), so the run's
+        # char length is the slice sum at its first position
+        return F.aggregate(
+            F.slice(tok_lens, first_p + 1, n), F.lit(0), lambda a, x: a + x
+        )
+
+    def close_run(acc):
+        rc = F.size(acc["run_pos"])
+        chars = F.when(rc >= 1, run_chars(F.element_at(acc["run_pos"], 1))).otherwise(F.lit(0))
+        better = (rc > acc["best_cnt"]) | (
+            (rc == acc["best_cnt"]) & (chars > acc["best_chars"])
+        )
+        return F.struct(
+            F.when(better, rc).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, chars).otherwise(acc["best_chars"]).alias("best_chars"),
+            F.when(rc >= 2, F.concat(acc["dup"], acc["run_pos"]))
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("prev_h"),
+        F.expr("CAST(array() AS array<int>)").alias("run_pos"),
+        F.lit(0).alias("best_cnt"),
+        F.lit(0).alias("best_chars"),
+        F.expr("CAST(array() AS array<int>)").alias("dup"),
+    )
+
+    def merge(acc, e):
+        same = (F.size(acc["run_pos"]) > 0) & (e["h"] == acc["prev_h"])
+        closed = close_run(acc)
+        return F.when(
+            same,
+            F.struct(
+                acc["prev_h"].alias("prev_h"),
+                F.concat(acc["run_pos"], F.array(e["p"])).alias("run_pos"),
+                acc["best_cnt"].alias("best_cnt"),
+                acc["best_chars"].alias("best_chars"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                e["h"].alias("prev_h"),
+                F.array(e["p"]).alias("run_pos"),
+                closed["best_cnt"].alias("best_cnt"),
+                closed["best_chars"].alias("best_chars"),
+                closed["dup"].alias("dup"),
+            )
+        )
+
+    return F.aggregate(srt, init, merge, close_run)
+
+
+def repetition_signals(
+    text: Column,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> dict[str, Column]:
+    """dict of named repetition-signal Columns for one text column:
+
+    - ``dup_line_frac``: fraction of the doc's newline-split lines that are
+      repeats of an earlier identical line (1 - distinct/total).
+    - ``dup_line_char_frac``: fraction of line characters sitting in those
+      repeated occurrences (total line chars minus each distinct line
+      counted once).
+    - ``top_{n}gram_char_frac``: chars of the most frequent n-gram times
+      its count, over total token chars (Gopher's "fraction of characters
+      contained in the most frequently-occurring n-gram").
+    - ``dup_{n}gram_char_frac``: fraction of token chars covered by ANY
+      n-gram occurring >= 2 times in the doc, overlapping grams merged via
+      the same interval fold ExactSubstr uses (no double counting).
+
+    Pure per-row column math (see module comment); compose with
+    :func:`quality_score` and the Gopher thresholds (0.30/0.20,
+    0.20/0.18/0.16, 0.15..0.10) to gate documents.
+    """
+    from ..functions.tokenize import tokens as _tokens
+    from ..operators.dedup import _merge_positions
+
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    out: dict[str, Column] = {
+        "dup_line_frac": F.when(
+            n_lines > 0, (n_lines - n_distinct) / n_lines.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "dup_line_char_frac": F.when(
+            line_chars > 0,
+            (line_chars - distinct_chars) / line_chars.cast("double"),
+        ).otherwise(F.lit(0.0)),
+    }
+
+    toks = _tokens(text)
+    tok_lens = F.transform(toks, F.length)
+    total_chars = F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x)
+
+    for n in top_ns:
+        runs = _sorted_gram_runs(toks, tok_lens, n)
+        out[f"top_{n}gram_char_frac"] = F.when(
+            total_chars > 0,
+            runs["best_cnt"].cast("double") * runs["best_chars"] / total_chars,
+        ).otherwise(F.lit(0.0))
+    for n in dup_ns:
+        runs = _sorted_gram_runs(toks, tok_lens, n)
+        spans = _merge_positions(F.array_sort(runs["dup"]), n)
+        covered = F.aggregate(
+            spans,
+            F.lit(0),
+            lambda a, s: a
+            + F.aggregate(
+                F.slice(tok_lens, s["s"] + 1, s["e"] - s["s"]),
+                F.lit(0),
+                lambda b, x: b + x,
+            ),
+        )
+        out[f"dup_{n}gram_char_frac"] = F.when(
+            total_chars > 0, covered / total_chars.cast("double")
+        ).otherwise(F.lit(0.0))
+    return out
