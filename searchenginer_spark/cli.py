@@ -14,6 +14,8 @@ Commands:
   embed-train --corpus /path --out /vecs        PPMI word vectors (r5)
   bpe-train   --corpus /path --out /merges      learned BPE tokenizer (r5)
   lm-score    --corpus /path --out /ppl         perplexity quality gate (r5)
+  corpus-clean --corpus /path --out /clean      Gopher repetition gate +
+              ExactSubstr duplicated-span strip (r6, Lee et al. 2022)
   bench       (same as bench.py)
 
 The reference's equivalents are the makepage/MakeDictTool binaries and the
@@ -113,6 +115,25 @@ def main(argv: list[str] | None = None) -> None:
     lm.add_argument("--out", required=True, help="(doc_id, perplexity) parquet sink")
     lm.add_argument("--order", type=int, default=3)
     lm.add_argument("--min-count", type=int, default=2)
+
+    cc = sub.add_parser(
+        "corpus-clean",
+        help="training-data cleaning: Gopher repetition gate + ExactSubstr strip (r6)",
+    )
+    cc.add_argument("--corpus", required=True)
+    cc.add_argument("--text-col", default="content")
+    cc.add_argument("--id-col", default="doc_id")
+    cc.add_argument("--out", required=True,
+                    help="cleaned parquet sink: (id, text, n_tokens, n_removed)")
+    cc.add_argument("--min-len", type=int, default=50,
+                    help="ExactSubstr gram length in tokens (0 = skip the strip)")
+    cc.add_argument("--keep-first", action="store_true",
+                    help="leave the first (doc, pos) copy of each repeated passage")
+    cc.add_argument("--gate", action="store_true",
+                    help="drop docs failing the Gopher repetition thresholds first")
+    cc.add_argument("--max-dup-line-frac", type=float, default=0.30)
+    cc.add_argument("--max-top2gram-frac", type=float, default=0.20)
+    cc.add_argument("--max-dup5gram-frac", type=float, default=0.15)
 
     args = ap.parse_args(argv)
 
@@ -259,6 +280,53 @@ def main(argv: list[str] | None = None) -> None:
         ).first()
         print(json.dumps({"written": args.out, "n_docs": stats["n"],
                           "mean_perplexity": stats["mean_ppl"]}))
+
+    elif args.cmd == "corpus-clean":
+        from pyspark.sql import functions as F
+
+        from .functions.textstats import repetition_signals
+        from .operators.dedup import (
+            duplicated_spans,
+            release_intermediates,
+            strip_duplicated_spans,
+        )
+
+        docs = spark.read.parquet(args.corpus)
+        n_in = docs.count()
+        if args.gate:
+            sig = repetition_signals(F.col(args.text_col), top_ns=(2,), dup_ns=(5,))
+            docs = docs.filter(
+                (sig["dup_line_frac"] <= args.max_dup_line_frac)
+                & (sig["top_2gram_char_frac"] <= args.max_top2gram_frac)
+                & (sig["dup_5gram_char_frac"] <= args.max_dup5gram_frac)
+            )
+        if args.min_len:
+            spans = duplicated_spans(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                min_len=args.min_len, keep_first=args.keep_first,
+            )
+            cleaned = strip_duplicated_spans(
+                docs, spans, text_col=args.text_col, id_col=args.id_col
+            )
+            cleaned.write.mode("overwrite").parquet(args.out)
+            release_intermediates(spans)
+        else:
+            docs.write.mode("overwrite").parquet(args.out)
+        # summarize from the WRITTEN table (same rule as lm-score: never
+        # re-execute the lazy cleaning plan for stats)
+        out_df = spark.read.parquet(args.out)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if args.min_len:
+            aggs += [
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("toks"),
+                F.coalesce(F.sum("n_removed"), F.lit(0)).alias("cut"),
+            ]
+        stats = out_df.agg(*aggs).first()
+        summary = {"written": args.out, "docs_in": n_in, "docs_out": stats["n"]}
+        if args.min_len:
+            summary["tokens_seen"] = int(stats["toks"])
+            summary["tokens_removed"] = int(stats["cut"])
+        print(json.dumps(summary))
 
     if owned:  # don't stop a session we merely joined
         spark.stop()

@@ -121,3 +121,38 @@ def test_cjk_bigram_retrieval_golden(spark):
     for w, want in [("机器", {1, 2}), ("学习", {1, 3}), ("机器人", {2}), ("工厂", {2})]:
         got = {d for d, ts in toks.items() if set(bigrams(w)) <= ts}
         assert got == want, (w, got, want)
+
+
+def test_cli_corpus_clean(spark, tmp_path, capsys):
+    """r6 corpus-clean: Gopher gate drops the degenerate doc, ExactSubstr
+    strips the cross-doc repeated passage, stats summarize the WRITTEN
+    table."""
+    import json
+
+    from searchenginer_spark import cli
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    rows = [
+        (0, "lead " + shared + " tail0 " + " ".join(f"a{i}" for i in range(20))),
+        (1, "start " + shared + " end1 " + " ".join(f"b{i}" for i in range(20))),
+        (2, "spam " * 400),  # fails the Gopher gate (top-2gram frac = 1)
+        (3, " ".join(f"c{i}" for i in range(40))),  # clean and unique
+    ]
+    src = str(tmp_path / "dirty")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(rows, "doc_id long, content string").write.parquet(src)
+
+    cli.main([
+        "corpus-clean", "--corpus", src, "--out", out,
+        "--min-len", "8", "--gate",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_in"] == 4 and summary["docs_out"] == 3
+    assert summary["tokens_removed"] >= 12  # the shared passage is cut
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 1, 3}  # doc 2 gated out
+    for d in (0, 1):  # shared passage stripped from both (keep_first off)
+        assert "tok0" not in got[d]["content"]
+        assert got[d]["n_removed"] >= 12
+    assert got[3]["n_removed"] == 0 and got[3]["n_tokens"] == 40
