@@ -293,6 +293,7 @@ def main(argv: list[str] | None = None) -> None:
 
         docs = spark.read.parquet(args.corpus)
         n_in = docs.count()
+        gated = False
         if args.gate:
             sig = repetition_signals(F.col(args.text_col), top_ns=(2,), dup_ns=(5,))
             docs = docs.filter(
@@ -300,6 +301,12 @@ def main(argv: list[str] | None = None) -> None:
                 & (sig["top_2gram_char_frac"] <= args.max_top2gram_frac)
                 & (sig["dup_5gram_char_frac"] <= args.max_dup5gram_frac)
             )
+            if args.min_len:
+                # the gated plan (scan + per-row repetition folds) feeds
+                # BOTH the span finder and the strip probe side — persist
+                # it or the gate math runs twice end to end
+                docs = docs.persist()
+                gated = True
         if args.min_len:
             spans = duplicated_spans(
                 docs, text_col=args.text_col, id_col=args.id_col,
@@ -312,6 +319,8 @@ def main(argv: list[str] | None = None) -> None:
             release_intermediates(spans)
         else:
             docs.write.mode("overwrite").parquet(args.out)
+        if gated:
+            docs.unpersist()
         # summarize from the WRITTEN table (same rule as lm-score: never
         # re-execute the lazy cleaning plan for stats)
         out_df = spark.read.parquet(args.out)

@@ -127,13 +127,14 @@ def quality_score(text: Column) -> Column:
 
 def _sorted_gram_runs(toks: Column, tok_lens: Column, n: int) -> Column:
     """struct(best_cnt, best_chars, dup) for one n: sort the doc's n-gram
-    (xxhash64, pos) pairs by hash, then ONE linear fold over the runs —
-    `best` is the most frequent gram (ties: larger char length, which is
-    the only tie rule observable in the output frac = cnt*chars/total),
-    `dup` is every gram position whose gram occurs >= 2 times in the doc.
-    O(len log len) per row; run positions concat per run keeps the fold
-    linear for typical docs (a fully-self-duplicated doc degrades to the
-    doc's own length squared in element copies, still row-bounded)."""
+    (xxhash64, pos) pairs by hash, then two LINEAR passes over the sorted
+    array — `best` is the most frequent gram (ties: larger char length,
+    the only tie rule observable in the output frac = cnt*chars/total) via
+    a scalar-accumulator fold, and `dup` (every gram position whose gram
+    occurs >= 2 times in the doc) via a neighbor-equality scan. Both are
+    O(len log len) per row with NO array accumulation in the fold — the
+    earlier concat-per-run-close version went quadratic in element copies
+    on exactly the boilerplate/spam docs this filter exists to catch."""
     np_ = F.size(toks) - n + 1
     pairs = F.when(
         np_ >= 1,
@@ -146,6 +147,7 @@ def _sorted_gram_runs(toks: Column, tok_lens: Column, n: int) -> Column:
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<h:bigint,p:int>>)"))
     srt = F.array_sort(pairs)
+    m = F.size(srt)
 
     def run_chars(first_p):
         # identical hash => identical token slice (w.h.p.), so the run's
@@ -154,51 +156,73 @@ def _sorted_gram_runs(toks: Column, tok_lens: Column, n: int) -> Column:
             F.slice(tok_lens, first_p + 1, n), F.lit(0), lambda a, x: a + x
         )
 
-    def close_run(acc):
-        rc = F.size(acc["run_pos"])
-        chars = F.when(rc >= 1, run_chars(F.element_at(acc["run_pos"], 1))).otherwise(F.lit(0))
-        better = (rc > acc["best_cnt"]) | (
-            (rc == acc["best_cnt"]) & (chars > acc["best_chars"])
+    # dup positions: element k of the hash-sorted array is duplicated iff
+    # it shares its hash with either sorted neighbor (CaseWhen bounds
+    # guards keep ANSI element_at in range); output order is hash order —
+    # callers re-sort by position before interval-merging
+    def _dup_cond(k):
+        cur = F.element_at(srt, k + 1)["h"]
+        prev_eq = F.when(k > 0, F.element_at(srt, k)["h"] == cur).otherwise(F.lit(False))
+        next_eq = F.when(k < m - 1, F.element_at(srt, k + 2)["h"] == cur).otherwise(
+            F.lit(False)
         )
-        return F.struct(
-            F.when(better, rc).otherwise(acc["best_cnt"]).alias("best_cnt"),
-            F.when(better, chars).otherwise(acc["best_chars"]).alias("best_chars"),
-            F.when(rc >= 2, F.concat(acc["dup"], acc["run_pos"]))
-            .otherwise(acc["dup"])
-            .alias("dup"),
-        )
+        return prev_eq | next_eq
 
+    dup = F.transform(
+        F.filter(F.sequence(F.lit(0), m - 1), _dup_cond),
+        lambda k: F.element_at(srt, k + 1)["p"],
+    )
+    dup = F.when(m >= 1, dup).otherwise(F.expr("CAST(array() AS array<int>)"))
+
+    # best run: scalar accumulator only (prev_h, current run length + first
+    # position, best count + chars) — close the open run on hash change
+    # and once more in the finish lambda
     init = F.struct(
         F.lit(0).cast("bigint").alias("prev_h"),
-        F.expr("CAST(array() AS array<int>)").alias("run_pos"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("first_p"),
         F.lit(0).alias("best_cnt"),
         F.lit(0).alias("best_chars"),
-        F.expr("CAST(array() AS array<int>)").alias("dup"),
     )
 
+    def close_run(acc):
+        chars = F.when(acc["run"] >= 1, run_chars(acc["first_p"])).otherwise(F.lit(0))
+        better = (acc["run"] > acc["best_cnt"]) | (
+            (acc["run"] == acc["best_cnt"]) & (chars > acc["best_chars"])
+        )
+        return F.struct(
+            F.when(better, acc["run"]).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, chars).otherwise(acc["best_chars"]).alias("best_chars"),
+        )
+
     def merge(acc, e):
-        same = (F.size(acc["run_pos"]) > 0) & (e["h"] == acc["prev_h"])
+        same = (acc["run"] > 0) & (e["h"] == acc["prev_h"])
         closed = close_run(acc)
         return F.when(
             same,
             F.struct(
                 acc["prev_h"].alias("prev_h"),
-                F.concat(acc["run_pos"], F.array(e["p"])).alias("run_pos"),
+                (acc["run"] + 1).alias("run"),
+                acc["first_p"].alias("first_p"),
                 acc["best_cnt"].alias("best_cnt"),
                 acc["best_chars"].alias("best_chars"),
-                acc["dup"].alias("dup"),
             ),
         ).otherwise(
             F.struct(
                 e["h"].alias("prev_h"),
-                F.array(e["p"]).alias("run_pos"),
+                F.lit(1).alias("run"),
+                e["p"].alias("first_p"),
                 closed["best_cnt"].alias("best_cnt"),
                 closed["best_chars"].alias("best_chars"),
-                closed["dup"].alias("dup"),
             )
         )
 
-    return F.aggregate(srt, init, merge, close_run)
+    best = F.aggregate(srt, init, merge, close_run)
+    return F.struct(
+        best["best_cnt"].alias("best_cnt"),
+        best["best_chars"].alias("best_chars"),
+        dup.alias("dup"),
+    )
 
 
 def repetition_signals(
@@ -225,7 +249,7 @@ def repetition_signals(
     0.20/0.18/0.16, 0.15..0.10) to gate documents.
     """
     from ..functions.tokenize import tokens as _tokens
-    from ..operators.dedup import _merge_positions
+    from .spans import merge_token_spans
 
     lines = F.split(text, "\n")
     n_lines = F.size(lines)
@@ -256,7 +280,7 @@ def repetition_signals(
         ).otherwise(F.lit(0.0))
     for n in dup_ns:
         runs = _sorted_gram_runs(toks, tok_lens, n)
-        spans = _merge_positions(F.array_sort(runs["dup"]), n)
+        spans = merge_token_spans(F.array_sort(runs["dup"]), n)
         covered = F.aggregate(
             spans,
             F.lit(0),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import minhash_signatures, simhash_bands, token_shingles
+from ..functions.spans import merge_token_spans
 from ..functions.tokenize import tokens
 from .ids import release_plan_checkpoints
 
@@ -614,7 +615,7 @@ def duplicated_spans(
     keep_first: bool = False,
     persist_occurrences: bool = True,
 ) -> DataFrame:
-    """(doc_id, span_start, span_end) — maximal token spans every one of
+    """(id_col, span_start, span_end) — maximal token spans every one of
     whose ``min_len``-grams occurs >= 2 times in the corpus (ExactSubstr
     deduplication, Lee et al. 2022, "Deduplicating Training Data Makes
     Language Models Better" — the suffix-array method re-expressed as a
@@ -634,9 +635,13 @@ def duplicated_spans(
 
     Scale shape (the reason this is not a suffix array): ONE corpus-sized
     shuffle of (doc_id, pos, h1, h2) rows — 16 bytes of gram identity
-    instead of ~L tokens (the 128-bit double xxhash64 makes a false
-    duplicate-pair a ~2^-128 event per pair, far below any corpus's pair
-    count; the pytest oracle checks against true token grams). Duplicate
+    instead of ~L tokens. The two hashes are SALT-FIRST (xxhash64(salt,
+    gram)), so the gram is hashed under two genuinely different seeds and
+    a false duplicate-pair needs a simultaneous 128-bit collision
+    (~2^-128 per pair, far below any corpus's pair count; gram-first
+    salting would chain both hashes through one 64-bit intermediate and
+    silently halve the protection). The pytest oracle checks against true
+    token grams. Duplicate
     groups are found with a partial-aggregating groupBy (hot boilerplate
     grams combine map-side) followed by an equi-join back to occurrences —
     deliberately NOT a count-over-window, whose per-key partitions cannot
@@ -670,57 +675,33 @@ def duplicated_spans(
     occ = toks_df.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
         "doc_id",
         "pos",
-        F.xxhash64("gram", F.lit(1)).alias("h1"),
-        F.xxhash64("gram", F.lit(2)).alias("h2"),
+        F.xxhash64(F.lit(1), "gram").alias("h1"),
+        F.xxhash64(F.lit(2), "gram").alias("h2"),
     )
     handles: list[DataFrame] = []
     if persist_occurrences:
         occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
         handles.append(occ)
-    agg = (
-        occ.groupBy("h1", "h2")
-        .agg(
-            F.count(F.lit(1)).alias("n_occ"),
-            F.min(F.struct("doc_id", "pos")).alias("keeper"),
-        )
-        .filter(F.col("n_occ") >= 2)
-    )
+    # the keeper min-struct rides the hot groupBy only when keep_first
+    # actually consumes it
+    aggs = [F.count(F.lit(1)).alias("n_occ")]
+    if keep_first:
+        aggs.append(F.min(F.struct("doc_id", "pos")).alias("keeper"))
+    agg = occ.groupBy("h1", "h2").agg(*aggs).filter(F.col("n_occ") >= 2)
     dup = occ.join(agg, ["h1", "h2"])
     if keep_first:
         dup = dup.filter(
             (F.col("doc_id") != F.col("keeper.doc_id")) | (F.col("pos") != F.col("keeper.pos"))
         )
     merged = dup.groupBy("doc_id").agg(
-        _merge_positions(F.sort_array(F.collect_list("pos")), L).alias("sp")
+        merge_token_spans(F.sort_array(F.collect_list("pos")), L).alias("sp")
     )
     out = merged.select("doc_id", F.explode("sp").alias("s")).select(
-        "doc_id",
+        F.col("doc_id").alias(id_col),
         F.col("s.s").alias("span_start"),
         F.col("s.e").alias("span_end"),
     )
     return _attach_intermediates(out, handles)
-
-
-def _merge_positions(ps, L: int):
-    """array<int> sorted gram starts -> array<struct<s,e>> maximal merged
-    [p, p+L) intervals. Pure Catalyst fold (F.aggregate); per-doc linear.
-    Adjacent intervals (p == last.e) merge: the union is one contiguous
-    duplicated token run. CaseWhen branch order guards the ANSI-mode
-    element_at(-1) on the empty accumulator."""
-    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
-
-    def step(acc, p):
-        last = F.element_at(acc, -1)
-        s = p.cast("int")
-        e = (p + L).cast("int")
-        opened = F.concat(acc, F.array(F.struct(s.alias("s"), e.alias("e"))))
-        extended = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(F.struct(last["s"].alias("s"), e.alias("e"))),
-        )
-        return F.when(F.size(acc) == 0, opened).when(p > last["e"], opened).otherwise(extended)
-
-    return F.aggregate(ps, empty, step)
 
 
 def strip_duplicated_spans(

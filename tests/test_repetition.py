@@ -3,7 +3,6 @@ vs a brute-force python oracle, hypothesis sweep, JVM-only plan gate."""
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 
 import pytest
@@ -12,22 +11,8 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from searchenginer_spark.functions.textstats import repetition_signals
-
-TOK = re.compile(r"[a-z_][a-z0-9_]*")
-
-
-def _tok(t: str) -> list[str]:
-    return TOK.findall(t.lower())
-
-
-def _merge(ps: list[int], L: int) -> list[list[int]]:
-    out: list[list[int]] = []
-    for p in sorted(ps):
-        if out and p <= out[-1][1]:
-            out[-1][1] = max(out[-1][1], p + L)
-        else:
-            out.append([p, p + L])
-    return out
+from tests._repetition_oracles import merge as _merge
+from tests._repetition_oracles import tok as _tok
 
 
 def _oracle(t: str, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)) -> dict[str, float]:

@@ -4,7 +4,6 @@ within-doc-repeat and keep-first semantics, plus the JVM-only plan gate."""
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 
 import pytest
@@ -17,22 +16,8 @@ from searchenginer_spark.operators.dedup import (
     release_intermediates,
     strip_duplicated_spans,
 )
-
-TOK = re.compile(r"[a-z_][a-z0-9_]*")
-
-
-def _tok(t: str) -> list[str]:
-    return TOK.findall(t.lower())
-
-
-def _merge(ps: list[int], L: int) -> list[tuple[int, int]]:
-    out: list[list[int]] = []
-    for p in sorted(ps):
-        if out and p <= out[-1][1]:
-            out[-1][1] = max(out[-1][1], p + L)
-        else:
-            out.append([p, p + L])
-    return [tuple(x) for x in out]
+from tests._repetition_oracles import merge as _merge
+from tests._repetition_oracles import tok as _tok
 
 
 def _oracle_spans(docs: list[tuple[int, str]], L: int, keep_first: bool):
@@ -159,3 +144,20 @@ def test_spans_property(spark, token_lists, L, keep_first):
         ).collect()
     )
     assert got == _oracle_spans(docs, L, keep_first)
+
+
+def test_custom_id_col_end_to_end(spark):
+    """Review regression: duplicated_spans used to hardcode 'doc_id' in its
+    output while strip_duplicated_spans grouped by the caller's id_col —
+    any id_col != 'doc_id' crashed with UNRESOLVED_COLUMN."""
+    docs = [(i, t) for i, t in DOCS]
+    df = spark.createDataFrame(docs, "page_id long, body string")
+    spans = duplicated_spans(
+        df, text_col="body", id_col="page_id", min_len=4, persist_occurrences=False
+    )
+    assert spans.columns == ["page_id", "span_start", "span_end"]
+    got = sorted(tuple(r) for r in spans.collect())
+    assert got == _oracle_spans(DOCS, 4, keep_first=False)
+    out = strip_duplicated_spans(df, spans, text_col="body", id_col="page_id")
+    rows = {r["page_id"]: r["body"] for r in out.collect()}
+    assert rows[3] == "tail"  # within-doc repeat stripped, via custom cols
