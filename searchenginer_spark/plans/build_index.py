@@ -62,6 +62,10 @@ class IndexPaths:
         #: part of the build geometry: folds/compactions/resumes MUST
         #: filter the token stream identically or dl/df/postings diverge
         self.stopwords = f"{root}/stopwords"
+        #: (content_hash, doc_id) of every stored doc — written by
+        #: dedup-mode builds, appended by incremental folds: the O(40 B/doc)
+        #: side table cross-fold exact dedup anti-joins against (r6)
+        self.hashes = f"{root}/content_hashes"
 
 
 def _done_parts(spark: SparkSession, paths: IndexPaths) -> set[int]:
@@ -210,6 +214,14 @@ def build_index(
                 f"with_positions={with_positions} conflicts with the root's "
                 f"recorded {bool(meta['with_positions'])}"
             )
+        recorded_dedup = meta["dedup"] if "dedup" in meta.__fields__ else None
+        if (dedup or None) != (recorded_dedup or None):
+            raise ValueError(
+                f"dedup={dedup!r} conflicts with the root's recorded dedup "
+                f"mode {recorded_dedup!r} — resuming with a different dedup "
+                "rule would admit docs the committed parts excluded (or "
+                "vice versa)"
+            )
         if (tokenizer or "default") != (meta["tokenizer"] or "default"):
             raise ValueError(
                 f"tokenizer={tokenizer!r} conflicts with the root's recorded "
@@ -327,11 +339,22 @@ def build_index(
                     stopwords.select("term").dropDuplicates(["term"]).coalesce(
                         1
                     ).write.mode("overwrite").parquet(paths.stopwords)
+                if dedup is not None:
+                    # survivor content hashes, read back from the WRITTEN
+                    # docs store (the lazy dedup plan would re-run the
+                    # whole dedup stage) — the O(1)-per-doc side table the
+                    # incremental fold anti-joins new batches against
+                    spark.read.parquet(paths.docs).select(
+                        F.sha2(F.col(text_col), 256).alias("content_hash"),
+                        "doc_id",
+                    ).write.mode("overwrite").parquet(paths.hashes)
                 # meta stays the LAST write: its presence certifies the
-                # whole stats/stopwords group (the stage-1 gate checks it)
+                # whole stats/stopwords/hashes group (the stage-1 gate
+                # checks it)
                 spark.createDataFrame(
-                    [(int(docs_per_part), bool(with_positions), tokenizer)],
-                    "docs_per_part int, with_positions boolean, tokenizer string",
+                    [(int(docs_per_part), bool(with_positions), tokenizer, dedup)],
+                    "docs_per_part int, with_positions boolean, "
+                    "tokenizer string, dedup string",
                 ).write.mode("overwrite").parquet(paths.meta)
             except BaseException as e:  # surfaced after join()
                 _serr.append(e)
@@ -490,6 +513,7 @@ def compact_indexes(
     text_col: str = "content",
     tokenizer: str | None = None,
     stopwords: DataFrame | None = None,
+    dedup: str | None = None,
 ) -> dict:
     """Compact several indexes (e.g. a base + incremental deltas) into one.
 
@@ -507,6 +531,13 @@ def compact_indexes(
     the geometry of the output index. A meta-less first root falls back
     to the build defaults (1 << 16, no positions, regex tokenizer, no
     stopwords).
+
+    ``dedup`` also defaults from the first root's meta (r6): compaction is
+    where the full dedup rule RE-RUNS over the union — incremental folds
+    only apply the cheap exact-hash subset, so near-dup pairs that span
+    folds (and exact/near dups that span roots) accumulate until this
+    consolidation clears them, exactly like fold-accumulated idf
+    staleness.
     """
     first = IndexPaths(roots[0])
     if _table_ready(spark, first.meta):
@@ -517,6 +548,8 @@ def compact_indexes(
             with_positions = bool(meta["with_positions"])
         if tokenizer is None:
             tokenizer = meta["tokenizer"]
+        if dedup is None and "dedup" in meta.__fields__:
+            dedup = meta["dedup"]
     if stopwords is None and _table_ready(spark, first.stopwords):
         stopwords = spark.read.parquet(first.stopwords)
     docs = None
@@ -531,6 +564,7 @@ def compact_indexes(
         text_col=text_col,
         tokenizer=tokenizer,
         stopwords=stopwords,
+        dedup=dedup,
     )
 
 

@@ -25,6 +25,18 @@ Semantics and their scale rationale:
     inside the fold dedups on doc_id, which makes the part rebuild, the
     stats refresh, and the term_dict append converge to the same bytes on
     replay.
+  - cross-fold dedup (r6): when the root records a dedup mode in meta,
+    every fold drops batch docs whose content hash already exists under a
+    STRICTLY smaller doc_id (batch-internal or stored), via the
+    ``content_hashes`` side table — O(batch) work against an O(40 B/doc)
+    column scan, never a corpus re-hash. This is the exact-hash SUBSET of
+    all three modes; near-dup pairs spanning folds accumulate until
+    compact_indexes re-runs the full recorded mode, the same consolidation
+    contract as idf staleness. The strictly-smaller rule makes replays
+    no-ops (a replayed batch's own store rows share its doc_ids) and
+    assumes the supported append-only id regime (mint_doc_ids): a LATER
+    fold carrying a smaller id than a stored duplicate keeps both — folds
+    never retract committed docs.
 """
 
 from __future__ import annotations
@@ -98,8 +110,11 @@ def incremental_index(
     so later folds and build_index resumes enforce it.
     """
     paths = IndexPaths(root)
+    dedup_mode: str | None = None
     if _table_ready(spark, paths.meta):
         meta = spark.read.parquet(paths.meta).first()
+        # pre-r6 roots have a 3-column meta with no dedup field: None
+        dedup_mode = meta["dedup"] if "dedup" in meta.__fields__ else None
         if docs_per_part is None:
             docs_per_part = int(meta["docs_per_part"])
         elif int(meta["docs_per_part"]) != int(docs_per_part):
@@ -153,8 +168,9 @@ def incremental_index(
         # build_index resume enforces it (previously never written ->
         # a second fold with docs_per_part omitted silently re-bucketed)
         spark.createDataFrame(
-            [(int(docs_per_part), bool(with_positions), tokenizer)],
-            "docs_per_part int, with_positions boolean, tokenizer string",
+            [(int(docs_per_part), bool(with_positions), tokenizer, None)],
+            "docs_per_part int, with_positions boolean, "
+            "tokenizer string, dedup string",
         ).write.mode("overwrite").parquet(paths.meta)
         if sw_terms:
             spark.createDataFrame(
@@ -170,18 +186,75 @@ def incremental_index(
             return
         raise
 
+    if (
+        dedup_mode is not None
+        and not _dir_exists(spark, paths.hashes)
+        and _dir_exists(spark, paths.docs)
+    ):
+        # one-time bootstrap for dedup-built roots predating the hashes
+        # side table (mirrors the stats_parts bootstrap): O(corpus) sha256
+        # once, O(batch) on every fold after
+        spark.read.parquet(paths.docs).dropDuplicates(["doc_id"]).select(
+            F.sha2(F.col(text_col), 256).alias("content_hash"), "doc_id"
+        ).write.mode("overwrite").parquet(paths.hashes)
+
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         bspark = batch.sparkSession
+        survivors = None
+        if dedup_mode is not None:
+            # cross-fold EXACT dedup — the cheap subset of every recorded
+            # dedup mode: a batch doc survives iff no STRICTLY smaller
+            # doc_id with the same content hash exists in the batch or the
+            # store. Same-id store rows never drop it (a replayed batch
+            # already appended its own docs), so replay converges. Near-dup
+            # rules are deliberately NOT applied per fold; compact_indexes
+            # re-runs the full recorded mode over the union (its docstring
+            # — the same consolidation that clears fold idf staleness).
+            hashed = batch.dropDuplicates(["doc_id"]).withColumn(
+                "_h", F.sha2(F.col(text_col), 256)
+            )
+            bmin = hashed.groupBy("_h").agg(F.min("doc_id").alias("_bmin"))
+            hashed = (
+                hashed.join(bmin, "_h")
+                .filter(F.col("doc_id") == F.col("_bmin"))
+                .drop("_bmin")
+            )
+            if _dir_exists(bspark, paths.hashes):
+                emin = (
+                    bspark.read.parquet(paths.hashes)
+                    .groupBy("content_hash")
+                    .agg(F.min("doc_id").alias("_emin"))
+                    .withColumnRenamed("content_hash", "_h")
+                )
+                hashed = (
+                    hashed.join(emin, "_h", "left")
+                    .filter(F.col("_emin").isNull() | (F.col("_emin") >= F.col("doc_id")))
+                    .drop("_emin")
+                )
+            survivors = hashed.persist()
+            if survivors.isEmpty():  # whole batch was already stored
+                survivors.unpersist()
+                return
+            batch = survivors.drop("_h")
         new_docs = batch.withColumn("part", (F.col("doc_id") / docs_per_part).cast("int"))
         new_docs.write.mode("append").partitionBy("part").parquet(paths.docs)
+        if survivors is not None:
+            # hash append AFTER the docs append: a crash in between leaves
+            # same-id store rows, which the >= rule keeps on replay; dupes
+            # in the hash table are harmless (min-groupBy consumers)
+            survivors.select(F.col("_h").alias("content_hash"), "doc_id").write.mode(
+                "append"
+            ).parquet(paths.hashes)
 
         # a batch may land in a part that earlier batches already touched:
         # rebuild the touched parts from ALL docs in them, so the dynamic
         # partition overwrite below is a correct idempotent replacement.
         # dropDuplicates makes a replayed (double-appended) batch harmless.
         touched = [r["part"] for r in new_docs.select("part").distinct().collect()]
+        if survivors is not None:
+            survivors.unpersist()
         docs = (
             bspark.read.parquet(paths.docs)
             .filter(F.col("part").isin(touched))
