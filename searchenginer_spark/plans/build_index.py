@@ -41,6 +41,13 @@ METRICS_SCHEMA = (
     "postings_per_sec double, wall_ms long"
 )
 
+#: content-hash stand-in for NULL text in the content_hashes side table:
+#: sha2(NULL) is NULL, and null join keys never match — null-content docs
+#: would silently vanish from dedup folds. The sentinel groups them as
+#: mutual duplicates, matching the batch build (groupBy(sha256(text))
+#: puts nulls in one group). Never collides with a real digest (hex-only).
+NULL_CONTENT_HASH = "__null_content__"
+
 
 class IndexPaths:
     def __init__(self, root: str):
@@ -63,7 +70,7 @@ class IndexPaths:
         #: filter the token stream identically or dl/df/postings diverge
         self.stopwords = f"{root}/stopwords"
         #: (content_hash, doc_id) of every stored doc — written by
-        #: dedup-mode builds, appended by incremental folds: the O(40 B/doc)
+        #: dedup-mode builds, appended by incremental folds: the ~72 B/doc
         #: side table cross-fold exact dedup anti-joins against (r6)
         self.hashes = f"{root}/content_hashes"
 
@@ -214,14 +221,19 @@ def build_index(
                 f"with_positions={with_positions} conflicts with the root's "
                 f"recorded {bool(meta['with_positions'])}"
             )
-        recorded_dedup = meta["dedup"] if "dedup" in meta.__fields__ else None
-        if (dedup or None) != (recorded_dedup or None):
-            raise ValueError(
-                f"dedup={dedup!r} conflicts with the root's recorded dedup "
-                f"mode {recorded_dedup!r} — resuming with a different dedup "
-                "rule would admit docs the committed parts excluded (or "
-                "vice versa)"
-            )
+        if "dedup" in meta.__fields__:
+            recorded_dedup = meta["dedup"]
+            if (dedup or None) != (recorded_dedup or None):
+                raise ValueError(
+                    f"dedup={dedup!r} conflicts with the root's recorded "
+                    f"dedup mode {recorded_dedup!r} — resuming with a "
+                    "different dedup rule would admit docs the committed "
+                    "parts excluded (or vice versa)"
+                )
+        # legacy 3-column meta (pre-r6): the recorded mode is unknowable —
+        # accept the caller's dedup so old interrupted dedup builds stay
+        # resumable; the explicit migration step before the summary
+        # upgrades meta to 4 columns and backfills the hashes table
         if (tokenizer or "default") != (meta["tokenizer"] or "default"):
             raise ValueError(
                 f"tokenizer={tokenizer!r} conflicts with the root's recorded "
@@ -342,10 +354,25 @@ def build_index(
                 if dedup is not None:
                     # survivor content hashes, read back from the WRITTEN
                     # docs store (the lazy dedup plan would re-run the
-                    # whole dedup stage) — the O(1)-per-doc side table the
-                    # incremental fold anti-joins new batches against
-                    spark.read.parquet(paths.docs).select(
-                        F.sha2(F.col(text_col), 256).alias("content_hash"),
+                    # whole dedup stage) — the per-doc side table the
+                    # incremental fold anti-joins new batches against.
+                    # MUST wait for the concurrent docs writer first: a
+                    # read of a half-committed store would certify an
+                    # incomplete hash table under meta
+                    if writer is not None:
+                        writer.join()
+                        if _werr:
+                            raise _werr[0]
+                    stored = spark.read.parquet(paths.docs)
+                    hcol = (
+                        F.col("content_sha256")
+                        if "content_sha256" in stored.columns
+                        else F.sha2(F.col(text_col), 256)
+                    )
+                    stored.select(
+                        F.coalesce(hcol, F.lit(NULL_CONTENT_HASH)).alias(
+                            "content_hash"
+                        ),
                         "doc_id",
                     ).write.mode("overwrite").parquet(paths.hashes)
                 # meta stays the LAST write: its presence certifies the
@@ -484,6 +511,29 @@ def build_index(
         tf.unpersist()
     for h in dedup_handles:
         h.unpersist()
+    if dedup is not None:
+        # legacy-meta migration: a pre-r6 root resumed with its true dedup
+        # mode keeps a 3-column meta (the stats stage is gated off once
+        # meta exists) — upgrade it here and backfill the hashes side
+        # table so incremental folds can start enforcing the mode
+        m = spark.read.parquet(paths.meta).first()
+        if "dedup" not in m.__fields__:
+            if not _table_ready(spark, paths.hashes):
+                stored = spark.read.parquet(paths.docs)
+                hcol = (
+                    F.col("content_sha256")
+                    if "content_sha256" in stored.columns
+                    else F.sha2(F.col(text_col), 256)
+                )
+                stored.select(
+                    F.coalesce(hcol, F.lit(NULL_CONTENT_HASH)).alias("content_hash"),
+                    "doc_id",
+                ).write.mode("overwrite").parquet(paths.hashes)
+            spark.createDataFrame(
+                [(int(docs_per_part), bool(with_positions), tokenizer, dedup)],
+                "docs_per_part int, with_positions boolean, "
+                "tokenizer string, dedup string",
+            ).write.mode("overwrite").parquet(paths.meta)
     if built:
         # open handles on this root must drop stale dict caches / snapshots
         from .bm25 import bump_dict_version

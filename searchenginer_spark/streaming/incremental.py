@@ -28,8 +28,9 @@ Semantics and their scale rationale:
   - cross-fold dedup (r6): when the root records a dedup mode in meta,
     every fold drops batch docs whose content hash already exists under a
     STRICTLY smaller doc_id (batch-internal or stored), via the
-    ``content_hashes`` side table — O(batch) work against an O(40 B/doc)
-    column scan, never a corpus re-hash. This is the exact-hash SUBSET of
+    ``content_hashes`` side table — a store column SCAN (~72 B/doc: hex
+    digest + id) joined against the AQE-broadcast batch keys, never a
+    corpus re-hash or store-wide shuffle. This is the exact-hash SUBSET of
     all three modes; near-dup pairs spanning folds accumulate until
     compact_indexes re-runs the full recorded mode, the same consolidation
     contract as idf staleness. The strictly-smaller rule makes replays
@@ -48,6 +49,7 @@ from ..operators import stats as S
 from ..operators.ids import assign_sequential_ids
 from ..operators.postings import build_postings
 from ..plans.build_index import (
+    NULL_CONTENT_HASH,
     IndexPaths,
     _dir_exists,
     _stopword_set,
@@ -188,14 +190,24 @@ def incremental_index(
 
     if (
         dedup_mode is not None
-        and not _dir_exists(spark, paths.hashes)
+        and not _table_ready(spark, paths.hashes)
         and _dir_exists(spark, paths.docs)
     ):
-        # one-time bootstrap for dedup-built roots predating the hashes
-        # side table (mirrors the stats_parts bootstrap): O(corpus) sha256
-        # once, O(batch) on every fold after
-        spark.read.parquet(paths.docs).dropDuplicates(["doc_id"]).select(
-            F.sha2(F.col(text_col), 256).alias("content_hash"), "doc_id"
+        # one-time bootstrap when meta records a mode but the hashes side
+        # table is absent or half-written (_SUCCESS gate — a crashed write
+        # self-heals here instead of wedging every later fold): e.g. a
+        # legacy root whose meta a dedup resume upgraded, or a manually
+        # cleared side table. Reuses a stored content_sha256 column when
+        # the docs schema carries one; otherwise one O(corpus) sha256.
+        booted = spark.read.parquet(paths.docs).dropDuplicates(["doc_id"])
+        bcol = (
+            F.col("content_sha256")
+            if "content_sha256" in booted.columns
+            else F.sha2(F.col(text_col), 256)
+        )
+        booted.select(
+            F.coalesce(bcol, F.lit(NULL_CONTENT_HASH)).alias("content_hash"),
+            "doc_id",
         ).write.mode("overwrite").parquet(paths.hashes)
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
@@ -212,8 +224,13 @@ def incremental_index(
             # rules are deliberately NOT applied per fold; compact_indexes
             # re-runs the full recorded mode over the union (its docstring
             # — the same consolidation that clears fold idf staleness).
+            bh = (
+                F.col("content_sha256")
+                if "content_sha256" in batch.columns
+                else F.sha2(F.col(text_col), 256)
+            )
             hashed = batch.dropDuplicates(["doc_id"]).withColumn(
-                "_h", F.sha2(F.col(text_col), 256)
+                "_h", F.coalesce(bh, F.lit(NULL_CONTENT_HASH))
             )
             bmin = hashed.groupBy("_h").agg(F.min("doc_id").alias("_bmin"))
             hashed = (
@@ -221,17 +238,25 @@ def incremental_index(
                 .filter(F.col("doc_id") == F.col("_bmin"))
                 .drop("_bmin")
             )
-            if _dir_exists(bspark, paths.hashes):
-                emin = (
-                    bspark.read.parquet(paths.hashes)
-                    .groupBy("content_hash")
-                    .agg(F.min("doc_id").alias("_emin"))
-                    .withColumnRenamed("content_hash", "_h")
+            if _table_ready(bspark, paths.hashes):
+                # evict list via an INNER join of the (huge) store against
+                # the (small) batch keys — AQE broadcasts the batch side,
+                # so a fold is a store column SCAN + O(matches), never a
+                # store-wide shuffle/aggregate (a groupBy-min over all N
+                # stored hashes per micro-batch would be exactly that)
+                ex = bspark.read.parquet(paths.hashes).select(
+                    F.col("content_hash").alias("_h"),
+                    F.col("doc_id").alias("_sid"),
                 )
-                hashed = (
-                    hashed.join(emin, "_h", "left")
-                    .filter(F.col("_emin").isNull() | (F.col("_emin") >= F.col("doc_id")))
-                    .drop("_emin")
+                bkeys = hashed.select("_h", F.col("doc_id").alias("_bid"))
+                evict = (
+                    ex.join(bkeys, "_h")
+                    .filter(F.col("_sid") < F.col("_bid"))
+                    .select("_bid")
+                    .distinct()
+                )
+                hashed = hashed.join(
+                    evict, hashed["doc_id"] == evict["_bid"], "left_anti"
                 )
             survivors = hashed.persist()
             if survivors.isEmpty():  # whole batch was already stored

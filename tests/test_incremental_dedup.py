@@ -146,3 +146,44 @@ def test_resume_with_conflicting_dedup_mode_raises(spark, tmp_path_factory):
     build_index(d, root, docs_per_part=DPP, dedup="exact")
     with pytest.raises(ValueError, match="dedup"):
         build_index(d, root, docs_per_part=DPP)  # dedup=None conflicts
+
+
+def test_null_content_docs_survive_dedup_fold(spark, tmp_path_factory):
+    """Review regression: sha2(NULL) is NULL and null join keys never
+    match — null-content docs used to vanish from dedup folds. The
+    sentinel groups them as mutual duplicates instead (lowest id kept),
+    matching the batch build's groupBy(sha256(text)) null group."""
+    base = str(tmp_path_factory.mktemp("xnull"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    paths = IndexPaths(root)
+
+    build_index(build_docs(spark, 100, seed=42, num_partitions=2), root,
+                docs_per_part=DPP, dedup="exact")
+    _docs_with_ids(spark, [(4000, None), (4001, None), (4002, "real body")]) \
+        .write.mode("append").parquet(input_dir)
+    incremental_index(spark, input_dir, root, ckpt)
+    stored = {r["doc_id"] for r in spark.read.parquet(paths.docs)
+              .filter(F.col("doc_id") >= 4000).collect()}
+    assert stored == {4000, 4002}  # null twins dedup to the lowest id
+
+
+def test_legacy_meta_resume_with_dedup_is_accepted(spark, tmp_path_factory):
+    """Review regression: a pre-r6 root (3-col meta, recorded mode
+    unknowable) interrupted mid-build must stay resumable with the dedup
+    mode it was actually built with — the conflict raise applies only
+    when meta RECORDS a mode. Completion upgrades meta to 4 columns."""
+    base = str(tmp_path_factory.mktemp("xlegacyres"))
+    root = f"{base}/idx"
+    paths = IndexPaths(root)
+
+    d = build_docs(spark, 200, seed=42, num_partitions=2)
+    build_index(d, root, docs_per_part=DPP, dedup="exact", max_parts=1)
+    # downgrade meta to the legacy 3-column shape (simulates a pre-r6 build)
+    spark.createDataFrame(
+        [(DPP, False, None)],
+        "docs_per_part int, with_positions boolean, tokenizer string",
+    ).write.mode("overwrite").parquet(paths.meta)
+
+    build_index(d, root, docs_per_part=DPP, dedup="exact")  # must not raise
+    meta = spark.read.parquet(paths.meta).first()
+    assert "dedup" in meta.__fields__ and meta["dedup"] == "exact"
