@@ -38,6 +38,41 @@ def tokens(col: Column | str, pattern: str = IDENT_RE, lowercase: bool = True) -
     return F.regexp_extract_all(c, F.lit(pattern), F.lit(0))
 
 
+def token_column(
+    text_col: str, pattern: str = IDENT_RE, tokenizer: str | None = None
+) -> Column:
+    """array<string> token Column for ``text_col`` under the selected
+    ``tokenizer`` — the single token-source dispatch shared by
+    :func:`explode_tokens` and the narrow tf pass
+    (operators/stats.term_frequencies), so every consumer tokenizes
+    identically.
+
+    ``tokenizer``: None (default) = JVM regex ``pattern``; 'cjk_bigram' =
+    identifier runs + CJK bigrams (JVM); 'dict_cjk' = dictionary
+    segmentation, MP max-probability DAG route plus a derived-BEMS HMM
+    pass over OOV runs (pure-Python Arrow UDF,
+    functions/cjk_segment.MixSegmenter — the reference's MixSegment
+    composition, runnable in-sandbox with the bundled mini-dictionary);
+    'jieba' = real dictionary segmentation via the jieba package (Arrow
+    pandas UDF) — plug-in parity with the reference's cppjieba MixSegment
+    on clusters where jieba is installed; raises ImportError otherwise.
+    """
+    if tokenizer is None:
+        return tokens(text_col, pattern)
+    if tokenizer == "cjk_bigram":
+        return cjk_tokens(text_col)
+    if tokenizer == "dict_cjk":
+        from .cjk_segment import dict_cjk_tokens_pandas_udf
+
+        return dict_cjk_tokens_pandas_udf()(F.col(text_col))
+    if tokenizer == "jieba":
+        return jieba_tokens_pandas_udf()(F.col(text_col))
+    raise ValueError(
+        f"unknown tokenizer {tokenizer!r} "
+        "(None, 'cjk_bigram', 'dict_cjk', or 'jieba')"
+    )
+
+
 def explode_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -51,31 +86,9 @@ def explode_tokens(
     ``pos`` is the 0-based token ordinal (the reference records occurrence
     order implicitly by accumulation order, Make_Page/MakePage.cpp:111-137).
 
-    ``tokenizer`` selects the token source: None (default) = JVM regex
-    ``pattern``; 'cjk_bigram' = identifier runs + CJK bigrams (JVM);
-    'dict_cjk' = dictionary segmentation, MP max-probability DAG route
-    plus a derived-BEMS HMM pass over OOV runs (pure-Python Arrow UDF,
-    functions/cjk_segment.MixSegmenter — the reference's MixSegment
-    composition, runnable in-sandbox with the bundled mini-dictionary);
-    'jieba' = real dictionary segmentation via the jieba package (Arrow
-    pandas UDF) — plug-in parity with the reference's cppjieba MixSegment
-    on clusters where jieba is installed; raises ImportError otherwise.
+    ``tokenizer`` selects the token source — see :func:`token_column`.
     """
-    if tokenizer is None:
-        toks = tokens(text_col, pattern)
-    elif tokenizer == "cjk_bigram":
-        toks = cjk_tokens(text_col)
-    elif tokenizer == "dict_cjk":
-        from .cjk_segment import dict_cjk_tokens_pandas_udf
-
-        toks = dict_cjk_tokens_pandas_udf()(F.col(text_col))
-    elif tokenizer == "jieba":
-        toks = jieba_tokens_pandas_udf()(F.col(text_col))
-    else:
-        raise ValueError(
-            f"unknown tokenizer {tokenizer!r} "
-            "(None, 'cjk_bigram', 'dict_cjk', or 'jieba')"
-        )
+    toks = token_column(text_col, pattern, tokenizer)
     if with_positions:
         return df.select(id_col, F.posexplode(toks).alias("pos", "term"))
     return df.select(id_col, F.explode(toks).alias("term"))

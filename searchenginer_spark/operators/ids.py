@@ -49,10 +49,21 @@ def assign_sequential_ids(
     """
     from ..deploy import ship_package
 
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     ship_package(spark)  # workers must import this package for the UDF below
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
+    # Persist the INPUT first: RangePartitioner's boundary-sampling job
+    # executes the full child plan, and the checkpoint materialization
+    # below executes it again — for an expensive upstream (the df
+    # aggregation feeding term-id minting is a corpus-wide shuffle) that
+    # doubled the most expensive stage of the dict build. The sampling
+    # pass fills this cache; the checkpoint pass reads it. MEMORY_AND_DISK
+    # so a vocabulary larger than executor memory spills instead of
+    # evicting (and recomputing) partitions.
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    ranged = src.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
     # Pin the partitioning: RangePartitioner SAMPLES its boundaries with a
     # job-dependent seed, so the counts pass and the assignment pass below
     # would otherwise re-partition differently and corrupt the ids. A
@@ -63,6 +74,9 @@ def assign_sequential_ids(
         with_pid = with_pid.checkpoint()
     else:
         with_pid = with_pid.localCheckpoint()
+    # both checkpoint flavors are eager: the pinned copy exists now and
+    # the source cache is dead weight
+    src.unpersist()
     counts = with_pid.groupBy("_pid").count().collect()
     offsets: dict[int, int] = {}
     acc = 0

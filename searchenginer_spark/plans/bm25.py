@@ -1020,7 +1020,9 @@ class Bm25CompressedIndex:
                 df.unpersist()
             except Exception:
                 pass
-        self.postings = self.spark.read.parquet(f"{self._root}/postings")
+        from .build_index import open_postings
+
+        self.postings = open_postings(self.spark, self._root)
         self.term_dict = self.spark.read.parquet(f"{self._root}/term_dict")
         self._dict_cache = None
         self._dict_cache_checked = False
@@ -1066,12 +1068,16 @@ class Bm25CompressedIndex:
           1. AQE off — AQE materializes each exchange as its own job,
              which costs a whole extra job-submission round (~150-200 ms)
              per point query for zero benefit on a k-row result.
-          2. scoring exchange shrunk to ``n_partitions`` shuffle
-             partitions — a point query's reduce side carries a few
-             thousand rows; 32 near-empty tasks are pure launch overhead.
-          3. postings/term_dict coalesced to ``n_partitions`` cached
-             partitions — the probe's scan cost is per-cached-partition
-             task overhead, not bytes, so ~65 scan tasks collapse to 8.
+          2. shuffle partitions shrunk to ``n_partitions`` — the few
+             remaining exchanges (cogroup facets, batch windows) carry a
+             few thousand rows; 32 near-empty tasks are pure launch
+             overhead.
+          3. postings cached as ``repartition(n_partitions, 'part')`` —
+             ~65 scan tasks collapse to 8 AND the partitioning satisfies
+             the scorer's groupBy('part') distribution, so the per-query
+             scoring Exchange is elided outright (guide §2.4; plain
+             coalesce only fixed the task count, the r7 repartition also
+             removes the shuffle: measured 328 -> 302 ms/query).
 
         SIDE EFFECT: flips session confs (adaptive.enabled,
         shuffle.partitions) — intended for a dedicated serving session;
@@ -1089,7 +1095,11 @@ class Bm25CompressedIndex:
                 df.unpersist()
             except Exception:
                 pass
-        self.postings = self.postings.coalesce(n_partitions).persist()
+        # hash-partition on part (adjacent repartitions collapse, so a
+        # handle from open_index re-partitions once, to n_partitions):
+        # the cached layout then satisfies every scorer's groupBy('part')
+        # distribution and point queries run shuffle-free
+        self.postings = self.postings.repartition(n_partitions, "part").persist()
         self.term_dict = self.term_dict.persist()
         self.postings.count()
         self._maybe_cache_dict()

@@ -52,10 +52,19 @@ def test_cooccurrence_counts_match_bruteforce(docs, window):
     assert got == dict(_brute_counts(window))
 
 
-def test_cooccurrence_plan_is_jvm_only(docs):
+def test_cooccurrence_plan_shape(docs):
+    """r7 shape: per-batch Arrow partial counts (vectorized numpy combine,
+    never a row-at-a-time UDF) feeding exactly ONE (w, c) hash-aggregate
+    exchange — the explode-every-pair plan is gone."""
     plan = cooccurrence_counts(docs, window=3)._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan and "Arrow" not in plan  # pure codegen
-    assert "HashAggregate" in plan
+    assert "MapInArrow" in plan  # batch-vectorized partial counting
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "HashAggregate" in plan  # final (w, c) merge
+    assert "Generate explode" not in plan  # pair stream never exploded
+    # one exchange total: the final pair aggregate (AQE wrapper may print
+    # the exchange once in the adaptive plan)
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange hashpartitioning") <= 1
 
 
 def test_train_deterministic_and_structured(docs):
@@ -195,11 +204,14 @@ def test_ppmi_coo_matches_dense_pipeline(spark, docs):
 def test_distributed_svd_plan_is_jvm_only(spark, docs):
     """Every distributed stage of the randomized factorization (matmul,
     Gram, right-multiply, sign/normalize) is codegen column math — no
-    Python/Arrow eval anywhere in the executed plan."""
+    Python/Arrow eval anywhere in the executed plan. The cooc INPUT is
+    checkpointed first: its own (r7) Arrow partial-count stage is pinned
+    by test_cooccurrence_plan_shape, and this test is about the
+    factorization stages only."""
     from searchenginer_spark.operators.dedup import release_intermediates
     from searchenginer_spark.operators.embed import train_ppmi_vectors_distributed
 
-    cooc = cooccurrence_counts(docs, window=2)
+    cooc = cooccurrence_counts(docs, window=2).localCheckpoint()
     tv = train_ppmi_vectors_distributed(cooc, dim=2, oversample=4, power_iters=1)
     plan = tv._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
