@@ -65,7 +65,12 @@ def term_hash_bit(term: Column | str, b: int) -> Column:
 
 
 def tfidf_top_keywords(
-    tf: DataFrame, dft: DataFrame, stats: DataFrame, top_n: int = 20
+    tf: DataFrame,
+    dft: DataFrame,
+    stats: DataFrame,
+    top_n: int = 20,
+    broadcast_dft: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, term, weight): top-N keywords per doc by TF-IDF.
 
@@ -80,10 +85,32 @@ def tfidf_top_keywords(
     answer for a fraction of the sort work, and no skew on hot partitions.
     Ordering trick: sort ascending on struct(-weight, term) == weight desc
     with term-asc tie-break.
-    """
+
+    ``broadcast_dft`` (r7): the tf-side join is the whole pass's only
+    corpus-sized exchange, and AQE cannot avoid it — by the time the dft
+    aggregate's runtime size is known, the tf shuffle has already started
+    (both join inputs materialize as parallel query stages). A broadcast
+    of the (term, df) side removes the tf exchange outright, but a hard
+    hint on a web-scale vocabulary would OOM (the score_docs trap), so
+    the hint is SIZE-GATED per the ngram_lm pattern: None (default)
+    hints only when ``dft`` is already persisted (the count is then a
+    cache scan, not a recompute) and holds at most ``broadcast_max_rows``
+    rows; True/False force. Callers that materialize dft anyway (the
+    dedup build, the bench's shared stats tables) get the broadcast for
+    free."""
+    from pyspark import StorageLevel
+
+    if broadcast_dft is None:
+        broadcast_dft = (
+            dft.storageLevel != StorageLevel.NONE
+            and dft.count() <= broadcast_max_rows
+        )
+    side = dft.select("term", "df")
+    if broadcast_dft:
+        side = F.broadcast(side)
     kw = F.struct((-F.col("weight")).alias("nw"), F.col("term").alias("term"))
     return (
-        tf.join(dft.select("term", "df"), "term")
+        tf.join(side, "term")
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .withColumn("weight", F.col("tf") * F.log2(F.col("n_docs") / (F.col("df") + 1)))
         .groupBy("doc_id")

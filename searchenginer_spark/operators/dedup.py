@@ -191,7 +191,13 @@ def dedup_docs_and_tf(
         )
         handles = [tf, losers] + list(getattr(clusters, "_sg_intermediates", ()))
         return kept_docs, kept_tf, handles
-    dft = document_frequencies(tf)
+    # persist + count dft: this path's single term-aggregate materializes
+    # HERE, so the keyword pass's size-gated broadcast (see
+    # tfidf_top_keywords) reads the cache instead of re-aggregating — and
+    # when the vocabulary is bounded, the broadcast removes the pass's
+    # only corpus-sized exchange (the tf-side term join)
+    dft = document_frequencies(tf).persist()
+    dft.count()
     stats = corpus_stats(doc_lengths(tf))
     pairs = simhash_near_pairs(
         simhash(tfidf_top_keywords(tf, dft, stats, top_n=top_n)),
@@ -214,7 +220,7 @@ def dedup_docs_and_tf(
         id_col,
         "left_anti",
     )
-    return kept_docs, kept_tf, [tf, losers]
+    return kept_docs, kept_tf, [tf, losers, dft]
 
 
 def simhash_near_pairs(
@@ -607,6 +613,46 @@ def near_dup_clusters(
     return _attach_intermediates(out, getattr(comp, "_sg_intermediates", []))
 
 
+#: splitmix64 finalizer constants (public-domain mixer) — used to spread
+#: the rolling-polynomial window hashes below before they become gram ids
+_MIX_M = 0x9E3779B97F4A7C15
+
+
+def _mix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 numpy array."""
+    import numpy as np
+
+    x = (x + np.uint64(_MIX_M)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _window_hashes(x, starts, L, C):
+    """Polynomial rolling hash of every length-``L`` window of uint64
+    stream ``x`` starting at ``starts`` (flat indices), mod 2^64 with odd
+    constant ``C``: H(s) = sum_j x[s+j] * C^(L-1-j). Computed from one
+    global prefix P = cumsum(x * C^-i) as H(s) = C^(s+L-1) * (P[s+L-1] -
+    P[s-1]) — O(n) total (two cumulative passes + one gather), natural
+    uint64 wraparound, valid for any window that does not cross a stream
+    restart the caller excludes (the linear recurrence makes the prefix
+    form exact for arbitrary in-bounds windows)."""
+    import numpy as np
+
+    n = len(x)
+    Cinv = np.uint64(pow(int(C), -1, 1 << 64))  # C odd => invertible
+    powC = np.full(n, C, dtype=np.uint64)
+    powC[0] = np.uint64(1)
+    np.cumprod(powC, out=powC)  # C^0 .. C^(n-1), wrapping
+    powI = np.full(n, Cinv, dtype=np.uint64)
+    powI[0] = np.uint64(1)
+    np.cumprod(powI, out=powI)
+    P = np.cumsum(x * powI).astype(np.uint64)
+    e = starts + np.int64(L - 1)
+    Pprev = np.where(starts > 0, P[np.maximum(starts - 1, 0)], np.uint64(0))
+    return powC[e] * (P[e] - Pprev)
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -635,18 +681,26 @@ def duplicated_spans(
 
     Scale shape (the reason this is not a suffix array): ONE corpus-sized
     shuffle of (doc_id, pos, h1, h2) rows — 16 bytes of gram identity
-    instead of ~L tokens. The two hashes are SALT-FIRST (xxhash64(salt,
-    gram)), so the gram is hashed under two genuinely different seeds and
-    a false duplicate-pair needs a simultaneous 128-bit collision
-    (~2^-128 per pair, far below any corpus's pair count; gram-first
-    salting would chain both hashes through one 64-bit intermediate and
-    silently halve the protection). The pytest oracle checks against true
-    token grams. Duplicate
+    instead of ~L tokens. Gram identity (r7) is a ROLLING 128-bit scheme,
+    O(n) instead of the old O(n*L) concat+hash (which built ~L tokens of
+    string per position — measured 3x the whole pass at L=20, and the gap
+    grows linearly with L): each token is hashed TWICE in the JVM under
+    different salts (xxhash64(salt, token) — two genuinely independent
+    streams, so a single-token difference still needs two independent
+    64-bit collisions; deriving both windows from ONE token-hash stream
+    would chain the protection through one 64-bit value and halve it),
+    then each stream gets a polynomial window hash mod 2^64 with its own
+    odd constant (Rabin-style; prefix-sum form, see
+    :func:`_window_hashes`) and a splitmix64 finalize. A false
+    duplicate-pair needs both windows to collide: the coefficient
+    difference at any differing position is bijectively spread by the odd
+    constant, so each collision is ~2^-64 over the uniform token hashes
+    and the pair ~2^-128 — the same budget as the previous double-xxhash
+    design. The pytest oracle checks against true token grams. Duplicate
     groups are found with a partial-aggregating groupBy (hot boilerplate
     grams combine map-side) followed by an equi-join back to occurrences —
     deliberately NOT a count-over-window, whose per-key partitions cannot
-    be skew-split by AQE the way join partitions can. Gram hashing is
-    O(n*L) via slice+concat (JVM codegen, no Python); span merging is a
+    be skew-split by AQE the way join partitions can. Span merging is a
     per-doc sort_array + one linear F.aggregate pass, bounded by doc
     length, never corpus-sized.
 
@@ -658,25 +712,59 @@ def duplicated_spans(
     handle for :func:`release_intermediates`; pass False for one-shot
     callers that must leave no block-manager residue.
     """
+    import numpy as np
+    import pyarrow as pa
     from pyspark import StorageLevel
 
+    from ..deploy import ship_package
+
+    ship_package(docs.sparkSession)
     L = int(min_len)
     if L < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
-    toks_df = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    toks = F.col("toks")
-    grams = F.when(
-        F.size(toks) >= L,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - L),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, L)),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    occ = toks_df.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
-        "doc_id",
-        "pos",
-        F.xxhash64(F.lit(1), "gram").alias("h1"),
-        F.xxhash64(F.lit(2), "gram").alias("h2"),
+    toks = tokens(text_col)
+    salted = lambda s: F.coalesce(  # noqa: E731
+        F.transform(toks, lambda tk: F.xxhash64(F.lit(s), tk)),
+        F.array().cast("array<bigint>"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), salted(1).alias("_a"), salted(2).alias("_b")
+    )
+    id_type = base.schema["doc_id"].dataType.simpleString()
+    # two odd multipliers (independent polynomial window hashes per stream)
+    C1 = np.uint64(_MIX_M | 1)
+    C2 = np.uint64(0xC2B2AE3D27D4EB4F | 1)
+
+    def window_ids(batches):
+        for b in batches:
+            ids = b.column(0)
+            la, lb = b.column(1), b.column(2)
+            counts = pa.compute.list_value_length(la).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            xa = pa.compute.list_flatten(la).to_numpy(zero_copy_only=False).astype(np.uint64)
+            xb = pa.compute.list_flatten(lb).to_numpy(zero_copy_only=False).astype(np.uint64)
+            n_win = np.maximum(counts - (L - 1), 0)
+            total = int(n_win.sum())
+            if total == 0:
+                continue
+            offs = np.cumsum(counts) - counts
+            ramp = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(n_win) - n_win, n_win
+            )
+            starts = np.repeat(offs, n_win) + ramp
+            h1 = _mix64(_window_hashes(xa, starts, L, C1)).astype(np.int64)
+            h2 = _mix64(_window_hashes(xb, starts, L, C2)).astype(np.int64)
+            out_id = ids.take(
+                pa.array(np.repeat(np.arange(len(ids), dtype=np.int64), n_win))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [out_id, pa.array(ramp.astype(np.int32)), pa.array(h1), pa.array(h2)],
+                ["doc_id", "pos", "h1", "h2"],
+            )
+
+    occ = base.mapInArrow(
+        window_ids, schema=f"doc_id {id_type}, pos int, h1 long, h2 long"
     )
     handles: list[DataFrame] = []
     if persist_occurrences:

@@ -83,17 +83,27 @@ def doc_vectors(
     skipped exactly as the reference skips them (MakePage.cpp:355). Docs
     whose every term-weight is non-positive (each term in >= N-1 docs) are
     dropped — they carry no TF-IDF signal.
+
+    The component frame is broadcast under the tfidf_top_keywords size
+    gate (persisted dft with a bounded row count — the count is then a
+    cache scan), removing the tf-side term exchange; unbounded or
+    unpersisted vocabularies fall back to the shuffle join (AQE still
+    free to broadcast at runtime).
     """
+    from pyspark import StorageLevel
+
+    bcast = dft.storageLevel != StorageLevel.NONE and dft.count() <= 2_000_000
     tv = dft.select(
         "term",
         "df",
         *[hash_component("term", d).alias(f"_v{d}") for d in range(dim)],
     )
-    return weighted_doc_vectors(tf, tv, stats, dim)
+    return weighted_doc_vectors(tf, tv, stats, dim, broadcast_tv=bcast)
 
 
 def weighted_doc_vectors(
-    tf: DataFrame, tv: DataFrame, stats: DataFrame, dim: int
+    tf: DataFrame, tv: DataFrame, stats: DataFrame, dim: int,
+    broadcast_tv: bool | None = None,
 ) -> DataFrame:
     """THE doc-vector aggregation (MakePage.cpp:247-398 semantics) over a
     prepared (term, df, _v0.._v{dim-1}) component frame: doc weight
@@ -102,9 +112,16 @@ def weighted_doc_vectors(
     normalization. Shared by the hash-embedding path (:func:`doc_vectors`)
     and the trained-vector path (embed.doc_vectors_from); the SQL oracle
     twins (__spark_entry__._vec_comp_sql/_DOCVEC_CTES) pin exactly this
-    math, so it must live in one place."""
+    math, so it must live in one place.
+
+    ``broadcast_tv`` (r7): hint the vocab-sized component frame broadcast
+    so the tf side is never exchanged for the join (the
+    tfidf_top_keywords rationale — AQE learns the aggregate's true size
+    only after the tf shuffle has started). None = no hint (AQE decides);
+    callers that size-gate the vocabulary pass True (doc_vectors does)."""
+    tv_side = F.broadcast(tv) if broadcast_tv else tv
     weighted = (
-        tf.join(tv, "term")
+        tf.join(tv_side, "term")
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .withColumn("_w", F.col("tf") * F.log2(F.col("n_docs") / (F.col("df") + 1)))
         .filter(F.col("_w") > 0)

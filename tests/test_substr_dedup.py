@@ -114,11 +114,18 @@ def test_keep_first_semantics(spark, docs_df):
     assert marked_kf < marked_all
 
 
-def test_plan_is_jvm_only(spark, docs_df):
+def test_plan_shape(spark, docs_df):
+    """r7 shape: gram ids come from ONE vectorized Arrow window-hash pass
+    (O(n) rolling polynomial over JVM-salted token hashes — never a
+    row-at-a-time UDF, never the O(n*L) concat), and the strip side stays
+    pure JVM codegen."""
     spans = duplicated_spans(docs_df, min_len=4, persist_occurrences=False)
-    for df in (spans, strip_duplicated_spans(docs_df, spans)):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Python" not in plan and "Arrow" not in plan
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan  # the batch-vectorized window-hash pass
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    strip = strip_duplicated_spans(docs_df, spans.localCheckpoint())
+    plan = strip._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan  # strip: pure JVM
 
 
 @settings(max_examples=25, deadline=None, derandomize=True)
