@@ -260,9 +260,26 @@ def build_index(
         phases[name] = round(now - since, 3)
         return now
 
+    # The dedup stage's ONLY consumers are the stage-1 artifacts: the docs
+    # write (survivor set) and the stats/dict chain (survivor tf). On a
+    # root where those are already committed it is never consumed — so
+    # construct it only when one of them is actually missing. This keeps a
+    # no-op resume (all gates satisfied) from re-paying the dedup chain:
+    # the minhash_cc clustering runs EAGERLY at construction
+    # (localCheckpoint rounds), and since r7 the simhash path eagerly
+    # materializes its dft gate — both were O(corpus) charged to a resume
+    # that then did nothing (the ADVICE r6 finding). Resumes with pending
+    # parts are unaffected: pending tf comes from the WRITTEN docs store,
+    # which already holds only survivors.
+    fresh_docs = not _table_ready(spark, paths.docs)
+    stage1_pending = not (
+        _table_ready(spark, paths.term_dict)
+        and _table_ready(spark, paths.stats)
+        and _table_ready(spark, paths.meta)
+    )
     dedup_tf = None
     dedup_handles: list[DataFrame] = []
-    if dedup is not None:
+    if dedup is not None and (fresh_docs or stage1_pending):
         from ..operators.dedup import dedup_docs_and_tf
 
         # fused stage: the dedup fingerprints and the index stats share ONE
@@ -278,7 +295,6 @@ def build_index(
 
     # -- stage 1: docs + dictionary — written once, reused on resume --------
     # (pure functions of the immutable input; _SUCCESS marker gates reuse)
-    fresh_docs = not _table_ready(spark, paths.docs)
     writer = None
     if fresh_docs:
         # submit the docs write as a CONCURRENT job: it shares the scan of
@@ -300,14 +316,10 @@ def build_index(
     tcur = _mark("setup", t0)
     tf = None
     owns_tf = False
-    # meta is in the gate so a crash BETWEEN the stats and meta writes
-    # re-runs this (idempotent) stage instead of leaving the root
-    # permanently meta-less (meta is the last write below)
-    if not (
-        _table_ready(spark, paths.term_dict)
-        and _table_ready(spark, paths.stats)
-        and _table_ready(spark, paths.meta)
-    ):
+    # meta is in the stage1_pending gate so a crash BETWEEN the stats and
+    # meta writes re-runs this (idempotent) stage instead of leaving the
+    # root permanently meta-less (meta is the last write below)
+    if stage1_pending:
         # stats read the in-memory input directly — identical rows to what
         # the writer thread is persisting (both derive from `docs`)
         if dedup_tf is not None:
@@ -455,17 +467,20 @@ def build_index(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("part").parquet(paths.postings)
         wall_ms = int((time.monotonic() - t1) * 1000)
-        # the encode+write is ONE job over all pending parts — per-part
-        # walls are not observable from the driver, so wall_ms and
-        # postings_per_sec are RUN-level (shared by every row of this
-        # build_id's run): rate = all postings built this run / run wall.
-        # (Previously each row divided ITS part's postings by the whole
-        # run wall — understating per-part throughput by ~n_parts.)
-        run_postings = int(postings.agg(F.sum("n")).first()[0] or 0)
-        run_rate = run_postings / max(wall_ms, 1) * 1000.0
         tcur = _mark("encode", tcur)
 
-        # lineage + throughput metrics per part (from the cached encode)
+        # lineage + throughput metrics per part (from the cached encode).
+        # The encode+write is ONE job over all pending parts — per-part
+        # walls are not observable from the driver, so wall_ms and
+        # postings_per_sec are RUN-level (shared by every row of this
+        # build_id's run): rate = all postings built this run / run wall,
+        # with the run total computed as an unpartitioned window sum over
+        # the per-part aggregate (one row per part — tiny) so the whole
+        # metrics phase is ONE job instead of a separate driver agg
+        # action plus the write (r7; ~0.3 s per build at bench scale, one
+        # fewer serial driver round at any scale).
+        from pyspark.sql import Window
+
         per_part = (
             postings.groupBy("part")
             .agg(
@@ -491,6 +506,11 @@ def build_index(
                 "part",
             )
         )
+        run_rate = (
+            F.sum("n_postings").over(Window.partitionBy())
+            / F.lit(max(wall_ms, 1))
+            * 1000.0
+        )
         metrics = per_part.select(
             F.lit(build_id).alias("build_id"),
             F.col("part").cast("int").alias("partition_id"),
@@ -499,7 +519,7 @@ def build_index(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_postings").cast("long").alias("n_postings"),
             F.col("bytes_written").cast("long").alias("bytes_written"),
-            F.lit(run_rate).cast("double").alias("postings_per_sec"),
+            run_rate.cast("double").alias("postings_per_sec"),
             F.lit(wall_ms).cast("long").alias("wall_ms"),
         )
         metrics.write.mode("append").parquet(paths.metrics)

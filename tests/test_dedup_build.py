@@ -143,3 +143,26 @@ def test_dedup_build_resume_deterministic(spark, tmp_path_factory):
         spark, res_root
     )
     docs.unpersist()
+
+
+def test_noop_resume_skips_dedup_stage(spark, tmp_path_factory, monkeypatch):
+    """A build_index(dedup=...) call on an ALREADY-COMPLETE root (all
+    stage gates satisfied, no pending parts) must not construct the dedup
+    stage at all — the stage is eager (minhash_cc clusters at
+    construction; the r7 simhash path materializes its dft broadcast
+    gate), so re-paying it on a no-op resume charged O(corpus) for
+    nothing (ADVICE r6). Proof: poison the stage constructor and resume."""
+    import searchenginer_spark.operators.dedup as dedup_mod
+
+    docs = build_docs(spark, 200, seed=42, num_partitions=4).persist()
+    root = str(tmp_path_factory.mktemp("noop_resume"))
+    build_index(docs, root, docs_per_part=64, dedup="simhash")
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("dedup stage constructed on a no-op resume")
+
+    monkeypatch.setattr(dedup_mod, "dedup_docs_and_tf", boom)
+    summary = build_index(docs, root, docs_per_part=64, dedup="simhash")
+    assert summary["parts_built"] == 0
+    assert summary["parts_done_before"] == summary["parts_total"]
+    docs.unpersist()
