@@ -714,6 +714,7 @@ def duplicated_spans(
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark import StorageLevel
 
     from ..deploy import ship_package
@@ -739,11 +740,11 @@ def duplicated_spans(
         for b in batches:
             ids = b.column(0)
             la, lb = b.column(1), b.column(2)
-            counts = pa.compute.list_value_length(la).to_numpy(
+            counts = pc.list_value_length(la).to_numpy(
                 zero_copy_only=False
             ).astype(np.int64)
-            xa = pa.compute.list_flatten(la).to_numpy(zero_copy_only=False).astype(np.uint64)
-            xb = pa.compute.list_flatten(lb).to_numpy(zero_copy_only=False).astype(np.uint64)
+            xa = pc.list_flatten(la).to_numpy(zero_copy_only=False).astype(np.uint64)
+            xb = pc.list_flatten(lb).to_numpy(zero_copy_only=False).astype(np.uint64)
             n_win = np.maximum(counts - (L - 1), 0)
             total = int(n_win.sum())
             if total == 0:

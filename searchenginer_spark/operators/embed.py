@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as _pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,8 +83,8 @@ def cooccurrence_counts(
     def count_pairs(batches):
         for b in batches:
             tl = b.column(0)
-            counts = pa.compute.list_value_length(tl).to_numpy(zero_copy_only=False)
-            flat = pa.compute.list_flatten(tl)
+            counts = _pc.list_value_length(tl).to_numpy(zero_copy_only=False)
+            flat = _pc.list_flatten(tl)
             if len(flat) == 0:
                 continue
             enc = flat.dictionary_encode()

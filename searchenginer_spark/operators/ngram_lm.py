@@ -48,7 +48,9 @@ def _tok_arr(text_col: str, pattern: str):
 
 
 def _gram_arrays(toks, n):
-    """array<string> of the token array's n-grams (space-joined), JVM."""
+    """array<string> of the token array's n-grams (space-joined), JVM —
+    the scoring-side form (score_docs builds per-position grams from it);
+    training counts use the vectorized batch pass below instead."""
     if n == 1:
         return toks
     size = F.greatest(F.size(toks) - (n - 1), F.lit(0))
@@ -57,6 +59,74 @@ def _gram_arrays(toks, n):
     return F.transform(
         zipped, lambda s: F.concat_ws(_SEP, *[s[f"g{i}"] for i in range(n)])
     )
+
+
+def _ngram_partial_counts(docs: DataFrame, n: int, text_col: str, pattern: str) -> DataFrame:
+    """(gram, n_count) for order ``n`` — tokenize in the JVM, then count
+    per Arrow batch (the r7 cooccurrence_counts shape): dictionary-encode
+    the batch's flat token stream, materialize each window as a row of an
+    int32 code matrix, byte-view np.unique the rows, and build the gram
+    STRING only once per batch-distinct tuple
+    (pyarrow.binary_join_element_wise — string assembly in C). The final
+    (gram) hash-aggregate then sees at most one row per (batch, gram)
+    instead of one per occurrence; the old per-order explode built the
+    joined string for EVERY occurrence (O(corpus tokens * n) string work
+    per order). Output is identical — verified exceptAll-both-ways per
+    order at bench scale."""
+    from ..deploy import ship_package
+
+    ship_package(docs.sparkSession)
+    toks = _tok_arr(text_col, pattern)
+    base = docs.select(F.coalesce(toks, F.array().cast("array<string>")).alias("_t"))
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            tl = b.column(0)
+            counts = pc.list_value_length(tl).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(tl)
+            if len(flat) == 0:
+                continue
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+            n_win = np.maximum(counts - (n - 1), 0)
+            total = int(n_win.sum())
+            if total == 0:
+                continue
+            offs = np.cumsum(counts) - counts
+            ramp = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(n_win) - n_win, n_win
+            )
+            starts = np.repeat(offs, n_win) + ramp
+            if n == 1:
+                u, cnt = np.unique(codes[starts], return_counts=True)
+                gram = enc.dictionary.take(pa.array(u))
+            else:
+                mat = np.empty((total, n), dtype=np.int32)
+                for j in range(n):
+                    mat[:, j] = codes[starts + j]
+                # byte-view unique over contiguous rows == exact tuple
+                # equality for int32 codes
+                view = np.ascontiguousarray(mat).view(f"V{4 * n}").ravel()
+                u, cnt = np.unique(view, return_counts=True)
+                cols = u.view(np.int32).reshape(-1, n)
+                parts = []
+                for j in range(n):
+                    parts.append(enc.dictionary.take(pa.array(cols[:, j])))
+                    if j < n - 1:
+                        parts.append(_SEP)
+                gram = pc.binary_join_element_wise(*parts, "")
+            yield pa.RecordBatch.from_arrays(
+                [gram, pa.array(cnt, type=pa.int64())], ["gram", "cnt"]
+            )
+
+    part = base.mapInArrow(gen, schema="gram string, cnt long")
+    return part.groupBy("gram").agg(F.sum("cnt").alias("n_count"))
 
 
 def train_ngram_counts(
@@ -69,12 +139,11 @@ def train_ngram_counts(
     """{n: (gram, n_count)} for 1 <= n <= order. ``min_count`` prunes the
     long tail of higher-order grams AFTER counting (web-scale models keep
     only grams seen >= k times); unigrams are never pruned — they anchor
-    the backoff floor."""
-    toks = _tok_arr(text_col, pattern)
+    the backoff floor. Counting is the r7 batch-partial shape (see
+    :func:`_ngram_partial_counts`)."""
     out = {}
     for n in range(1, order + 1):
-        g = docs.select(F.explode(_gram_arrays(toks, n)).alias("gram"))
-        counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_count"))
+        counts = _ngram_partial_counts(docs, n, text_col, pattern)
         if min_count > 1 and n > 1:
             counts = counts.filter(F.col("n_count") >= min_count)
         out[n] = counts

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as _pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,10 +74,10 @@ def term_frequencies(
             tl = b.column(1)
             # compute kernels (not the raw offsets buffer): correct even
             # for sliced/offset list arrays
-            counts = pa.compute.list_value_length(tl).to_numpy(
+            counts = _pc.list_value_length(tl).to_numpy(
                 zero_copy_only=False
             )
-            flat = pa.compute.list_flatten(tl)
+            flat = _pc.list_flatten(tl)
             if len(flat) == 0:
                 continue
             enc = flat.dictionary_encode()

@@ -130,13 +130,32 @@ def test_min_count_pruning(train_docs, score_docs_df):
 
 
 def test_plan_is_jvm_only(train_docs, score_docs_df):
-    counts = train_ngram_counts(train_docs, order=3)
+    """The SCORING side (per-position grams, backoff CASE, joins) is pure
+    JVM codegen. The count-table INPUTS are checkpointed first: their own
+    (r7) Arrow batch-partial counting stage is pinned separately below,
+    and this test is about the scorer."""
+    counts = {
+        k: v.localCheckpoint() for k, v in train_ngram_counts(train_docs, order=3).items()
+    }
     plan = (
         score_docs(score_docs_df, counts)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_train_counts_plan_shape(train_docs):
+    """r7 counting shape: one MapInArrow batch-partial pass per order (gram
+    strings built once per batch-distinct tuple, never per occurrence), no
+    row-at-a-time Python, one final (gram) hash-aggregate."""
+    counts = train_ngram_counts(train_docs, order=3)
+    for n, df in counts.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in plan, n
+        assert "BatchEvalPython" not in plan, n
+        assert "HashAggregate" in plan, n
+        assert "Generate explode" not in plan, n
 
 
 def test_shuffle_join_path_no_broadcast_hint(spark, train_docs, score_docs_df):
