@@ -1000,6 +1000,18 @@ class Bm25CompressedIndex:
         self._sorted_ids: np.ndarray | None = None
         self._sorted_dfs: np.ndarray | None = None
         self._sorted_lens: np.ndarray | None = None
+        #: prepared-PLAN cache for repeated point queries (r7): building a
+        #: query DataFrame costs a flat ~45-50 ms of driver py4j round
+        #: trips (PLANS.md §6) that repeats identically for an identical
+        #: query — the prepared-statement pattern removes it. Plans only:
+        #: every collect() on the returned frame re-executes the job from
+        #: the postings table, so no result is ever cached (and callers
+        #: must not persist() a returned result frame for the same
+        #: reason). Keyed on the full query signature + the postings
+        #: snapshot identity, so serving_mode()/dict_version refreshes
+        #: invalidate by construction.
+        self._plan_cache: dict[tuple, DataFrame] = {}
+        self._plan_cache_max = 512
 
     def _check_version(self) -> None:
         """Drop caches + re-snapshot the tables when a writer bumped the
@@ -1028,6 +1040,7 @@ class Bm25CompressedIndex:
         self._dict_cache_checked = False
         self._sorted_terms = self._sorted_ids = self._sorted_dfs = None
         self._sorted_lens = None
+        self._plan_cache.clear()  # stale-keyed plans reference dropped tables
 
     def _maybe_cache_dict(self) -> dict[str, int] | None:
         self._check_version()
@@ -1102,6 +1115,7 @@ class Bm25CompressedIndex:
         self.postings = self.postings.repartition(n_partitions, "part").persist()
         self.term_dict = self.term_dict.persist()
         self.postings.count()
+        self._plan_cache.clear()  # plans built on the pre-snapshot tables
         self._maybe_cache_dict()
         return self
 
@@ -1130,8 +1144,20 @@ class Bm25CompressedIndex:
         top-k truncation, so the k results are exactly the best survivors).
         Excluded terms absent from the dictionary, or that also appear in the
         positive query, are no-ops."""
-        scored = self._scored(query, k, mode, pattern, round_to, exclude)
-        return self._rank_scored(scored, k, round_to)
+        self._check_version()
+        key = (
+            "search", query, k, mode, pattern, round_to,
+            tuple(sorted(exclude)) if exclude else None,
+            id(self.postings),
+        )
+        df = self._plan_cache.get(key)
+        if df is None:
+            scored = self._scored(query, k, mode, pattern, round_to, exclude)
+            df = self._rank_scored(scored, k, round_to)
+            if len(self._plan_cache) >= self._plan_cache_max:
+                self._plan_cache.clear()
+            self._plan_cache[key] = df
+        return df
 
     def _rank_scored(self, scored: DataFrame, k: int, round_to: int | None) -> DataFrame:
         """See :func:`_rank_scored_df` — the shared ranking epilogue."""
@@ -1876,6 +1902,11 @@ class Bm25CompressedIndex:
         positions-carrying tf table); the ``positions`` column is read only
         by this path — non-phrase queries never scan it (column pruning).
         """
+        self._check_version()
+        key = ("phrase", phrase, k, pattern, round_to, id(self.postings))
+        df = self._plan_cache.get(key)
+        if df is not None:
+            return df
         self._require_positions("search_phrase")
         toks = re.findall(pattern, phrase.lower())
         if not toks:
@@ -1892,4 +1923,8 @@ class Bm25CompressedIndex:
             docs, scores = _score_part_phrase(pdf.to_dict("records"), slots, qtf, k, round_to)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        return self._score_and_rank(cand, score_part, k, round_to)
+        df = self._score_and_rank(cand, score_part, k, round_to)
+        if len(self._plan_cache) >= self._plan_cache_max:
+            self._plan_cache.clear()
+        self._plan_cache[key] = df
+        return df

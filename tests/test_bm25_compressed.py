@@ -519,3 +519,38 @@ def test_alternation_split_property():
         for t in vocab:
             if rx.fullmatch(t):
                 assert any(t.startswith(p) for p in lits), (pat, t, lits)
+
+
+def test_search_plan_cache_reuses_plan_never_results(engines, spark, tmp_path):
+    """r7: repeated identical point queries reuse the PREPARED PLAN (the
+    ~50 ms py4j construction, PLANS.md §6) but re-execute the job per
+    collect — no result caching — and a dict_version bump invalidates."""
+    _, comp = engines
+    comp._plan_cache.clear()
+    df1 = comp.search("spark query", k=5, mode="and")
+    r1 = [tuple(r) for r in df1.collect()]
+    assert comp.search("spark query", k=5, mode="and") is df1  # plan reuse
+    assert [tuple(r) for r in df1.collect()] == r1  # re-executed, same rows
+    assert not df1.is_cached  # plans cached, never results
+    assert comp.search("spark query", k=6, mode="and") is not df1
+    assert comp.search("spark query", k=5, mode="or") is not df1
+
+    # staleness: a writer bump drops every prepared plan
+    from pyspark.sql import functions as F
+
+    from searchenginer_spark.plans.bm25 import bump_dict_version
+    from searchenginer_spark.plans.build_index import build_index, open_index
+    from searchenginer_spark.sources.corpus import generate_corpus, mint_doc_ids
+
+    root = str(tmp_path / "pcroot")
+    docs = mint_doc_ids(generate_corpus(spark, 60, seed=5), num_partitions=2)
+    build_index(docs.select("doc_id", F.col("content").alias("content")),
+                root, docs_per_part=32, with_positions=True)
+    idx = open_index(spark, root)
+    d1 = idx.search("int return", k=5)
+    assert idx.search("int return", k=5) is d1
+    p1 = idx.search_phrase("int return", k=5)
+    assert idx.search_phrase("int return", k=5) is p1
+    bump_dict_version(spark, root)
+    d2 = idx.search("int return", k=5)
+    assert d2 is not d1  # cache cleared, plan rebuilt on fresh snapshots
