@@ -349,16 +349,22 @@ def build_index(
 
         def _write_stats():
             try:
-                part_stats(dl, docs_per_part).write.mode("overwrite").partitionBy(
-                    "part"
-                ).parquet(paths.stats_parts)
+                # persist the tiny per-part aggregate: the global-stats agg
+                # below reads it from cache instead of re-listing+re-reading
+                # the parquet it was just written to (one fewer read job in
+                # the serial thread chain; rows are identical either way)
+                ps = part_stats(dl, docs_per_part).persist()
+                ps.write.mode("overwrite").partitionBy("part").parquet(
+                    paths.stats_parts
+                )
                 # global stats aggregate the tiny per-part table instead of
                 # re-running a full dl pass; sum_dl/n_docs are exact integers,
                 # so avgdl is bit-identical to avg(dl) over the rows
-                spark.read.parquet(paths.stats_parts).agg(
+                ps.agg(
                     F.sum("n_docs").alias("n_docs"),
                     (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
                 ).write.mode("overwrite").parquet(paths.stats)
+                ps.unpersist()
                 if stopwords is not None:
                     stopwords.select("term").dropDuplicates(["term"]).coalesce(
                         1
@@ -492,16 +498,22 @@ def build_index(
                 ).alias("bytes_written"),
             )
             .join(
-                pend_docs.groupBy("part").agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    # order-independent, overflow-free content fingerprint
-                    F.bit_xor(
-                        F.xxhash64(
-                            F.col("content_sha256")
-                            if "content_sha256" in pend_docs.columns
-                            else F.sha2(F.col(text_col), 256)
-                        )
-                    ).cast("string").alias("input_sha"),
+                # broadcast the doc-side aggregate (one row per part — tiny
+                # by construction): the join then runs in the postings
+                # aggregate's own stage instead of costing a second
+                # exchange plus an AQE materialization round
+                F.broadcast(
+                    pend_docs.groupBy("part").agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        # order-independent, overflow-free content fingerprint
+                        F.bit_xor(
+                            F.xxhash64(
+                                F.col("content_sha256")
+                                if "content_sha256" in pend_docs.columns
+                                else F.sha2(F.col(text_col), 256)
+                            )
+                        ).cast("string").alias("input_sha"),
+                    )
                 ),
                 "part",
             )

@@ -58,4 +58,62 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and not getattr(
+        spark, "_sg_warmed", False
+    ):
+        spark._sg_warmed = True
+        _warm_session_async(spark)
     return spark
+
+
+def _warm_session_async(spark: SparkSession) -> None:
+    """Fire-and-forget session warmup (standard executor pre-start
+    practice): the FIRST job through each execution path pays one-time
+    session costs — JVM JIT of the codegen'd shuffle/aggregate paths,
+    Python-worker daemon spawn for every task slot, and output-committer
+    init — which otherwise land on whatever real job happens to run
+    first and get misread as that job's cost. A background thread runs
+    one tiny job per path (row counts in the thousands; sub-second of
+    CPU) so interactive/serving sessions come up hot while the caller's
+    own setup proceeds. Failures are ignored: warmup is advisory and
+    must never break session creation. Disable with
+    SPARK_GRAFT_WARMUP=0."""
+    import shutil
+    import tempfile
+    import threading
+
+    def _warm() -> None:
+        try:
+            from pyspark.sql import functions as F
+
+            spark.sparkContext.setJobDescription("session warmup")
+            n = max(2, spark.sparkContext.defaultParallelism)
+            # shuffle + hash-aggregate codegen
+            spark.range(n * 1000, numPartitions=n).groupBy(
+                (F.col("id") % 7).alias("k")
+            ).count().count()
+            # Python/Arrow worker pool: one python-stage task per slot
+            def _ident(batches):
+                yield from batches
+
+            spark.range(n, numPartitions=n).mapInArrow(
+                _ident, schema="id long"
+            ).count()
+            # parquet scan/write + committer init
+            d = tempfile.mkdtemp(prefix="spark_warmup_")
+            try:
+                spark.range(16, numPartitions=1).write.mode("overwrite").parquet(
+                    f"{d}/w"
+                )
+                spark.read.parquet(f"{d}/w").count()
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        except Exception:
+            pass
+        finally:
+            try:
+                spark.sparkContext.setJobDescription(None)
+            except Exception:
+                pass
+
+    threading.Thread(target=_warm, daemon=True, name="session-warmup").start()
