@@ -74,9 +74,20 @@ def exact_duplicates(
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """docs with exact duplicates removed (lowest doc_id kept)."""
+    """docs with exact duplicates removed (lowest doc_id kept).
+
+    When the frame already carries ``content_sha256`` for ``content`` text
+    (the corpus-prep convention this codebase's build pipeline relies on —
+    plans/build_index writes its cross-fold hashes table from the same
+    column), the stored digest is reused instead of re-hashing every byte
+    of the corpus; any other text column is hashed fresh."""
+    hcol = (
+        F.col("content_sha256")
+        if text_col == "content" and "content_sha256" in docs.columns
+        else F.sha2(F.col(text_col), 256)
+    )
     w_keep = (
-        docs.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        docs.select(hcol.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col))
     )
