@@ -487,27 +487,48 @@ def ivf_pq_write(
     reduction is the point of PQ); keep the raw table separately if
     exact refine is needed. Model arrays + the residual flag land in
     side tables, so the opened handle knows its own code space."""
+    import threading
+
     spark = coded.sparkSession
     m, n_codes, ds = np.asarray(codebooks).shape
-    coded.select(id_col, "codes", "list_id").write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(f"{path}/codes")
-    spark.createDataFrame(
-        [(i, c.tolist()) for i, c in enumerate(np.asarray(centroids))],
-        "list_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [
-            (j, c, np.asarray(codebooks)[j, c].tolist())
-            for j in range(m)
-            for c in range(n_codes)
-        ],
-        "j int, code int, vec array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(m, n_codes, ds, bool(residual))],
-        "m int, n_codes int, ds int, residual boolean",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    # the three model tables are driver-held arrays with no dependency on
+    # the codes job — write them from a thread so their job-submission +
+    # commit rounds ride inside the (much longer) partitioned codes write
+    # instead of following it serially (guide §2.6 overlap)
+    _merr: list[BaseException] = []
+
+    def _write_models() -> None:
+        try:
+            spark.createDataFrame(
+                [(i, c.tolist()) for i, c in enumerate(np.asarray(centroids))],
+                "list_id int, centroid array<double>",
+            ).write.mode("overwrite").parquet(f"{path}/centroids")
+            spark.createDataFrame(
+                [
+                    (j, c, np.asarray(codebooks)[j, c].tolist())
+                    for j in range(m)
+                    for c in range(n_codes)
+                ],
+                "j int, code int, vec array<double>",
+            ).write.mode("overwrite").parquet(f"{path}/codebooks")
+            spark.createDataFrame(
+                [(m, n_codes, ds, bool(residual))],
+                "m int, n_codes int, ds int, residual boolean",
+            ).write.mode("overwrite").parquet(f"{path}/meta")
+        except BaseException as e:  # surfaced after join()
+            _merr.append(e)
+
+    writer = threading.Thread(target=_write_models)
+    writer.start()
+    try:
+        coded.select(id_col, "codes", "list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{path}/codes")
+    finally:
+        writer.join()
+    if _merr:
+        raise _merr[0]
 
 
 def ivf_pq_open(spark, path: str) -> IvfPqIndex:

@@ -222,6 +222,30 @@ def dedup_docs_and_tf(
     # at runtime when it is actually small
     losers = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct().persist()
     kept_tf = tf.join(losers, "doc_id", "left_anti")
+    # precomputed survivor df/cf by SUBTRACTION (r7): the full-corpus dft
+    # is already materialized for the keyword pass, and the losers are the
+    # small side, so df(kept) = df(all) - df(losers) term-by-term (exact
+    # integer arithmetic over disjoint doc sets; terms whose every doc
+    # lost drop out at df=0). The index build consumes this instead of
+    # re-aggregating the whole kept tf — one corpus-wide term aggregate
+    # per dedup build instead of two. Attached as an attribute the same
+    # way _sg_intermediates rides results.
+    loser_dft = document_frequencies(tf.join(losers, "doc_id", "left_semi"))
+    kept_tf._sg_dft = (
+        dft.join(
+            loser_dft.select(
+                "term", F.col("df").alias("_ldf"), F.col("cf").alias("_lcf")
+            ),
+            "term",
+            "left",
+        )
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("_ldf"), F.lit(0))).alias("df"),
+            (F.col("cf") - F.coalesce(F.col("_lcf"), F.lit(0))).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+    )
     # anti-join the SAME persisted losers frame on the docs side — deriving
     # it again from a renamed pairs plan (the old dedup_by_pairs detour)
     # missed the cache for id_col != 'doc_id' and ran the banded self-join

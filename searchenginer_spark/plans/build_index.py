@@ -346,6 +346,7 @@ def build_index(
 
         overlap = spark.sparkContext.defaultParallelism >= 4
         _serr: list[BaseException] = []
+        _stats_row: list[int | None] = []
 
         def _write_stats():
             try:
@@ -359,11 +360,21 @@ def build_index(
                 )
                 # global stats aggregate the tiny per-part table instead of
                 # re-running a full dl pass; sum_dl/n_docs are exact integers,
-                # so avgdl is bit-identical to avg(dl) over the rows
-                ps.agg(
+                # so avgdl is bit-identical to avg(dl) over the rows.
+                # Collect the single row and write it from the driver: the
+                # value is also the summary's n_docs, so the end-of-build
+                # summary job (a parquet re-read) disappears on fresh
+                # builds (resumes still read the stats table).
+                srow = ps.agg(
                     F.sum("n_docs").alias("n_docs"),
                     (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+                ).collect()[0]
+                n_docs_v = None if srow["n_docs"] is None else int(srow["n_docs"])
+                avgdl_v = None if srow["avgdl"] is None else float(srow["avgdl"])
+                spark.createDataFrame(
+                    [(n_docs_v, avgdl_v)], "n_docs long, avgdl double"
                 ).write.mode("overwrite").parquet(paths.stats)
+                _stats_row.append(n_docs_v)
                 ps.unpersist()
                 if stopwords is not None:
                     stopwords.select("term").dropDuplicates(["term"]).coalesce(
@@ -407,7 +418,16 @@ def build_index(
         stats_writer = threading.Thread(target=_write_stats) if overlap else None
         if stats_writer is not None:
             stats_writer.start()
-        build_term_dict(S.document_frequencies(tf)).write.mode(
+        # the dedup stage may carry a precomputed survivor dft (df/cf by
+        # subtraction from the keyword pass's full-corpus aggregate — see
+        # dedup_docs_and_tf); filtering stopword TERMS from the aggregate
+        # equals aggregating the stopword-filtered tf, so drop_stop applies
+        # directly to the (term, df, cf) frame
+        pre_dft = getattr(dedup_tf, "_sg_dft", None) if dedup_tf is not None else None
+        dft_for_dict = (
+            drop_stop(pre_dft) if pre_dft is not None else S.document_frequencies(tf)
+        )
+        build_term_dict(dft_for_dict).write.mode(
             "overwrite"
         ).parquet(paths.term_dict)
         tcur = _mark("dict", tcur)
@@ -572,8 +592,13 @@ def build_index(
 
         bump_dict_version(spark, root)
     # n_docs from the 1-row stats table (docs with >=1 indexed token) —
-    # never a full re-scan of the docs table just for the summary dict
-    n_docs_total = int(spark.read.parquet(paths.stats).first()["n_docs"])
+    # never a full re-scan of the docs table just for the summary dict;
+    # fresh builds already hold the value driver-side from the stats
+    # write, so only resumes pay the (tiny) read job
+    if stage1_pending and _stats_row:
+        n_docs_total = int(_stats_row[0])
+    else:
+        n_docs_total = int(spark.read.parquet(paths.stats).first()["n_docs"])
     _mark("summary", tcur)
     return {
         "n_docs": n_docs_total,
