@@ -191,6 +191,10 @@ def dedup_docs_and_tf(
         # broadcasts when small).
         clusters = near_dup_clusters(named, text_col=text_col)
         losers = clusters.filter(~F.col("is_kept")).select("doc_id").persist()
+        # fill the cache before build_index's concurrent consumers fork
+        # (see the simhash path below for the rationale); cheap here — the
+        # cluster table is already checkpointed by near_dup_clusters
+        losers.count()
         kept_tf = tf.join(losers, "doc_id", "left_anti")
         kept_docs = (
             out.join(
@@ -221,6 +225,14 @@ def dedup_docs_and_tf(
     # would force-collect it regardless of size; AQE still broadcasts it
     # at runtime when it is actually small
     losers = pairs.select(F.col("doc_id_2").alias("doc_id")).distinct().persist()
+    # materialize ONCE, here, before any consumer forks: build_index runs
+    # the docs write, the stats chain and the dict chain on CONCURRENT
+    # threads, and a persisted-but-cold cache does not serialize parallel
+    # fills — all three would execute the fingerprint + banded-join chain
+    # simultaneously (measured: the dict phase of a fresh dedup build ran
+    # ~2x the standalone chain cost). Eagerness is safe: since the no-op-
+    # resume gate, this stage is only constructed when it is consumed.
+    losers.count()
     kept_tf = tf.join(losers, "doc_id", "left_anti")
     # precomputed survivor df/cf by SUBTRACTION (r7): the full-corpus dft
     # is already materialized for the keyword pass, and the losers are the
