@@ -938,12 +938,16 @@ def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame
     The filter on kind prunes non-image rows BEFORE the Python boundary
     (pushed to the parquet scan); the UDF sees only image bytes.
 
-    decoder='real': numpy PPM/BMP/PNG/baseline-JPEG decode
-    (:func:`decode_image`), actual pixel-space features
-    (:func:`image_features`), width/height from the DECODED raster
-    (metadata can lie; pixels don't). Progressive-JPEG/interlaced-PNG
-    rows raise NotImplementedError at the PIL seam. decoder='fake':
-    deterministic byte-histogram features with metadata dimensions."""
+    decoder='real': numpy PPM/BMP/PNG (all depths, incl. Adam7
+    interlace)/baseline-AND-progressive-JPEG decode (:func:`decode_image`),
+    actual pixel-space features (:func:`image_features`), width/height
+    from the DECODED raster (metadata can lie; pixels don't). The
+    remaining NotImplementedError formats are the genuinely-external
+    codecs: arithmetic/hierarchical/lossless JPEG, non-24-bit/compressed
+    BMP, and any container other than PPM/BMP/PNG/JPEG (webp, avif, gif,
+    tiff, ...) — each raises at the documented PIL plug-in seam.
+    decoder='fake': deterministic byte-histogram features with metadata
+    dimensions."""
     imgs = media.filter(media.kind == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1058,7 +1062,11 @@ def _avi_frames(data: bytes) -> list[bytes]:
             if cid == b"LIST":
                 if data[pos + 8 : pos + 12] in (b"movi", b"rec "):
                     walk(pos + 12, pos + 8 + size)
-            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+            elif cid[2:4] in (b"dc", b"db") and all(
+                c in b"0123456789ABCDEFabcdef" for c in cid[:2]
+            ):
+                # stream numbers are TWO ASCII HEX digits (##dc/##db) —
+                # isdigit() silently skipped streams 0x0A..0xFF
                 frames.append(bytes(data[pos + 8 : pos + 8 + size]))
             pos += 8 + size + (size & 1)  # chunks are word-aligned
 

@@ -310,12 +310,19 @@ def incremental_index(
         # ---- O(parts) stats refresh: overwrite the touched parts' rows in
         # stats_parts from THIS fold's dl, then aggregate the tiny per-part
         # table. Untouched doc parts are never read, let alone re-tokenized.
-        # existence gate, NOT _SUCCESS: dynamic partition overwrite never
-        # writes _SUCCESS at the table root, so an _SUCCESS gate would
-        # re-run this O(corpus) bootstrap on EVERY fold of an
-        # incremental-only root (the exact work the module header
-        # promises never happens)
-        if not _dir_exists(bspark, paths.stats_parts):
+        # COMPLETENESS gate, not bare existence (a crash mid-bootstrap
+        # leaves a partial dir that bare existence would treat as complete,
+        # permanently omitting the untouched parts' rows): full builds
+        # commit stats_parts with _SUCCESS; the incremental bootstrap's
+        # dynamic partition overwrite never writes _SUCCESS at the table
+        # root, so it records completion in its own _BOOTSTRAPPED sentinel
+        # below. Either marker gates; a partial dir has neither and the
+        # (idempotent, dynamic-overwrite) bootstrap simply re-runs.
+        boot_sentinel = f"{paths.stats_parts}/_BOOTSTRAPPED"
+        if not (
+            _table_ready(bspark, paths.stats_parts)
+            or _dir_exists(bspark, boot_sentinel)
+        ):
             # one-time bootstrap for roots predating stats_parts: derive the
             # NON-touched parts' rows (touched rows come from this fold)
             others = (
@@ -338,6 +345,13 @@ def incremental_index(
                 ).write.mode("overwrite").option(
                     "partitionOverwriteMode", "dynamic"
                 ).partitionBy("part").parquet(paths.stats_parts)
+            # bootstrap complete (incl. the nothing-to-derive case) —
+            # record it AFTER the write so a crash above leaves no marker
+            # and the next fold re-runs the idempotent bootstrap
+            jvm = bspark._jvm
+            sp_ = jvm.org.apache.hadoop.fs.Path(boot_sentinel)
+            fs_ = sp_.getFileSystem(bspark._jsc.hadoopConfiguration())
+            fs_.create(sp_, True).close()
         # per-write dynamic overwrite (replaces only the touched parts'
         # partitions) — a writer option, never a session-conf mutation that
         # would silently change unrelated writes' overwrite semantics

@@ -335,6 +335,49 @@ def test_stats_bootstrap_runs_at_most_once(spark, tmp_path_factory, monkeypatch)
     docs.unpersist()
 
 
+def test_partial_bootstrap_is_repaired(spark, tmp_path_factory):
+    """r7 fix (ADVICE): a crash mid-bootstrap leaves stats_parts as a
+    partial dir with NO completion marker; the bare-existence gate treated
+    it as complete, permanently omitting the missing parts from global
+    stats. The marker gate must re-run the idempotent bootstrap instead."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("increpair"))
+    input_dir, root, ckpt = f"{base}/in", f"{base}/idx", f"{base}/ckpt"
+    paths = IndexPaths(root)
+    docs = build_docs(spark, 320, seed=42, num_partitions=4).persist()
+    d1 = docs.filter(F.col("doc_id") < 192)           # parts 0,1,2
+    d2 = docs.filter(F.col("doc_id") >= 256)          # part 4 only
+
+    d1.write.mode("append").parquet(input_dir)
+    _fold(spark, input_dir, root, ckpt)
+
+    want = S.corpus_stats(
+        S.doc_lengths(S.term_frequencies(d1.unionByName(d2), text_col="content"))
+    ).first()
+
+    # simulate the crash: drop one part's stats rows AND every completion
+    # marker — the dir still exists, exactly the hazard state
+    shutil.rmtree(f"{paths.stats_parts}/part=1")
+    for marker in ("_SUCCESS", "_BOOTSTRAPPED"):
+        try:
+            os.remove(f"{paths.stats_parts}/{marker}")
+        except FileNotFoundError:
+            pass
+
+    d2.write.mode("append").parquet(input_dir)
+    _fold(spark, input_dir, root, ckpt)
+
+    got = spark.read.parquet(paths.stats).first()
+    assert got["n_docs"] == want["n_docs"], "partial bootstrap not repaired"
+    assert abs(got["avgdl"] - want["avgdl"]) < 1e-9
+    # and the repair recorded completion, so the NEXT fold skips it
+    assert os.path.exists(f"{paths.stats_parts}/_BOOTSTRAPPED") or os.path.exists(
+        f"{paths.stats_parts}/_SUCCESS"
+    )
+    docs.unpersist()
+
+
 def test_empty_or_missing_input_dir_is_noop(spark, tmp_path_factory):
     """A drain invoked before any file lands must exit cleanly."""
     import os
