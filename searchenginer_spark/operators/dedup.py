@@ -233,6 +233,9 @@ def dedup_docs_and_tf(
     # ~2x the standalone chain cost). Eagerness is safe: since the no-op-
     # resume gate, this stage is only constructed when it is consumed.
     losers.count()
+    # the pairs table is fully consumed into `losers` — reclaim its band
+    # cache now rather than riding it through the whole build
+    release_intermediates(pairs)
     kept_tf = tf.join(losers, "doc_id", "left_anti")
     # precomputed survivor df/cf by SUBTRACTION (r7): the full-corpus dft
     # is already materialized for the keyword pass, and the losers are the
@@ -283,6 +286,11 @@ def simhash_near_pairs(
     max_hamming+1 so the guarantee always covers the requested
     threshold; passing an insufficient explicit value raises instead of
     silently missing pairs. doc_id < doc_id_2.
+
+    EAGER at construction (r7): the band table persists and fills here so
+    the self-join's two sides read one materialization of the fingerprint
+    lineage instead of executing it twice. Long-lived callers reclaim the
+    cache with :func:`release_intermediates`.
     """
     if n_bands is None:
         n_bands = max_hamming + 1
@@ -291,7 +299,18 @@ def simhash_near_pairs(
             f"n_bands={n_bands} cannot guarantee completeness for "
             f"max_hamming={max_hamming} (pigeonhole needs > max_hamming bands)"
         )
-    a = simhash_bands(fingerprints.select("doc_id", "simhash"), n_bands=n_bands)
+    # persist + EAGERLY fill the band table before the self-join: both
+    # join sides otherwise execute the whole fingerprint lineage (the
+    # keyword aggregate + 64-bit vote), and a cold cache does not dedup
+    # the two sides' concurrent fills inside the join job (the same
+    # concurrency corner as the build's losers fill). 16 B/doc of
+    # fingerprint x n_bands rows — MEMORY_AND_DISK via default persist;
+    # riders on _sg_intermediates so callers reclaim the blocks with
+    # release_intermediates.
+    a = simhash_bands(
+        fingerprints.select("doc_id", "simhash"), n_bands=n_bands
+    ).persist()
+    a.count()
     b = (
         a.select(
             F.col("doc_id").alias("doc_id_2"),
@@ -311,7 +330,7 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+    return _attach_intermediates(pairs, [a])
 
 
 def dedup_by_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
