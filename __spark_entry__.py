@@ -947,7 +947,10 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _union_docs(spark, sf_dir)
     idx = Bm25DataFrameIndex.build(docs, text_col="text", persist=False)
     kw = tfidf_top_keywords(idx.tf, idx.dft, idx.stats, top_n=20)
-    return simhash_near_pairs(simhash(kw), max_hamming=3)
+    # persist_shared=False: this returns a lazy frame whose materialization
+    # the harness owns — the leak-free contract release_entry_caches
+    # documents (the band-table persist is for lifecycle-managing callers)
+    return simhash_near_pairs(simhash(kw), max_hamming=3, persist_shared=False)
 
 
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

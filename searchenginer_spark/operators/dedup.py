@@ -274,7 +274,10 @@ def dedup_docs_and_tf(
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, n_bands: int | None = None
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    persist_shared: bool = True,
 ) -> DataFrame:
     """(doc_id, doc_id_2, hamming) pairs within the hamming threshold.
 
@@ -287,10 +290,13 @@ def simhash_near_pairs(
     threshold; passing an insufficient explicit value raises instead of
     silently missing pairs. doc_id < doc_id_2.
 
-    EAGER at construction (r7): the band table persists and fills here so
-    the self-join's two sides read one materialization of the fingerprint
-    lineage instead of executing it twice. Long-lived callers reclaim the
-    cache with :func:`release_intermediates`.
+    EAGER at construction (r7, ``persist_shared=True``): the band table
+    persists and fills here so the self-join's two sides read one
+    materialization of the fingerprint lineage instead of executing it
+    twice. Long-lived callers reclaim the cache with
+    :func:`release_intermediates`. ``persist_shared=False`` restores the
+    lazy uncached plan for one-shot callers that cannot manage the handle
+    lifecycle (the minhash_lsh_pairs contract).
     """
     if n_bands is None:
         n_bands = max_hamming + 1
@@ -307,10 +313,10 @@ def simhash_near_pairs(
     # fingerprint x n_bands rows — MEMORY_AND_DISK via default persist;
     # riders on _sg_intermediates so callers reclaim the blocks with
     # release_intermediates.
-    a = simhash_bands(
-        fingerprints.select("doc_id", "simhash"), n_bands=n_bands
-    ).persist()
-    a.count()
+    a = simhash_bands(fingerprints.select("doc_id", "simhash"), n_bands=n_bands)
+    if persist_shared:
+        a = a.persist()
+        a.count()
     b = (
         a.select(
             F.col("doc_id").alias("doc_id_2"),
@@ -330,7 +336,7 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return _attach_intermediates(pairs, [a])
+    return _attach_intermediates(pairs, [a] if persist_shared else [])
 
 
 def dedup_by_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
